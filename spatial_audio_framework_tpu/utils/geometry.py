@@ -1,0 +1,178 @@
+"""Geometry: spherical/cartesian conversions, Euler/quaternion rotations.
+
+TPU-native counterpart of ``saf_utility_geometry.h/.c``.  All functions are
+backend-agnostic: they accept NumPy or JAX arrays and return the same kind
+(design-time code uses NumPy; traced process-paths pass jnp arrays).
+
+Conventions (matching the reference exactly):
+
+* spherical triplets are (azimuth, elevation, radius); elevation is measured
+  up from the horizontal plane (saf_utility_geometry.c ``sph2cart``).
+* ``euler2rotationMatrix`` composes R = R3 @ R2 @ R1 with row-vector style
+  rotation matrices Rz/Ry/Rx (saf_utility_geometry.c:213-255).
+* quaternions are (w, x, y, z) with the reference's component mapping
+  (saf_utility_geometry.c:89-121).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# Euler conventions (saf_utility_geometry.h:77-90)
+EULER_ROTATION_Y_CONVENTION = 0     # Rz(a) Ry(b) Rz(g)
+EULER_ROTATION_X_CONVENTION = 1     # Rz(a) Rx(b) Rz(g)
+EULER_ROTATION_YAW_PITCH_ROLL = 2   # Rz(yaw) Ry(pitch) Rx(roll)
+EULER_ROTATION_ROLL_PITCH_YAW = 3   # Rx(roll) Ry(pitch) Rz(yaw)
+
+
+def _xp(*arrays):
+    """Pick numpy or jax.numpy based on argument types."""
+    for a in arrays:
+        if type(a).__module__.startswith("jax"):
+            import jax.numpy as jnp
+
+            return jnp
+    return np
+
+
+def sph2cart(sph, degrees: bool = False):
+    """(..., 3) [azi, elev, r] → (..., 3) [x, y, z]  (saf_utility_geometry.c:272)."""
+    xp = _xp(sph)
+    azi, elev, r = sph[..., 0], sph[..., 1], sph[..., 2]
+    if degrees:
+        azi = azi * (np.pi / 180.0)
+        elev = elev * (np.pi / 180.0)
+    ce = xp.cos(elev)
+    return xp.stack([r * ce * xp.cos(azi), r * ce * xp.sin(azi), r * xp.sin(elev)], axis=-1)
+
+
+def cart2sph(cart, degrees: bool = False):
+    """(..., 3) [x,y,z] → (..., 3) [azi, elev, r]  (saf_utility_geometry.c:304)."""
+    xp = _xp(cart)
+    x, y, z = cart[..., 0], cart[..., 1], cart[..., 2]
+    hypot_xy = xp.sqrt(x * x + y * y)
+    r = xp.sqrt(x * x + y * y + z * z)
+    azi = xp.arctan2(y, x)
+    elev = xp.arctan2(z, hypot_xy)
+    if degrees:
+        azi = azi * (180.0 / np.pi)
+        elev = elev * (180.0 / np.pi)
+    return xp.stack([azi, elev, r], axis=-1)
+
+
+def unit_sph2cart(dirs, degrees: bool = False):
+    """(..., 2) [azi, elev] → unit vectors (..., 3)."""
+    xp = _xp(dirs)
+    r = xp.ones_like(dirs[..., :1])
+    return sph2cart(xp.concatenate([dirs, r], axis=-1), degrees=degrees)
+
+
+def unit_cart2sph(cart, degrees: bool = False):
+    """Unit vectors (..., 3) → (..., 2) [azi, elev]."""
+    return cart2sph(cart, degrees=degrees)[..., :2]
+
+
+def _rot_x(theta, xp):
+    c, s = xp.cos(theta), xp.sin(theta)
+    one, zero = xp.ones_like(c), xp.zeros_like(c)
+    return xp.stack([
+        xp.stack([one, zero, zero], -1),
+        xp.stack([zero, c, s], -1),
+        xp.stack([zero, -s, c], -1),
+    ], -2)
+
+
+def _rot_y(theta, xp):
+    c, s = xp.cos(theta), xp.sin(theta)
+    one, zero = xp.ones_like(c), xp.zeros_like(c)
+    return xp.stack([
+        xp.stack([c, zero, -s], -1),
+        xp.stack([zero, one, zero], -1),
+        xp.stack([s, zero, c], -1),
+    ], -2)
+
+
+def _rot_z(theta, xp):
+    c, s = xp.cos(theta), xp.sin(theta)
+    one, zero = xp.ones_like(c), xp.zeros_like(c)
+    return xp.stack([
+        xp.stack([c, s, zero], -1),
+        xp.stack([-s, c, zero], -1),
+        xp.stack([zero, zero, one], -1),
+    ], -2)
+
+
+def euler2rotation_matrix(alpha, beta, gamma, degrees: bool = False,
+                          convention: int = EULER_ROTATION_YAW_PITCH_ROLL):
+    """R = R3(gamma) @ R2(beta) @ R1(alpha)  (saf_utility_geometry.c:213-255).
+
+    Scalars or batched angle arrays; returns (..., 3, 3).
+    """
+    xp = _xp(alpha, beta, gamma)
+    alpha, beta, gamma = xp.asarray(alpha), xp.asarray(beta), xp.asarray(gamma)
+    if degrees:
+        d = np.pi / 180.0
+        alpha, beta, gamma = alpha * d, beta * d, gamma * d
+    if convention == EULER_ROTATION_Y_CONVENTION:
+        R1, R2, R3 = _rot_z(alpha, xp), _rot_y(beta, xp), _rot_z(gamma, xp)
+    elif convention == EULER_ROTATION_X_CONVENTION:
+        R1, R2, R3 = _rot_z(alpha, xp), _rot_x(beta, xp), _rot_z(gamma, xp)
+    elif convention == EULER_ROTATION_YAW_PITCH_ROLL:
+        R1, R2, R3 = _rot_z(alpha, xp), _rot_y(beta, xp), _rot_x(gamma, xp)
+    elif convention == EULER_ROTATION_ROLL_PITCH_YAW:
+        R1, R2, R3 = _rot_x(alpha, xp), _rot_y(beta, xp), _rot_z(gamma, xp)
+    else:
+        raise ValueError(convention)
+    return R3 @ R2 @ R1
+
+
+def yaw_pitch_roll2_rzyx(yaw, pitch, roll, roll_pitch_yaw: bool = False):
+    """saf_utility_geometry.c:257-270 (radians)."""
+    conv = EULER_ROTATION_ROLL_PITCH_YAW if roll_pitch_yaw else EULER_ROTATION_YAW_PITCH_ROLL
+    return euler2rotation_matrix(yaw, pitch, roll, degrees=False, convention=conv)
+
+
+def quaternion2rotation_matrix(q):
+    """q: (..., 4) [w, x, y, z] → (..., 3, 3)  (saf_utility_geometry.c:89-104)."""
+    xp = _xp(q)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return xp.stack([
+        xp.stack([2 * (w * w + z * z) - 1, 2 * (z * y - w * x), 2 * (z * x + w * y)], -1),
+        xp.stack([2 * (z * y + w * x), 2 * (w * w + y * y) - 1, 2 * (y * x - w * z)], -1),
+        xp.stack([2 * (z * x - w * y), 2 * (y * x + w * z), 2 * (w * w + x * x) - 1], -1),
+    ], -2)
+
+
+def rotation_matrix2quaternion(R):
+    """(..., 3, 3) → (..., 4) [w,x,y,z]  (saf_utility_geometry.c:107-121)."""
+    xp = _xp(R)
+    w = xp.sqrt(xp.maximum(0.0, 1 + R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2])) / 2
+    z = xp.sqrt(xp.maximum(0.0, 1 + R[..., 0, 0] - R[..., 1, 1] - R[..., 2, 2])) / 2
+    y = xp.sqrt(xp.maximum(0.0, 1 - R[..., 0, 0] + R[..., 1, 1] - R[..., 2, 2])) / 2
+    x = xp.sqrt(xp.maximum(0.0, 1 - R[..., 0, 0] - R[..., 1, 1] + R[..., 2, 2])) / 2
+    z = xp.where(R[..., 2, 1] - R[..., 1, 2] < 0, -z, z)
+    y = xp.where(R[..., 0, 2] - R[..., 2, 0] < 0, -y, y)
+    x = xp.where(R[..., 1, 0] - R[..., 0, 1] < 0, -x, x)
+    return xp.stack([w, x, y, z], -1)
+
+
+def crossProduct3(a, b):
+    xp = _xp(a, b)
+    return xp.cross(a, b)
+
+
+def L2_norm(v):
+    xp = _xp(v)
+    return xp.sqrt((v * v).sum(-1))
+
+
+def rodrigues(axis, theta):
+    """Rotation about a unit axis by theta (general helper)."""
+    xp = _xp(axis)
+    axis = xp.asarray(axis, dtype=float)
+    K = xp.stack([
+        xp.stack([xp.zeros_like(axis[..., 0]), -axis[..., 2], axis[..., 1]], -1),
+        xp.stack([axis[..., 2], xp.zeros_like(axis[..., 0]), -axis[..., 0]], -1),
+        xp.stack([-axis[..., 1], axis[..., 0], xp.zeros_like(axis[..., 0])], -1),
+    ], -2)
+    eye = xp.eye(3)
+    return eye + xp.sin(theta) * K + (1 - xp.cos(theta)) * (K @ K)
