@@ -1,0 +1,48 @@
+"""Geometry invariants (mirrors test__utilities_module.c quaternion/rotation
+consistency checks)."""
+import numpy as np
+
+from spatial_audio_framework_tpu.utils import geometry as geo
+
+
+def test_sph_cart_roundtrip():
+    rng = np.random.default_rng(0)
+    sph = np.stack([rng.uniform(-np.pi, np.pi, 32),
+                    rng.uniform(-np.pi / 2, np.pi / 2, 32),
+                    rng.uniform(0.1, 5.0, 32)], -1)
+    back = geo.cart2sph(geo.sph2cart(sph))
+    np.testing.assert_allclose(back, sph, atol=1e-12)
+
+
+def test_sph2cart_degrees():
+    out = geo.sph2cart(np.array([[90.0, 0.0, 1.0]]), degrees=True)
+    np.testing.assert_allclose(out, [[0.0, 1.0, 0.0]], atol=1e-12)
+    out = geo.sph2cart(np.array([[0.0, 90.0, 2.0]]), degrees=True)
+    np.testing.assert_allclose(out, [[0.0, 0.0, 2.0]], atol=1e-12)
+
+
+def test_rotation_orthogonality():
+    R = geo.yaw_pitch_roll2_rzyx(0.3, -1.2, 2.0)
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+    assert abs(np.linalg.det(R) - 1.0) < 1e-12
+
+
+def test_quaternion_rotation_roundtrip():
+    """quaternion ↔ rotation matrix consistency
+    (test__utilities_module.c:196-203)."""
+    rng = np.random.default_rng(1)
+    for _ in range(16):
+        ypr = rng.uniform(-np.pi, np.pi, 3) * [1, 0.49, 1]
+        R = geo.yaw_pitch_roll2_rzyx(*ypr)
+        q = geo.rotation_matrix2quaternion(R)
+        R2 = geo.quaternion2rotation_matrix(q)
+        np.testing.assert_allclose(R, R2, atol=1e-10)
+
+
+def test_euler_conventions_compose():
+    a, b, g = 0.2, -0.7, 1.1
+    R = geo.euler2rotation_matrix(a, b, g, convention=geo.EULER_ROTATION_YAW_PITCH_ROLL)
+    Rz = geo.euler2rotation_matrix(a, 0, 0, convention=geo.EULER_ROTATION_YAW_PITCH_ROLL)
+    Ry = geo.euler2rotation_matrix(0, b, 0, convention=geo.EULER_ROTATION_YAW_PITCH_ROLL)
+    Rx = geo.euler2rotation_matrix(0, 0, g, convention=geo.EULER_ROTATION_YAW_PITCH_ROLL)
+    np.testing.assert_allclose(R, Rx @ Ry @ Rz, atol=1e-12)
