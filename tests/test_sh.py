@@ -79,7 +79,7 @@ def test_unnorm_legendre_golden():
     for n in [1, 3, 6]:
         P = sh.unnorm_legendre(n, x)
         for m in range(n + 1):
-            ref = assoc_legendre_p(n, m, x)
+            ref = np.squeeze(assoc_legendre_p(n, m, x))
             np.testing.assert_allclose(P[m], ref, rtol=1e-9, atol=1e-10)
 
 
