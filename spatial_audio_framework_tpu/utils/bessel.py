@@ -1,0 +1,79 @@
+"""Bessel/Hankel functions (counterpart of ``saf_utility_bessel.h``).
+
+Design-time (host) implementations via SciPy in float64; the reference's
+``_ALL`` variants return all orders 0..N for a vector of arguments.  Both
+cylindrical (Jn/Yn/Hn1/Hn2) and spherical (jn/yn/in/kn/h1n/h2n) kinds, with
+derivatives.  Values are used to build modal coefficients / filters once per
+re-init; the per-sample path never evaluates them on device.
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy import special as sp
+
+
+def _all_orders(fn, N: int, z: np.ndarray, **kw) -> np.ndarray:
+    z = np.asarray(z, np.float64)
+    return np.stack([fn(n, z, **kw) for n in range(N + 1)], axis=-1)  # (..., N+1)
+
+
+# -- cylindrical -------------------------------------------------------------
+
+def bessel_Jn_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
+    """J_n(z) and dJ_n/dz for n=0..N (saf_utility_bessel.h bessel_Jn_ALL).
+    Returns (vals, derivs), each (..., N+1)."""
+    return _all_orders(sp.jv, N, z), _all_orders(sp.jvp, N, z)
+
+
+def bessel_Yn_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
+    return _all_orders(sp.yv, N, z), _all_orders(sp.yvp, N, z)
+
+
+def hankel_Hn1_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
+    J, Jp = bessel_Jn_all(N, z)
+    Y, Yp = bessel_Yn_all(N, z)
+    return J + 1j * Y, Jp + 1j * Yp
+
+
+def hankel_Hn2_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
+    J, Jp = bessel_Jn_all(N, z)
+    Y, Yp = bessel_Yn_all(N, z)
+    return J - 1j * Y, Jp - 1j * Yp
+
+
+# -- spherical ---------------------------------------------------------------
+
+def bessel_jn_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
+    """Spherical j_n(z) and derivative, n=0..N (bessel_jn_ALL)."""
+    return (_all_orders(sp.spherical_jn, N, z),
+            _all_orders(sp.spherical_jn, N, z, derivative=True))
+
+
+def bessel_yn_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
+    return (_all_orders(sp.spherical_yn, N, z),
+            _all_orders(sp.spherical_yn, N, z, derivative=True))
+
+
+def bessel_in_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
+    """Modified spherical i_n (first kind)."""
+    return (_all_orders(sp.spherical_in, N, z),
+            _all_orders(sp.spherical_in, N, z, derivative=True))
+
+
+def bessel_kn_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
+    """Modified spherical k_n (second kind)."""
+    return (_all_orders(sp.spherical_kn, N, z),
+            _all_orders(sp.spherical_kn, N, z, derivative=True))
+
+
+def hankel_hn1_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
+    j, jp = bessel_jn_all(N, z)
+    y, yp = bessel_yn_all(N, z)
+    return j + 1j * y, jp + 1j * yp
+
+
+def hankel_hn2_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
+    """Spherical Hankel of the second kind h2_n = j_n - i·y_n (hankel_hn2_ALL)."""
+    j, jp = bessel_jn_all(N, z)
+    y, yp = bessel_yn_all(N, z)
+    return j - 1j * y, jp - 1j * yp

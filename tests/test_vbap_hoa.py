@@ -1,0 +1,176 @@
+"""VBAP and HOA decoder behaviour tests (mirroring test__vbap_module.c /
+test__hoa_module.c styles: physics checks and invariants)."""
+import numpy as np
+import pytest
+
+from spatial_audio_framework_tpu.modules import hoa, sh, vbap
+from spatial_audio_framework_tpu.utils import presets
+
+
+def test_vbap2d_stereo():
+    ls = np.array([[30.0, 0.0], [-30.0, 0.0]])
+    g = vbap.vbap_2d(np.array([0.0, 30.0, -30.0]), ls)
+    np.testing.assert_allclose(g[0, 0], g[0, 1], atol=1e-6)  # centre → equal
+    assert g[1, 0] > 0.99 and g[1, 1] < 1e-6                 # hard left spk
+    assert g[2, 1] > 0.99 and g[2, 0] < 1e-6
+    np.testing.assert_allclose(np.linalg.norm(g, axis=1), 1.0, atol=1e-6)
+
+
+def test_vbap3d_at_speaker():
+    ls = presets.tdesign(4)  # 12 speakers
+    g = vbap.generate_vbap_gain_table_3d_srcs(ls[:3], ls)
+    for i in range(3):
+        assert g[i, i] > 0.99, g[i]
+    np.testing.assert_allclose(np.linalg.norm(g, axis=1), 1.0, atol=1e-5)
+
+
+def test_vbap3d_dummies_5x():
+    """5.x has no height speakers: dummies keep the table valid, dropped after."""
+    ls = presets.loudspeaker_preset("5.x")
+    g = vbap.generate_vbap_gain_table_3d_srcs(
+        np.array([[0.0, 0.0], [110.0, 0.0]]), ls, enable_dummies=True)
+    assert g.shape == (2, 5)
+    # sources at exact speaker directions → that speaker dominates
+    assert g[0].argmax() == 2  # centre speaker is row 2 of the 5.x table
+    assert g[1].argmax() == np.argmin(np.abs(ls[:, 0] - 110.0))
+
+
+def test_vbap_interp_table_sums():
+    ls = presets.tdesign(4)
+    g = vbap.generate_vbap_gain_table_3d(ls, az_res_deg=30, el_res_deg=30)
+    gi = vbap.vbap_gain_table_to_interp_table(g.copy())
+    np.testing.assert_allclose(gi.sum(-1), 1.0, atol=1e-5)
+
+
+def test_vbap_spread_mdap():
+    ls = presets.tdesign(4)
+    g = vbap.generate_vbap_gain_table_3d_srcs(ls[:1], ls, spread=30.0)
+    # spread activates more than 3 speakers and keeps unit power
+    assert (g[0] > 1e-4).sum() >= 3
+    np.testing.assert_allclose(np.linalg.norm(g[0]), 1.0, atol=1e-5)
+
+
+def test_p_values():
+    p = vbap.get_p_values(1.0, np.array([100.0, 1000.0, 10000.0]))
+    assert p.shape == (3,) and (p > 0.5).all() and (p < 2.5).all()
+
+
+def test_loudspeaker_decoders_omni_reproduction():
+    """Decoding an omnidirectional field reproduces constant amplitude."""
+    ls = presets.tdesign(6)  # uniform 24-speaker layout
+    order = 3
+    nsh = sh.order2nsh(order)
+    a_omni = np.zeros(nsh)
+    a_omni[0] = np.sqrt(4.0 * np.pi)  # omni field, unit pressure
+    for method in ["sad", "mmd", "epad"]:
+        D = hoa.get_loudspeaker_decoder_mtx(ls, method, order)
+        out = D @ a_omni
+        np.testing.assert_allclose(out, out[0], atol=1e-4, err_msg=method)
+        assert out[0] > 0
+    # AllRAD is energy-preserving (VBAP-based), not amplitude-flat: check
+    # per-speaker energy spread stays bounded instead.
+    D = hoa.get_loudspeaker_decoder_mtx(ls, "allrad", order)
+    out = D @ a_omni
+    assert out.min() > 0 and out.max() / out.min() < 1.5
+
+
+def test_loudspeaker_decoder_localisation():
+    """Energy is loudest at the speaker nearest the source (ambi_dec test)."""
+    ls = presets.loudspeaker_preset("9.x")
+    order = 3
+    src_dir = np.array([[45.0, 0.0]])
+    a = sh.get_rsh(order, src_dir)[:, 0]
+    for method in ["sad", "epad", "allrad"]:
+        D = hoa.get_loudspeaker_decoder_mtx(ls, method, order,
+                                            enable_max_re_weighting=True)
+        out = D @ a
+        u_src = vbap._unit_vecs(src_dir)[0]
+        u_ls = vbap._unit_vecs(ls)
+        nearest = np.argmax(u_ls @ u_src)
+        assert np.argmax(np.abs(out)) == nearest, method
+
+
+def test_max_re_weights():
+    a = hoa.get_max_re_weights(3)
+    assert a.shape == (16,)
+    assert a[0] == pytest.approx(1.0, abs=1e-6)
+    # strictly decreasing with order
+    vals = [a[n * n + n] for n in range(4)]
+    assert all(vals[i] > vals[i + 1] for i in range(3))
+
+
+def _toy_hrtfs(n_bands=32, fs=48000.0):
+    """Analytic spherical-head-ish toy HRTF set on a t-design grid."""
+    dirs = presets.tdesign(8)  # 36 dirs
+    freqs = np.linspace(0, fs / 2, n_bands)
+    u = vbap._unit_vecs(dirs)
+    # simple ITD/ILD model: delay ± sin(azi)cos(elev) * 0.3ms, shadow gain
+    tau = 0.0003 * u[:, 1]
+    H = np.zeros((n_bands, 2, dirs.shape[0]), np.complex128)
+    for e, sgn in enumerate([+1.0, -1.0]):
+        gain = 1.0 + 0.3 * sgn * u[:, 1]
+        H[:, e, :] = gain[None] * np.exp(-2j * np.pi * freqs[:, None]
+                                         * sgn * tau[None] / 2)
+    return H, dirs, freqs
+
+
+@pytest.mark.parametrize("method", ["ls", "lsdiffeq", "magls", "ta", "spr"])
+def test_binaural_decoders_run_and_reproduce(method):
+    H, dirs, freqs = _toy_hrtfs()
+    order = 3
+    D = hoa.get_binaural_ambi_decoder_mtx(H, dirs, method, order,
+                                          freq_vector=freqs,
+                                          itds=np.zeros(dirs.shape[0]))
+    assert D.shape == (32, 2, 16)
+    # encode a source at grid dir 0; low bands should approximate the HRTF
+    a = sh.get_rsh(order, dirs[:1])[:, 0]
+    out = D[2] @ a  # low band
+    ref = H[2, :, 0]
+    assert np.abs(out - ref).max() < 0.35, (method, out, ref)
+    # magnitude approximation at high bands for magls
+    if method == "magls":
+        out_hi = np.abs(D[25] @ a)
+        ref_hi = np.abs(H[25, :, 0])
+        assert np.abs(out_hi - ref_hi).max() < 0.35
+
+
+def test_diff_cov_matching():
+    H, dirs, freqs = _toy_hrtfs()
+    order = 1
+    D = hoa.get_bin_decoder_ls(H, dirs, order)
+    Dm = hoa.apply_diff_cov_matching(H, dirs, order, D)
+    # diffuse covariance of matched decode == HRTF diffuse covariance
+    Y = sh.get_rsh(order, dirs)
+    w = np.full(dirs.shape[0], 1.0 / dirs.shape[0])
+    for band in [3, 10, 20]:
+        c_ref = (H[band] * w) @ H[band].conj().T
+        Hd = Dm[band] @ Y
+        c_dec = (Hd * w) @ Hd.conj().T
+        np.testing.assert_allclose(c_dec, c_ref, atol=2e-3)
+
+
+def test_hoa_conventions():
+    rng = np.random.default_rng(0)
+    sig = rng.standard_normal((16, 8)).astype(np.float32)
+    out = hoa.convert_hoa_channel_convention(sig, 3, hoa.HOA_CH_ORDER_ACN,
+                                             hoa.HOA_CH_ORDER_FUMA)
+    back = hoa.convert_hoa_channel_convention(out, 3, hoa.HOA_CH_ORDER_FUMA,
+                                              hoa.HOA_CH_ORDER_ACN)
+    np.testing.assert_allclose(back[:4], sig[:4], atol=0)
+    assert (back[4:] == 0).all()  # FuMa is first-order only here
+
+    g = hoa.norm_gains(3, hoa.HOA_NORM_SN3D, hoa.HOA_NORM_N3D)
+    gb = hoa.norm_gains(3, hoa.HOA_NORM_N3D, hoa.HOA_NORM_SN3D)
+    np.testing.assert_allclose(g * gb, 1.0, atol=1e-6)
+
+
+def test_truncation_eq():
+    from spatial_audio_framework_tpu.modules.array_proc import sph_modal_coeffs  # noqa
+
+    kr = np.linspace(0.01, 20.0, 64)
+    w_n = np.ones(4)  # untapered truncation at order 3
+    g = hoa.truncation_eq(w_n, 3, 20, kr)
+    assert g.shape == (64,)
+    assert abs(g[0] - 1.0) < 0.05          # no EQ needed at low freq
+    assert g[-1] > 1.0                     # boosts highs
+    assert g.max() <= 2.0 * 10 ** (12.0 / 20.0) + 1e-3  # soft-clipped
