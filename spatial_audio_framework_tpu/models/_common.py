@@ -1,0 +1,70 @@
+"""Shared vocabulary for the renderer models (counterpart of
+``examples/include/_common.h``): channel-order / normalisation enums, frame
+constants, and the model design pattern.
+
+Every model follows the same pure-functional TPU-native pattern:
+
+* ``Config``  — frozen dataclass of static parameters (trace-time constants;
+  the analogue of the reference's set-parameter API + FRAME_SIZE macros).
+* ``design(cfg, ...) -> Weights``  — host-side NumPy/SciPy, runs once per
+  configuration change (the analogue of ``*_initCodec``).
+* ``init_state(cfg) -> State``    — zeroed filterbank/convolver state pytree.
+* ``process(weights, state, x, ...) -> (y, state)``  — pure, jit-compiled,
+  shape-static block processor (the analogue of ``*_process``), batched over
+  many hops per call and vmap-able over streams.
+"""
+from __future__ import annotations
+
+MAX_SH_ORDER = 7                 # _common.h:50
+MAX_NUM_CHANNELS = 64            # _common.h:228
+DEFAULT_FRAME_SIZE = 128         # per-example FRAME_SIZE
+NUM_EARS = 2
+
+# CH_ORDER (_common.h:57-61)
+CH_ACN = "acn"
+CH_FUMA = "fuma"
+# NORM_TYPES (_common.h:72-77)
+NORM_N3D = "n3d"
+NORM_SN3D = "sn3d"
+NORM_FUMA = "fuma"
+
+_CH = {CH_ACN: 0, CH_FUMA: 1}
+_NORM = {NORM_N3D: 0, NORM_SN3D: 1, NORM_FUMA: 2}
+
+
+def input_conversion_mtx(order: int, ch_ordering: str, norm: str):
+    """(nSH, nSH) matrix converting an input SH frame in (ch_ordering, norm)
+    to (ACN, N3D) — the conversions applied at the top of every example's
+    process() (e.g. ambi_bin.c:420-430), expressed as a single matrix so they
+    can be folded into the decoder (zero runtime cost)."""
+    import numpy as np
+
+    from spatial_audio_framework_tpu.modules import hoa
+
+    nsh = (order + 1) ** 2
+    M = np.eye(nsh, dtype=np.float32)
+    if _CH[ch_ordering] == _CH[CH_FUMA]:
+        P = np.zeros((nsh, nsh), np.float32)
+        # FuMa WXYZ → ACN WYZX (saf_hoa.c:58-61); FuMa is 1st order only.
+        P[0, 0] = P[1, 3] = P[2, 1] = P[3, 2] = 1.0
+        M = P @ M
+    g = hoa.norm_gains(order, _NORM[norm], _NORM[NORM_N3D])
+    return (g[:, None] * M).astype(np.float32)
+
+
+def output_conversion_mtx(order: int, ch_ordering: str, norm: str):
+    """(nSH, nSH) matrix converting (ACN, N3D) output to (ch_ordering, norm)
+    — the conversions at the bottom of encoder examples."""
+    import numpy as np
+
+    from spatial_audio_framework_tpu.modules import hoa
+
+    nsh = (order + 1) ** 2
+    M = np.eye(nsh, dtype=np.float32)
+    if _CH[ch_ordering] == _CH[CH_FUMA]:
+        P = np.zeros((nsh, nsh), np.float32)
+        # ACN WYZX → FuMa WXYZ
+        P[0, 0] = P[3, 1] = P[1, 2] = P[2, 3] = 1.0
+        M = P @ M
+    g = hoa.norm_gains(order, _NORM[NORM_N3D], _NORM[norm])
+    return (M * g[None, :]).astype(np.float32)

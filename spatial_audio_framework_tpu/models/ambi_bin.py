@@ -1,0 +1,135 @@
+"""ambi_bin — binaural Ambisonic decoder (counterpart of
+``examples/src/ambi_bin``; see call-stack trace in SURVEY.md §3.1).
+
+TPU-native design: ``design()`` performs the whole initCodec pipeline
+(HRIR → ITDs → afSTFT filterbank HRTFs → Voronoi weights → diffuse-field EQ →
+binaural decoder → truncation EQ) on host; the (ACN/N3D) input-convention
+conversion is folded into the per-band decoding matrix, so ``process()`` is
+exactly: afSTFT analysis → one batched complex matmul over the 133 bands →
+afSTFT synthesis.  Head-tracking rotation is traced (recomputed per block via
+the jax Ivanic recursion), so yaw/pitch/roll can be streamed without
+recompilation — the analogue of the reference's recalc_M_rotFLAG baking
+(ambi_bin.c:438-455).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatial_audio_framework_tpu.models import _common as C
+from spatial_audio_framework_tpu.modules import hoa, hrir as hrir_mod, sh
+from spatial_audio_framework_tpu.ops.afstft import AfSTFT, AfSTFTState
+from spatial_audio_framework_tpu.utils import geometry as geo
+
+# HRIR_PREPROC_OPTIONS (ambi_bin.h)
+PREPROC_OFF = "off"
+PREPROC_EQ = "eq"
+PREPROC_PHASE = "phase"
+PREPROC_ALL = "all"
+
+
+@dataclass(frozen=True)
+class AmbiBinConfig:
+    order: int = 1                      # ambi_bin.c:78 (bench uses 3)
+    fs: float = 48000.0
+    method: str = "magls"               # ambi_bin.c:77 DECODING_METHOD_MAGLS
+    hrir_preproc: str = PREPROC_EQ      # ambi_bin.c:63
+    ch_ordering: str = C.CH_ACN
+    norm: str = C.NORM_SN3D             # ambi_bin.c:65
+    enable_max_re: bool = True
+    enable_diff_cov_matching: bool = False
+    enable_truncation_eq: bool = True   # only active for the LS method
+    enable_rotation: bool = False
+    hop: int = 128
+
+    @property
+    def nsh(self) -> int:
+        return (self.order + 1) ** 2
+
+    @property
+    def afstft(self) -> AfSTFT:
+        return AfSTFT(hop=self.hop, hybrid=True, low_delay=False)
+
+
+class AmbiBinWeights(NamedTuple):
+    M_dec: jax.Array  # (nBands, 2, nSH) complex64, conventions folded in
+
+
+def design(cfg: AmbiBinConfig, hrirs: Optional[np.ndarray] = None,
+           hrir_dirs_deg: Optional[np.ndarray] = None,
+           hrir_fs: Optional[int] = None) -> AmbiBinWeights:
+    """The initCodec pipeline (ambi_bin.c:167-380).  Pass a loaded SOFA set
+    via (hrirs, hrir_dirs_deg, hrir_fs) or use the default set."""
+    if hrirs is None:
+        hrirs, hrir_dirs_deg, hrir_fs = hrir_mod.default_hrirs()
+    if hrir_fs != cfg.fs:
+        hrirs, _ = hrir_mod.resample_hrirs(hrirs, hrir_fs, int(cfg.fs))
+    n_dirs = hrirs.shape[0]
+    bank = cfg.afstft
+    freq_vector = bank.centre_freqs(cfg.fs)
+
+    itds = hrir_mod.estimate_itds(hrirs, cfg.fs)
+    hrtf_fb = hrir_mod.hrirs_to_hrtfs_afstft(hrirs, cfg.hop)
+    weights = (geo.get_voronoi_weights(hrir_dirs_deg) if n_dirs <= 1000 else None)
+    hrtf_fb = hrir_mod.diffuse_field_equalise_hrtfs(
+        hrtf_fb, itds, freq_vector, weights,
+        apply_eq=cfg.hrir_preproc in (PREPROC_EQ, PREPROC_ALL),
+        apply_phase=cfg.hrir_preproc in (PREPROC_PHASE, PREPROC_ALL))
+
+    # The reference passes the Voronoi areas (sum 4π) straight through as
+    # integration weights (ambi_bin.c:261-307): the LS-family solves are
+    # invariant to the overall weight scale, and SPR rescales internally.
+    dec = hoa.get_binaural_ambi_decoder_mtx(
+        hrtf_fb, hrir_dirs_deg, cfg.method, cfg.order,
+        freq_vector=freq_vector, itds=itds, weights=weights,
+        enable_diff_cov_matching=cfg.enable_diff_cov_matching,
+        enable_max_re_weighting=cfg.enable_max_re)
+
+    # Truncation EQ (ambi_bin.c:310-364): LS method only, no phase preproc.
+    if (cfg.enable_truncation_eq and cfg.method == "ls"
+            and cfg.hrir_preproc not in (PREPROC_PHASE, PREPROC_ALL)):
+        r, c, order_target = 0.085, 343.0, 42
+        kr = 2.0 * np.pi / c * freq_vector.astype(np.float64) * r
+        if cfg.enable_max_re:
+            b = sh.beam_weights_max_ev(cfg.order).astype(np.float64)
+            ns = np.arange(cfg.order + 1)
+            w_n = b / np.sqrt((2 * ns + 1) / (4.0 * np.pi))
+            w_n = w_n / w_n[0]
+        else:
+            w_n = np.ones(cfg.order + 1)
+        gain = hoa.truncation_eq(w_n, cfg.order, order_target, kr,
+                                 soft_threshold_db=9.0)
+        dec = dec * gain[:, None, None]
+
+    # Fold the input channel-order/normalisation conversion into the decoder.
+    conv = C.input_conversion_mtx(cfg.order, cfg.ch_ordering, cfg.norm)
+    dec = np.einsum("bes,st->bet", dec, conv)
+    return AmbiBinWeights(M_dec=jnp.asarray(dec.astype(np.complex64)))
+
+
+def init_state(cfg: AmbiBinConfig) -> AfSTFTState:
+    return cfg.afstft.init_state(cfg.nsh, C.NUM_EARS)
+
+
+def process(cfg: AmbiBinConfig, weights: AmbiBinWeights, state: AfSTFTState,
+            x: jax.Array, ypr: Optional[jax.Array] = None):
+    """Process a block (ambi_bin.c:382-480).
+
+    x: (nSH, T) SH signals, T a multiple of hop; ypr: traced (3,) radians
+    (yaw, pitch, roll) if cfg.enable_rotation.  → ((2, T), state).
+    """
+    bank = cfg.afstft
+    M = weights.M_dec
+    if cfg.enable_rotation and cfg.order > 0:
+        assert ypr is not None
+        R = geo.yaw_pitch_roll2_rzyx(ypr[0], ypr[1], ypr[2])
+        M_rot = sh.get_sh_rot_mtx_real(R.astype(jnp.float32), cfg.order)
+        M = jnp.einsum("bes,st->bet", M, M_rot.astype(M.dtype))
+    spec, state = bank.analysis(state, x)           # (nBands, nSH, H)
+    out = jnp.einsum("bes,bsh->beh", M, spec)       # batched over 133 bands
+    y, state = bank.synthesis(state, out)           # (2, T)
+    return y, state

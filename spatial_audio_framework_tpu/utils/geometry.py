@@ -165,6 +165,29 @@ def L2_norm(v):
     return xp.sqrt((v * v).sum(-1))
 
 
+def sph_delaunay(dirs_deg):
+    """Delaunay triangulation of points on the sphere == their convex hull
+    (saf_utility_geometry.c ``sphDelaunay``).  dirs_deg: (nDirs, 2) [azi, elev]
+    → (faces (nF, 3) int, vertices (nDirs, 3))."""
+    from scipy.spatial import ConvexHull
+
+    verts = np.asarray(unit_sph2cart(np.asarray(dirs_deg, np.float64), degrees=True))
+    hull = ConvexHull(verts)
+    return hull.simplices.astype(int), verts
+
+
+def get_voronoi_weights(dirs_deg):
+    """Spherical Voronoi cell areas per direction, summing to 4π
+    (saf_utility_geometry.c ``getVoronoiWeights`` via sphVoronoi/Areas;
+    implemented with scipy.spatial.SphericalVoronoi).  → (nDirs,)."""
+    from scipy.spatial import SphericalVoronoi
+
+    verts = np.asarray(unit_sph2cart(np.asarray(dirs_deg, np.float64), degrees=True))
+    sv = SphericalVoronoi(verts, radius=1.0)
+    sv.sort_vertices_of_regions()
+    return sv.calculate_areas().astype(np.float32)
+
+
 def rodrigues(axis, theta):
     """Rotation about a unit axis by theta (general helper)."""
     xp = _xp(axis)
