@@ -226,9 +226,13 @@ def analyse(sig: np.ndarray, hop: int, low_delay: bool = False,
     n_slots = int(np.ceil(n / hop))
     buf = np.zeros((n_ch, n_slots * hop), np.float32)
     buf[:, :n] = sig
-    st = cfg.init_state(n_ch, 1)
-    out, _ = cfg.analysis(st, jnp.asarray(buf))
-    return np.asarray(out)
+    # Design-time helper: run on host CPU (jitted) regardless of the default
+    # accelerator — this is initCodec work, not the streaming path.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        st = cfg.init_state(n_ch, 1)
+        out, _ = jax.jit(cfg.analysis)(st, jnp.asarray(buf))
+        return np.asarray(out)
 
 
 def fir_to_filterbank_coeffs(h_ir: np.ndarray, hop: int, low_delay: bool = False,

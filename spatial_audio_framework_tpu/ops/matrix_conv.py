@@ -1,0 +1,288 @@
+"""FFT-domain convolution engines (counterpart of ``saf_utility_matrixConv``).
+
+* ``MatrixConv`` — nCHout×nCHin filter matrix, uniformly-partitioned (default)
+  or non-partitioned overlap-add (saf_utility_matrixConv.c:50-235).
+* ``MultiConv`` — one filter per channel (saf_utility_matrixConv.c:237-437).
+* ``TVConv``   — time-varying partitioned convolution with linear crossfade
+  between filter sets on position change (saf_utility_matrixConv.c:439-660).
+
+TPU-native design: filters are pre-FFT'd into a stacked partition tensor at
+design time; each hop is ONE batched complex einsum over
+(partitions × out × in × bins), and whole blocks of hops are processed at
+once by stacking shifted views of the input-spectra ring (the "sequence
+parallel" analogue of the reference's per-hop ring buffer).  State is an
+explicit pytree; everything jits and vmaps over streams.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def partition_filters(H: np.ndarray, hop: int) -> np.ndarray:
+    """(..., length_h) filters → (..., P, hop+1) partition spectra, where
+    P = ceil(length_h / hop); each hop-length segment is zero-padded to
+    2·hop and rFFT'd (saf_utility_matrixConv.c:100-130)."""
+    length_h = H.shape[-1]
+    P = _cdiv(length_h, hop)
+    pad = np.zeros(H.shape[:-1] + (P * hop,), np.float32)
+    pad[..., :length_h] = H
+    seg = pad.reshape(H.shape[:-1] + (P, hop))
+    seg = np.concatenate([seg, np.zeros_like(seg)], axis=-1)  # zero-pad to 2*hop
+    return np.fft.rfft(seg, axis=-1).astype(np.complex64)
+
+
+# ---------------------------------------------------------------------------
+# MatrixConv
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class MatrixConv:
+    hop: int
+    length_h: int
+    n_in: int
+    n_out: int
+    partitioned: bool = True
+
+    @property
+    def n_part(self) -> int:
+        return _cdiv(self.length_h, self.hop)
+
+    @property
+    def fft_size(self) -> int:
+        if self.partitioned:
+            return 2 * self.hop
+        return _cdiv(self.hop + self.length_h - 1, self.hop) * self.hop
+
+    def design(self, H: np.ndarray) -> jax.Array:
+        """H: (n_out, n_in, length_h).  → partitioned: (P, n_out, n_in, hop+1)
+        complex64; non-partitioned: (n_out, n_in, nBins)."""
+        assert H.shape == (self.n_out, self.n_in, self.length_h)
+        if self.partitioned:
+            Hp = partition_filters(H, self.hop)  # (n_out, n_in, P, hop+1)
+            return jnp.asarray(Hp.transpose(2, 0, 1, 3))
+        Hf = np.fft.rfft(H, n=self.fft_size, axis=-1).astype(np.complex64)
+        return jnp.asarray(Hf)
+
+    def init_state(self, batch: tuple = ()) -> "MatrixConvState":
+        if self.partitioned:
+            X = jnp.zeros(batch + (self.n_part - 1, self.n_in, self.hop + 1),
+                          jnp.complex64)
+            ola = jnp.zeros(batch + (self.n_out, self.hop), jnp.float32)
+        else:
+            X = jnp.zeros(batch + (0, self.n_in, self.fft_size // 2 + 1),
+                          jnp.complex64)
+            ola = jnp.zeros(batch + (self.n_out, self.fft_size), jnp.float32)
+        return MatrixConvState(X_hist=X, ola=ola)
+
+    def apply_block(self, Hf: jax.Array, state: "MatrixConvState",
+                    x: jax.Array):
+        """x: (n_in, T), T = H·hop → ((n_out, T), state).  All hops in the
+        block are processed as one einsum."""
+        hop = self.hop
+        T = x.shape[-1]
+        nh = T // hop
+        if self.partitioned:
+            seg = x.reshape(self.n_in, nh, hop).transpose(1, 0, 2)
+            seg = jnp.concatenate([seg, jnp.zeros_like(seg)], axis=-1)
+            S = jnp.fft.rfft(seg, axis=-1)  # (nh, n_in, hop+1), newest last
+            full = jnp.concatenate([state.X_hist, S], axis=0)  # (P-1+nh, ...)
+            P = self.n_part
+            # windows[t, k] = spectrum of hop (t - k): k=0 → current
+            win = jnp.stack([full[P - 1 - k : P - 1 - k + nh] for k in range(P)],
+                            axis=1)  # (nh, P, n_in, bins)
+            Y = jnp.einsum("tpib,poib->tob", win, Hf)
+            z = jnp.fft.irfft(Y, n=2 * hop, axis=-1)  # (nh, n_out, 2*hop)
+            heads = z[..., :hop]
+            tails = z[..., hop:]
+            prev_tails = jnp.concatenate([state.ola[None], tails[:-1]], axis=0)
+            out = heads + prev_tails  # (nh, n_out, hop)
+            new_state = MatrixConvState(X_hist=full[nh:], ola=tails[-1])
+            return out.transpose(1, 0, 2).reshape(self.n_out, T), new_state
+        # non-partitioned: sequential overlap-add over hops (lax.scan)
+        nfft = self.fft_size
+        nblk = nfft // hop
+
+        def step(ola, xh):  # xh: (n_in, hop)
+            X = jnp.fft.rfft(xh, n=nfft, axis=-1)
+            Y = jnp.einsum("oib,ib->ob", Hf, X)
+            z = jnp.fft.irfft(Y, n=nfft, axis=-1)
+            ola = jnp.concatenate(
+                [ola[:, hop:], jnp.zeros((self.n_out, hop), ola.dtype)], -1)
+            ola = ola + z
+            return ola, ola[:, :hop]
+
+        xh = x.reshape(self.n_in, nh, hop).transpose(1, 0, 2)
+        ola, outs = jax.lax.scan(step, state.ola, xh)
+        out = outs.transpose(1, 0, 2).reshape(self.n_out, T)
+        del nblk
+        return out, MatrixConvState(X_hist=state.X_hist, ola=ola)
+
+
+class MatrixConvState(NamedTuple):
+    X_hist: jax.Array  # (P-1, n_in, bins) past input spectra (oldest first)
+    ola: jax.Array     # overlap tail
+
+
+# ---------------------------------------------------------------------------
+# MultiConv — per-channel filters (no matrixing)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class MultiConv:
+    hop: int
+    length_h: int
+    n_ch: int
+    partitioned: bool = True
+
+    @property
+    def n_part(self) -> int:
+        return _cdiv(self.length_h, self.hop)
+
+    def design(self, H: np.ndarray) -> jax.Array:
+        """H: (n_ch, length_h) → (P, n_ch, hop+1) complex64 (partitioned) or
+        (n_ch, nBins)."""
+        assert H.shape == (self.n_ch, self.length_h)
+        if self.partitioned:
+            return jnp.asarray(partition_filters(H, self.hop).transpose(1, 0, 2))
+        nfft = _cdiv(self.hop + self.length_h - 1, self.hop) * self.hop
+        return jnp.asarray(np.fft.rfft(H, n=nfft, axis=-1).astype(np.complex64))
+
+    def init_state(self, batch: tuple = ()) -> MatrixConvState:
+        if self.partitioned:
+            X = jnp.zeros(batch + (self.n_part - 1, self.n_ch, self.hop + 1),
+                          jnp.complex64)
+            ola = jnp.zeros(batch + (self.n_ch, self.hop), jnp.float32)
+        else:
+            nfft = _cdiv(self.hop + self.length_h - 1, self.hop) * self.hop
+            X = jnp.zeros(batch + (0, self.n_ch, nfft // 2 + 1), jnp.complex64)
+            ola = jnp.zeros(batch + (self.n_ch, nfft), jnp.float32)
+        return MatrixConvState(X_hist=X, ola=ola)
+
+    def apply_block(self, Hf: jax.Array, state: MatrixConvState, x: jax.Array):
+        """x: (n_ch, T) → ((n_ch, T), state)."""
+        hop = self.hop
+        T = x.shape[-1]
+        nh = T // hop
+        if self.partitioned:
+            seg = x.reshape(self.n_ch, nh, hop).transpose(1, 0, 2)
+            seg = jnp.concatenate([seg, jnp.zeros_like(seg)], axis=-1)
+            S = jnp.fft.rfft(seg, axis=-1)
+            full = jnp.concatenate([state.X_hist, S], axis=0)
+            P = self.n_part
+            win = jnp.stack([full[P - 1 - k : P - 1 - k + nh] for k in range(P)],
+                            axis=1)  # (nh, P, n_ch, bins)
+            Y = jnp.einsum("tpcb,pcb->tcb", win, Hf)
+            z = jnp.fft.irfft(Y, n=2 * hop, axis=-1)
+            heads, tails = z[..., :hop], z[..., hop:]
+            prev_tails = jnp.concatenate([state.ola[None], tails[:-1]], axis=0)
+            out = heads + prev_tails
+            return (out.transpose(1, 0, 2).reshape(self.n_ch, T),
+                    MatrixConvState(X_hist=full[nh:], ola=tails[-1]))
+        nfft = state.ola.shape[-1]
+
+        def step(ola, xh):
+            X = jnp.fft.rfft(xh, n=nfft, axis=-1)
+            z = jnp.fft.irfft(Hf * X, n=nfft, axis=-1)
+            ola = jnp.concatenate(
+                [ola[:, hop:], jnp.zeros((self.n_ch, hop), ola.dtype)], -1)
+            ola = ola + z
+            return ola, ola[:, :hop]
+
+        xh = x.reshape(self.n_ch, nh, hop).transpose(1, 0, 2)
+        ola, outs = jax.lax.scan(step, state.ola, xh)
+        return (outs.transpose(1, 0, 2).reshape(self.n_ch, T),
+                MatrixConvState(X_hist=state.X_hist, ola=ola))
+
+
+# ---------------------------------------------------------------------------
+# TVConv — time-varying partitioned convolution with crossfade
+# ---------------------------------------------------------------------------
+
+class TVConvState(NamedTuple):
+    X_hist: jax.Array       # (P-1, bins) past input spectra (oldest first)
+    ola: jax.Array          # (n_out, hop) overlap of current filter set
+    ola_last: jax.Array     # (n_out, hop) overlap of previous filter set
+    pos_last: jax.Array     # () int32
+    pos_last2: jax.Array    # () int32
+
+
+@dataclass(frozen=True)
+class TVConv:
+    """Single input channel → n_out outputs, one filter set per listener
+    position, crossfading on position change (saf_utility_matrixConv.c:548)."""
+    hop: int
+    length_h: int
+    n_out: int
+    n_irs: int
+
+    @property
+    def n_part(self) -> int:
+        return _cdiv(self.length_h, self.hop)
+
+    def design(self, H: np.ndarray) -> jax.Array:
+        """H: (n_irs, n_out, length_h) → (n_irs, P, n_out, hop+1) complex64."""
+        assert H.shape == (self.n_irs, self.n_out, self.length_h)
+        Hp = partition_filters(H, self.hop)  # (n_irs, n_out, P, bins)
+        return jnp.asarray(Hp.transpose(0, 2, 1, 3))
+
+    def init_state(self, init_idx: int = 0, batch: tuple = ()) -> TVConvState:
+        idx = init_idx if init_idx < self.n_irs else 0
+        return TVConvState(
+            X_hist=jnp.zeros(batch + (self.n_part - 1, self.hop + 1), jnp.complex64),
+            ola=jnp.zeros(batch + (self.n_out, self.hop), jnp.float32),
+            ola_last=jnp.zeros(batch + (self.n_out, self.hop), jnp.float32),
+            pos_last=jnp.full(batch, idx, jnp.int32),
+            pos_last2=jnp.full(batch, idx, jnp.int32))
+
+    def apply_hop(self, Hf: jax.Array, state: TVConvState, x: jax.Array,
+                  ir_idx: jax.Array):
+        """One hop (saf_TVConv_apply).  x: (hop,); ir_idx: () int32 traced.
+        → ((n_out, hop), state)."""
+        hop = self.hop
+        X = jnp.fft.rfft(x, n=2 * hop)  # (bins,)
+        full = jnp.concatenate([state.X_hist, X[None]], axis=0)  # (P, bins)
+        win = full[::-1]  # win[k] = spectrum k hops ago
+
+        def conv_with(idx):
+            Y = jnp.einsum("pob,pb->ob", jnp.take(Hf, idx, axis=0), win)
+            return jnp.fft.irfft(Y, n=2 * hop, axis=-1)  # (n_out, 2*hop)
+
+        z = conv_with(ir_idx)
+        z_last = jnp.where((ir_idx != state.pos_last)[..., None, None],
+                           conv_with(state.pos_last), z)
+        z_last2 = jnp.where((state.pos_last != state.pos_last2)[..., None, None],
+                            conv_with(state.pos_last2), z_last)
+        out1 = z_last[..., :hop] + state.ola
+        out2 = z_last2[..., :hop] + state.ola_last
+        n = jnp.arange(hop, dtype=x.dtype)
+        fade_in = n / (hop - 1.0)
+        out = out1 * fade_in + out2 * (1.0 - fade_in)
+        new_state = TVConvState(X_hist=full[1:], ola=z[..., hop:],
+                                ola_last=z_last[..., hop:],
+                                pos_last=jnp.asarray(ir_idx, jnp.int32),
+                                pos_last2=state.pos_last)
+        return out, new_state
+
+    def apply_block(self, Hf: jax.Array, state: TVConvState, x: jax.Array,
+                    ir_idx: jax.Array):
+        """x: (T,) with one position index per hop: ir_idx (T//hop,) int32."""
+        hop = self.hop
+        nh = x.shape[-1] // hop
+
+        def step(st, inp):
+            xh, idx = inp
+            out, st = self.apply_hop(Hf, st, xh, idx)
+            return st, out
+
+        state, outs = jax.lax.scan(step, state,
+                                   (x.reshape(nh, hop), ir_idx))
+        return outs.transpose(1, 0, 2).reshape(self.n_out, nh * hop), state

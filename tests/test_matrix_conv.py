@@ -1,0 +1,105 @@
+"""Convolver tests mirroring the reference's reconstruction recipe
+(test__utilities_module.c:403 saf_matrixConv etc.): outputs must equal direct
+linear convolution."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.signal import fftconvolve
+
+from spatial_audio_framework_tpu.ops.matrix_conv import (MatrixConv, MultiConv,
+                                                         TVConv)
+
+HOP = 64
+
+
+def _direct(H, x):
+    """(n_out, n_in, L) ⊛ (n_in, T) → (n_out, T)"""
+    n_out, n_in, L = H.shape
+    T = x.shape[-1]
+    y = np.zeros((n_out, T + L - 1))
+    for o in range(n_out):
+        for i in range(n_in):
+            y[o] += fftconvolve(x[i], H[o, i])
+    return y[:, :T].astype(np.float32)
+
+
+@pytest.mark.parametrize("partitioned", [True, False])
+def test_matrix_conv_reconstruction(partitioned):
+    rng = np.random.default_rng(0)
+    n_in, n_out, L, T = 3, 2, 190, 16 * HOP
+    H = rng.standard_normal((n_out, n_in, L)).astype(np.float32) * 0.2
+    x = rng.standard_normal((n_in, T)).astype(np.float32)
+    mc = MatrixConv(hop=HOP, length_h=L, n_in=n_in, n_out=n_out,
+                    partitioned=partitioned)
+    Hf = mc.design(H)
+    st = mc.init_state()
+    y, _ = jax.jit(mc.apply_block)(Hf, st, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), _direct(H, x), atol=2e-4)
+
+
+def test_matrix_conv_block_invariance():
+    rng = np.random.default_rng(1)
+    n_in, n_out, L = 2, 2, 300
+    H = rng.standard_normal((n_out, n_in, L)).astype(np.float32) * 0.2
+    x = rng.standard_normal((n_in, 16 * HOP)).astype(np.float32)
+    mc = MatrixConv(hop=HOP, length_h=L, n_in=n_in, n_out=n_out)
+    Hf = mc.design(H)
+    st = mc.init_state()
+    big, _ = jax.jit(mc.apply_block)(Hf, st, jnp.asarray(x))
+    st = mc.init_state()
+    outs = []
+    ab = jax.jit(mc.apply_block)
+    for i in range(0, 16, 4):
+        o, st = ab(Hf, st, jnp.asarray(x[:, i * HOP:(i + 4) * HOP]))
+        outs.append(np.asarray(o))
+    np.testing.assert_allclose(np.asarray(big), np.concatenate(outs, -1),
+                               atol=1e-5)
+
+
+def test_multi_conv_reconstruction():
+    rng = np.random.default_rng(2)
+    n_ch, L, T = 4, 200, 12 * HOP
+    H = rng.standard_normal((n_ch, L)).astype(np.float32) * 0.3
+    x = rng.standard_normal((n_ch, T)).astype(np.float32)
+    mc = MultiConv(hop=HOP, length_h=L, n_ch=n_ch)
+    Hf = mc.design(H)
+    y, _ = jax.jit(mc.apply_block)(Hf, mc.init_state(), jnp.asarray(x))
+    ref = np.stack([fftconvolve(x[c], H[c])[:T] for c in range(n_ch)])
+    np.testing.assert_allclose(np.asarray(y), ref, atol=2e-4)
+
+
+def test_tvconv_static_position_matches_direct():
+    rng = np.random.default_rng(3)
+    n_out, L, T, n_irs = 2, 150, 10 * HOP, 3
+    H = rng.standard_normal((n_irs, n_out, L)).astype(np.float32) * 0.3
+    x = rng.standard_normal(T).astype(np.float32)
+    tv = TVConv(hop=HOP, length_h=L, n_out=n_out, n_irs=n_irs)
+    Hf = tv.design(H)
+    st = tv.init_state(init_idx=1)
+    idx = jnp.full((T // HOP,), 1, jnp.int32)
+    y, _ = jax.jit(tv.apply_block)(Hf, st, jnp.asarray(x), idx)
+    ref = np.stack([fftconvolve(x, H[1, o])[:T] for o in range(n_out)])
+    np.testing.assert_allclose(np.asarray(y), ref, atol=2e-4)
+
+
+def test_tvconv_position_change_crossfades():
+    """On a position switch the output crossfades within one hop — continuous,
+    no clicks, and settles to the new filter's output."""
+    rng = np.random.default_rng(4)
+    n_out, L, T, n_irs = 1, 100, 12 * HOP, 2
+    H = rng.standard_normal((n_irs, n_out, L)).astype(np.float32) * 0.3
+    x = rng.standard_normal(T).astype(np.float32)
+    tv = TVConv(hop=HOP, length_h=L, n_out=n_out, n_irs=n_irs)
+    Hf = tv.design(H)
+    idx = np.zeros(T // HOP, np.int32)
+    idx[6:] = 1
+    y, _ = jax.jit(tv.apply_block)(Hf, tv.init_state(0), jnp.asarray(x),
+                                   jnp.asarray(idx))
+    y = np.asarray(y)
+    ref0 = np.stack([fftconvolve(x, H[0, o])[:T] for o in range(n_out)])
+    ref1 = np.stack([fftconvolve(x, H[1, o])[:T] for o in range(n_out)])
+    # before the switch: filter set 0
+    np.testing.assert_allclose(y[:, : 6 * HOP], ref0[:, : 6 * HOP], atol=2e-4)
+    # well after the switch (one hop of crossfade + tail): filter set 1
+    np.testing.assert_allclose(y[:, 9 * HOP:], ref1[:, 9 * HOP:], atol=2e-3)
