@@ -1,0 +1,126 @@
+"""binauraliser — multi-source HRTF renderer (counterpart of
+``examples/src/binauraliser``; call stack in SURVEY.md §3.2).
+
+Design: HRIRs → ITDs → afSTFT-domain HRTFs (+diffuse-field EQ) and a
+compressed 2°×5° VBAP interpolation table over the HRTF grid
+(binauraliser_internal.c:186-249).  Process: per-source gains → afSTFT →
+(optional traced rotation of source dirs) → per-source HRTF interpolation
+(complex 'tri' or mag/ITD phase-synthesis 'tri_ps') → per-band mix, one
+batched einsum → inverse afSTFT, scaled 1/√nSrc (binauraliser.c:191-275).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatial_audio_framework_tpu.modules import hrir as hrir_mod, vbap
+from spatial_audio_framework_tpu.ops.afstft import AfSTFT, AfSTFTState
+from spatial_audio_framework_tpu.utils import geometry as geo
+
+INTERP_TRI = "tri"
+INTERP_TRI_PS = "tri_ps"
+
+
+@dataclass(frozen=True)
+class BinauraliserConfig:
+    n_sources: int = 1
+    fs: float = 48000.0
+    interp_mode: str = INTERP_TRI
+    enable_rotation: bool = False
+    enable_hrir_diff_eq: bool = True
+    hop: int = 128
+    azi_res: int = 2                 # binauraliser_internal.c:210-211
+    elev_res: int = 5
+
+    @property
+    def afstft(self) -> AfSTFT:
+        return AfSTFT(hop=self.hop, hybrid=True)
+
+
+class BinauraliserWeights(NamedTuple):
+    hrtf_fb: jax.Array       # (nBands, 2, nDirs) complex64
+    hrtf_mag: jax.Array      # (nBands, 2, nDirs)
+    itds: jax.Array          # (nDirs,)
+    table_w: jax.Array       # (nTable, 3) interpolation weights
+    table_idx: jax.Array     # (nTable, 3) int32 HRTF-dir indices
+    freqs: jax.Array         # (nBands,)
+
+
+def design(cfg: BinauraliserConfig, hrirs: Optional[np.ndarray] = None,
+           hrir_dirs_deg: Optional[np.ndarray] = None,
+           hrir_fs: Optional[int] = None) -> BinauraliserWeights:
+    if hrirs is None:
+        hrirs, hrir_dirs_deg, hrir_fs = hrir_mod.default_hrirs()
+    if hrir_fs != cfg.fs:
+        hrirs, _ = hrir_mod.resample_hrirs(hrirs, hrir_fs, int(cfg.fs))
+    freqs = cfg.afstft.centre_freqs(cfg.fs)
+    itds = hrir_mod.estimate_itds(hrirs, cfg.fs)
+    hrtf_fb = hrir_mod.hrirs_to_hrtfs_afstft(hrirs, cfg.hop)
+    weights = (geo.get_voronoi_weights(hrir_dirs_deg)
+               if hrir_dirs_deg.shape[0] <= 1000 else None)
+    if cfg.enable_hrir_diff_eq:
+        hrtf_fb = hrir_mod.diffuse_field_equalise_hrtfs(
+            hrtf_fb, itds, freqs, weights, apply_eq=True, apply_phase=False)
+    gtable = vbap.generate_vbap_gain_table_3d(
+        np.asarray(hrir_dirs_deg, np.float64), cfg.azi_res, cfg.elev_res,
+        omit_large_triangles=True, enable_dummies=False)
+    comp, idx = vbap.compress_vbap_gain_table_3d(gtable)
+    return BinauraliserWeights(
+        hrtf_fb=jnp.asarray(hrtf_fb),
+        hrtf_mag=jnp.asarray(np.abs(hrtf_fb).astype(np.float32)),
+        itds=jnp.asarray(itds),
+        table_w=jnp.asarray(comp), table_idx=jnp.asarray(idx),
+        freqs=jnp.asarray(freqs))
+
+
+def init_state(cfg: BinauraliserConfig) -> AfSTFTState:
+    return cfg.afstft.init_state(cfg.n_sources, 2)
+
+
+def interp_hrtfs(cfg: BinauraliserConfig, w: BinauraliserWeights,
+                 dirs_deg: jax.Array) -> jax.Array:
+    """Traced per-source HRTF interpolation (binauraliser_interpHRTFs).
+    dirs_deg: (nSrc, 2) → (nBands, 2, nSrc) complex."""
+    n_azi = int(360.0 / cfg.azi_res + 0.5) + 1
+    azi_idx = jnp.round(jnp.mod(dirs_deg[:, 0] + 180.0, 360.0) / cfg.azi_res)
+    elev_idx = jnp.round((dirs_deg[:, 1] + 90.0) / cfg.elev_res)
+    idx3d = (elev_idx * n_azi + azi_idx).astype(jnp.int32)  # (nSrc,)
+    w3 = jnp.take(w.table_w, idx3d, axis=0)    # (nSrc, 3)
+    i3 = jnp.take(w.table_idx, idx3d, axis=0)  # (nSrc, 3) dir indices
+    if cfg.interp_mode == INTERP_TRI:
+        h3 = w.hrtf_fb[:, :, i3]  # (nBands, 2, nSrc, 3)
+        return jnp.einsum("besk,sk->bes", h3, w3.astype(w.hrtf_fb.dtype))
+    # TRI_PS: interpolate magnitudes + ITD, synthesise IPD below 1.5 kHz
+    m3 = w.hrtf_mag[:, :, i3]  # (nBands, 2, nSrc, 3)
+    mag = jnp.einsum("besk,sk->bes", m3, w3)
+    itd = jnp.einsum("sk,sk->s", w3, w.itds[i3])  # (nSrc,)
+    f = w.freqs
+    ipd = (jnp.mod(2.0 * jnp.pi * f[:, None] * itd[None, :] + jnp.pi,
+                   2.0 * jnp.pi) - jnp.pi) / 2.0
+    ipd = jnp.where((f < 1.5e3)[:, None], ipd, 0.0)  # (nBands, nSrc)
+    phase = jnp.stack([ipd, -ipd], axis=1)  # (nBands, 2, nSrc)
+    return mag * jnp.exp(1j * phase)
+
+
+def process(cfg: BinauraliserConfig, w: BinauraliserWeights, state: AfSTFTState,
+            x: jax.Array, src_dirs_deg: jax.Array,
+            src_gains: Optional[jax.Array] = None,
+            ypr: Optional[jax.Array] = None):
+    """x: (nSrc, T) → ((2, T), state)."""
+    if src_gains is not None:
+        x = x * src_gains[:, None]
+    if cfg.enable_rotation and ypr is not None:
+        R = geo.yaw_pitch_roll2_rzyx(ypr[0], ypr[1], ypr[2]).astype(x.dtype)
+        u = geo.unit_sph2cart(src_dirs_deg, degrees=True)
+        src_dirs_deg = geo.unit_cart2sph(u @ R.T, degrees=True)
+    H = interp_hrtfs(cfg, w, src_dirs_deg)            # (nBands, 2, nSrc)
+    bank = cfg.afstft
+    spec, state = bank.analysis(state, x)             # (nBands, nSrc, H)
+    out = jnp.einsum("bes,bsh->beh", H.astype(spec.dtype), spec)
+    out = out / np.sqrt(cfg.n_sources)
+    y, state = bank.synthesis(state, out)
+    return y, state

@@ -1,0 +1,87 @@
+"""panner — frequency-dependent VBAP/MDAP loudspeaker panner (counterpart of
+``examples/src/panner``).
+
+Design builds the 1°×1° VBAP gain table (omitLargeTriangles + dummies, as
+panner_internal.c:77-82) and the per-band p-value exponents (Laitinen et al.
+2014); process() looks panning gains up per (possibly rotated, traced) source
+direction, renormalises per band by the p-norm, and mixes in the afSTFT
+domain: one batched (bands × nLS × nSrc) complex matmul per block.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatial_audio_framework_tpu.modules import vbap
+from spatial_audio_framework_tpu.ops.afstft import AfSTFT, AfSTFTState
+from spatial_audio_framework_tpu.utils import geometry as geo
+
+
+@dataclass(frozen=True)
+class PannerConfig:
+    n_sources: int = 1
+    n_loudspeakers: int = 2
+    fs: float = 48000.0
+    dtt: float = 0.5                  # panner.c:58 (0: anechoic .. 1: room)
+    spread_deg: float = 0.0
+    azi_res: int = 1                  # panner_internal.c:77-78
+    elev_res: int = 1
+    hop: int = 128
+
+    @property
+    def afstft(self) -> AfSTFT:
+        return AfSTFT(hop=self.hop, hybrid=True)
+
+
+class PannerWeights(NamedTuple):
+    gtable: jax.Array      # (nElev*nAzi, nLS) float32
+    p_values: jax.Array    # (nBands,)
+
+
+def design(cfg: PannerConfig, ls_dirs_deg: np.ndarray) -> PannerWeights:
+    gtable = vbap.generate_vbap_gain_table_3d(
+        np.asarray(ls_dirs_deg, np.float64), cfg.azi_res, cfg.elev_res,
+        omit_large_triangles=True, enable_dummies=True, spread=cfg.spread_deg)
+    freq = cfg.afstft.centre_freqs(cfg.fs)
+    p = vbap.get_p_values(cfg.dtt, freq)
+    return PannerWeights(gtable=jnp.asarray(gtable), p_values=jnp.asarray(p))
+
+
+def init_state(cfg: PannerConfig) -> AfSTFTState:
+    return cfg.afstft.init_state(cfg.n_sources, cfg.n_loudspeakers)
+
+
+def _table_lookup(cfg: PannerConfig, gtable: jax.Array, dirs_deg: jax.Array):
+    """Nearest-grid lookup (panner.c:242-246): table rows are elev-major with
+    azimuths -180..180."""
+    n_azi = int(360.0 / cfg.azi_res + 0.5) + 1
+    azi_idx = jnp.round(jnp.mod(dirs_deg[:, 0] + 180.0, 360.0) / cfg.azi_res)
+    elev_idx = jnp.round((dirs_deg[:, 1] + 90.0) / cfg.elev_res)
+    idx = (elev_idx * n_azi + azi_idx).astype(jnp.int32)
+    return jnp.take(gtable, idx, axis=0)  # (nSrc, nLS)
+
+
+def process(cfg: PannerConfig, weights: PannerWeights, state: AfSTFTState,
+            x: jax.Array, src_dirs_deg: jax.Array,
+            ypr: Optional[jax.Array] = None):
+    """x: (nSrc, T); src_dirs_deg traced (nSrc, 2).  → ((nLS, T), state)."""
+    if ypr is not None:
+        R = geo.yaw_pitch_roll2_rzyx(ypr[0], ypr[1], ypr[2]).astype(x.dtype)
+        u = geo.unit_sph2cart(src_dirs_deg, degrees=True)
+        u_rot = u @ R.T  # panner.c:220-223 (dirs as rows × Rxyzᵀ)
+        src_dirs_deg = geo.unit_cart2sph(u_rot, degrees=True)
+    g = _table_lookup(cfg, weights.gtable, src_dirs_deg)  # (nSrc, nLS)
+    p = weights.p_values  # (nBands,)
+    gp = jnp.maximum(g, 0.0)[None] ** p[:, None, None]  # (nBands, nSrc, nLS)
+    norm = jnp.sum(gp, axis=-1) ** (1.0 / (p[:, None] + 2.23e-9))
+    G = jnp.where((jnp.abs(p - 2.0) > 1e-6)[:, None, None],
+                  g[None] / (norm[..., None] + 2.23e-9), g[None])
+    bank = cfg.afstft
+    spec, state = bank.analysis(state, x)              # (nBands, nSrc, H)
+    out = jnp.einsum("bsl,bsh->blh", G.astype(spec.dtype), spec)
+    y, state = bank.synthesis(state, out)
+    return y, state

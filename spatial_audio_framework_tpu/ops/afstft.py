@@ -35,6 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from spatial_audio_framework_tpu.ops.fft import force_dft_impl, irfft_op, rfft_op
+
 # Half-band ("hybrid") filter coefficients, afSTFT_internal.h:73-76.
 _COEFF1 = 0.031273141818515176604
 _COEFF2 = 0.28127313041521179171
@@ -138,7 +140,7 @@ class AfSTFT:
         # Fold (time-alias) the windowed segment into a 2*hop frame: hop k of
         # the segment lands at offset (k % 2)*hop (afSTFT_internal.c:266-299).
         folded = frames.reshape(n_ch, H, _TOTAL_HOPS // 2, 2 * hop).sum(axis=2)
-        spec = jnp.fft.rfft(folded, axis=-1)  # (n_ch, H, hop+1), unnormalised
+        spec = rfft_op(folded, 2 * hop)  # (n_ch, H, hop+1), unnormalised
         new_in_tail = buf[:, H * hop:]
         if not self.hybrid:
             return spec.transpose(2, 0, 1), state._replace(in_tail=new_in_tail)
@@ -165,7 +167,7 @@ class AfSTFT:
             sign = jnp.asarray(np.where(np.arange(hop + 1) % 2, -1.0, 1.0),
                                dtype=Y.real.dtype)
             Y = Y * sign
-        frame = jnp.fft.irfft(Y, n=2 * hop, axis=-1)  # 1/N-scaled
+        frame = irfft_op(Y, 2 * hop)  # 1/N-scaled
         # Periodic extension × synthesis window; contribution of hop t spans
         # output hops t..t+9 (afSTFT_internal.c:398-437).
         contrib = jnp.tile(frame, (1, 1, _TOTAL_HOPS // 2)) * jnp.asarray(w_syn)
@@ -229,7 +231,7 @@ def analyse(sig: np.ndarray, hop: int, low_delay: bool = False,
     # Design-time helper: run on host CPU (jitted) regardless of the default
     # accelerator — this is initCodec work, not the streaming path.
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    with jax.default_device(cpu), force_dft_impl("fft"):
         st = cfg.init_state(n_ch, 1)
         out, _ = jax.jit(cfg.analysis)(st, jnp.asarray(buf))
         return np.asarray(out)

@@ -10,8 +10,84 @@ All functions are pure and jit-friendly; batch dims lead.
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# DFT implementation selection.
+#
+# XLA's FFT op is not implemented on every TPU runtime (notably the axon v5e
+# path used here), and at the hop sizes this framework uses (2·hop = 256) a
+# dense DFT-as-matmul is the MXU-native formulation anyway: batched
+# (·, 256) @ (256, 129) real matmuls with thousands of rows (streams ×
+# channels × hops) saturate the systolic array, whereas a radix FFT would be
+# a chain of small bandwidth-bound shuffles.  'auto' resolves to 'matmul'
+# on TPU and 'fft' (native XLA FFT) on CPU/GPU.
+# ---------------------------------------------------------------------------
+
+_DFT_IMPL = contextvars.ContextVar("saf_dft_impl", default="auto")
+
+
+def _resolve_impl() -> str:
+    impl = _DFT_IMPL.get()
+    if impl != "auto":
+        return impl
+    return "fft" if jax.default_backend() == "cpu" else "matmul"
+
+
+@contextlib.contextmanager
+def force_dft_impl(impl: str):
+    """Override DFT implementation ('fft' | 'matmul' | 'auto') while tracing."""
+    tok = _DFT_IMPL.set(impl)
+    try:
+        yield
+    finally:
+        _DFT_IMPL.reset(tok)
+
+
+@functools.lru_cache(maxsize=None)
+def _rdft_mats(n: int):
+    """Real-DFT matmul operators for length n (numpy, float32).
+
+    forward:  rfft(x)  = x @ C + 1j·(x @ S)           C,S: (n, n//2+1)
+    backward: irfft(X) = X.re @ A + X.im @ B          A,B: (n//2+1, n)
+    Matches numpy/XLA conventions (unnormalised forward, 1/n inverse; the
+    imaginary parts of the DC/Nyquist bins do not contribute).
+    """
+    k = np.arange(n // 2 + 1)
+    t = np.arange(n)
+    ang = 2.0 * np.pi * np.outer(t, k) / n  # (n, k)
+    C = np.cos(ang)
+    S = -np.sin(ang)
+    c = np.where((k == 0) | (k == n // 2), 1.0, 2.0)
+    A = (c[:, None] * np.cos(ang).T) / n
+    B = (-c[:, None] * np.sin(ang).T) / n
+    return (C.astype(np.float32), S.astype(np.float32),
+            A.astype(np.float32), B.astype(np.float32))
+
+
+def rfft_op(x, n: int):
+    """Forward real DFT of the last axis (length n), backend-adaptive."""
+    if x.shape[-1] != n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    if _resolve_impl() == "fft":
+        return jnp.fft.rfft(x, n=n, axis=-1)
+    C, S, _, _ = _rdft_mats(n)
+    return jax.lax.complex(x @ jnp.asarray(C), x @ jnp.asarray(S))
+
+
+def irfft_op(X, n: int):
+    """Inverse real DFT (1/n-scaled) of the last axis, backend-adaptive."""
+    if _resolve_impl() == "fft":
+        return jnp.fft.irfft(X, n=n, axis=-1)
+    _, _, A, B = _rdft_mats(n)
+    return jnp.real(X) @ jnp.asarray(A) + jnp.imag(X) @ jnp.asarray(B)
 
 
 def get_uniform_freq_vector(fft_size: int, fs: float) -> np.ndarray:

@@ -1,0 +1,75 @@
+"""IIR filtering as a TPU-parallel linear recurrence.
+
+The reference applies IIRs sample-by-sample (saf_utility_filters.c
+``applyIIR``, direct-form-II).  A sequential per-sample loop is the worst
+case for a TPU, but an order-d IIR is a *linear* recurrence
+s_t = A s_{t-1} + B x_t, which evaluates in O(log T) depth with
+``lax.associative_scan`` over affine maps — the TPU-native formulation.
+
+``iir_filter`` matches scipy.signal.lfilter (direct-form-II-transposed
+semantics) including initial/final conditions, batched over leading axes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _affine_scan(A: jax.Array, bvec: jax.Array):
+    """Cumulative composition of affine maps s_t = A s_{t-1} + b_t.
+
+    A: (d, d) static; bvec: (T, ..., d).  Returns s: (T, ..., d) with s_0 =
+    A·0 + b_0 (i.e. zero initial state; fold initial state into b_0).
+    """
+    T = bvec.shape[0]
+    As = jnp.broadcast_to(A, (T,) + A.shape)
+
+    def combine(l, r):
+        Al, bl = l
+        Ar, br = r
+        return Ar @ Al, jnp.einsum("tij,t...j->t...i", Ar, bl) + br
+
+    _, s = jax.lax.associative_scan(combine, (As, bvec))
+    return s
+
+
+def iir_filter(b, a, x, zi=None):
+    """Apply an IIR filter along the last axis (scipy lfilter DF2T semantics).
+
+    b, a: (n,) host arrays (a[0]==1); x: (..., T); zi: (..., n-1) or None.
+    Returns (y, zf).
+    """
+    b = np.asarray(b, np.float64)
+    a = np.asarray(a, np.float64)
+    b = (b / a[0])
+    a = (a / a[0])
+    d = len(a) - 1
+    assert d >= 1
+    # DF2T state recurrence: z_i[t] = b[i+1]x[t] - a[i+1]y[t] + z_{i+1}[t-1],
+    # y[t] = b[0]x[t] + z_0[t-1].  Write s_t = A s_{t-1} + B x_t with
+    # s = (z_0..z_{d-1}):  y_t = b0 x_t + s0_{t-1}
+    # z_i[t] = z_{i+1}[t-1] - a[i+1](b0 x_t + s0_{t-1}) + b[i+1] x_t
+    A = np.zeros((d, d))
+    for i in range(d - 1):
+        A[i, i + 1] = 1.0
+    A[:, 0] -= a[1:]
+    Bx = (b[1:] - a[1:] * b[0])  # (d,)
+    dtype = x.dtype
+    A_ = jnp.asarray(A, dtype)
+    Bx_ = jnp.asarray(Bx, dtype)
+
+    xt = jnp.moveaxis(x, -1, 0)  # (T, ...)
+    bvec = xt[..., None] * Bx_  # (T, ..., d)
+    if zi is not None:
+        z0 = jnp.moveaxis(zi, -1, 0)  # (d, ...)
+        init = jnp.moveaxis(z0, 0, -1)  # (..., d)
+        bvec = bvec.at[0].add(jnp.einsum("ij,...j->...i", A_, init))
+    s = _affine_scan(A_, bvec)  # (T, ..., d) = state AFTER sample t
+    s_prev0 = jnp.concatenate(
+        [jnp.zeros_like(s[:1, ..., 0]) if zi is None else
+         jnp.moveaxis(zi, -1, 0)[0][None], s[:-1, ..., 0]], axis=0)
+    y = jnp.asarray(b[0], dtype) * xt + s_prev0
+    y = jnp.moveaxis(y, 0, -1)
+    zf = jnp.moveaxis(s[-1], -1, 0)  # (d, ...)
+    return y, jnp.moveaxis(zf, 0, -1)

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from spatial_audio_framework_tpu.ops.fft import irfft_op, rfft_op
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -92,15 +94,14 @@ class MatrixConv:
         nh = T // hop
         if self.partitioned:
             seg = x.reshape(self.n_in, nh, hop).transpose(1, 0, 2)
-            seg = jnp.concatenate([seg, jnp.zeros_like(seg)], axis=-1)
-            S = jnp.fft.rfft(seg, axis=-1)  # (nh, n_in, hop+1), newest last
+            S = rfft_op(seg, 2 * hop)  # (nh, n_in, hop+1), newest last
             full = jnp.concatenate([state.X_hist, S], axis=0)  # (P-1+nh, ...)
             P = self.n_part
             # windows[t, k] = spectrum of hop (t - k): k=0 → current
             win = jnp.stack([full[P - 1 - k : P - 1 - k + nh] for k in range(P)],
                             axis=1)  # (nh, P, n_in, bins)
             Y = jnp.einsum("tpib,poib->tob", win, Hf)
-            z = jnp.fft.irfft(Y, n=2 * hop, axis=-1)  # (nh, n_out, 2*hop)
+            z = irfft_op(Y, 2 * hop)  # (nh, n_out, 2*hop)
             heads = z[..., :hop]
             tails = z[..., hop:]
             prev_tails = jnp.concatenate([state.ola[None], tails[:-1]], axis=0)
@@ -112,9 +113,9 @@ class MatrixConv:
         nblk = nfft // hop
 
         def step(ola, xh):  # xh: (n_in, hop)
-            X = jnp.fft.rfft(xh, n=nfft, axis=-1)
+            X = rfft_op(xh, nfft)
             Y = jnp.einsum("oib,ib->ob", Hf, X)
-            z = jnp.fft.irfft(Y, n=nfft, axis=-1)
+            z = irfft_op(Y, nfft)
             ola = jnp.concatenate(
                 [ola[:, hop:], jnp.zeros((self.n_out, hop), ola.dtype)], -1)
             ola = ola + z
@@ -174,14 +175,13 @@ class MultiConv:
         nh = T // hop
         if self.partitioned:
             seg = x.reshape(self.n_ch, nh, hop).transpose(1, 0, 2)
-            seg = jnp.concatenate([seg, jnp.zeros_like(seg)], axis=-1)
-            S = jnp.fft.rfft(seg, axis=-1)
+            S = rfft_op(seg, 2 * hop)
             full = jnp.concatenate([state.X_hist, S], axis=0)
             P = self.n_part
             win = jnp.stack([full[P - 1 - k : P - 1 - k + nh] for k in range(P)],
                             axis=1)  # (nh, P, n_ch, bins)
             Y = jnp.einsum("tpcb,pcb->tcb", win, Hf)
-            z = jnp.fft.irfft(Y, n=2 * hop, axis=-1)
+            z = irfft_op(Y, 2 * hop)
             heads, tails = z[..., :hop], z[..., hop:]
             prev_tails = jnp.concatenate([state.ola[None], tails[:-1]], axis=0)
             out = heads + prev_tails
@@ -190,8 +190,8 @@ class MultiConv:
         nfft = state.ola.shape[-1]
 
         def step(ola, xh):
-            X = jnp.fft.rfft(xh, n=nfft, axis=-1)
-            z = jnp.fft.irfft(Hf * X, n=nfft, axis=-1)
+            X = rfft_op(xh, nfft)
+            z = irfft_op(Hf * X, nfft)
             ola = jnp.concatenate(
                 [ola[:, hop:], jnp.zeros((self.n_ch, hop), ola.dtype)], -1)
             ola = ola + z
@@ -248,13 +248,13 @@ class TVConv:
         """One hop (saf_TVConv_apply).  x: (hop,); ir_idx: () int32 traced.
         → ((n_out, hop), state)."""
         hop = self.hop
-        X = jnp.fft.rfft(x, n=2 * hop)  # (bins,)
+        X = rfft_op(x, 2 * hop)  # (bins,)
         full = jnp.concatenate([state.X_hist, X[None]], axis=0)  # (P, bins)
         win = full[::-1]  # win[k] = spectrum k hops ago
 
         def conv_with(idx):
             Y = jnp.einsum("pob,pb->ob", jnp.take(Hf, idx, axis=0), win)
-            return jnp.fft.irfft(Y, n=2 * hop, axis=-1)  # (n_out, 2*hop)
+            return irfft_op(Y, 2 * hop)  # (n_out, 2*hop)
 
         z = conv_with(ir_idx)
         z_last = jnp.where((ir_idx != state.pos_last)[..., None, None],

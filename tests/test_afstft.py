@@ -64,3 +64,31 @@ def test_proc_delay_values():
     assert AfSTFT(128, hybrid=False).proc_delay == 9 * 128
     assert AfSTFT(128, hybrid=True, low_delay=True).proc_delay == 7 * 128
     assert AfSTFT(128, hybrid=False, low_delay=True).proc_delay == 4 * 128
+
+
+def test_matmul_dft_impl_matches_fft():
+    """The DFT-as-matmul path (used on TPU, where XLA FFT is unavailable)
+    must match the native-FFT path."""
+    from spatial_audio_framework_tpu.ops.fft import force_dft_impl, rfft_op, irfft_op
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((3, 100)).astype(np.float32))
+    with force_dft_impl("fft"):
+        a = np.asarray(rfft_op(x, 256))
+        xa = np.asarray(irfft_op(jnp.asarray(a), 256))
+    with force_dft_impl("matmul"):
+        b = np.asarray(rfft_op(x, 256))
+        xb = np.asarray(irfft_op(jnp.asarray(a), 256))
+    np.testing.assert_allclose(a, b, atol=2e-4)
+    np.testing.assert_allclose(xa, xb, atol=1e-5)
+
+    # full afSTFT round trip under the matmul implementation
+    cfg = AfSTFT(hop=128)
+    xx = rng.uniform(-1, 1, (2, 40 * 128)).astype(np.float32)
+    with force_dft_impl("matmul"):
+        st = cfg.init_state(2, 2)
+        spec, st = jax.jit(cfg.analysis)(st, jnp.asarray(xx))
+        y, st = jax.jit(cfg.synthesis)(st, spec)
+        y = np.asarray(y)
+    d = cfg.proc_delay
+    assert np.abs(y[:, d:] - xx[:, : xx.shape[1] - d]).max() < 0.01
