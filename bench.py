@@ -34,15 +34,17 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-1, 1, (N_STREAMS, cfg.nsh, T)).astype(np.float32))
 
-    proc = jax.jit(jax.vmap(lambda s, xx: ambi_bin.process(cfg, w, s, xx),
-                            in_axes=(0, 0)))
+    # NB: weights are jit *arguments* (closure constants would require a
+    # device→host complex transfer at lowering, unsupported on this runtime).
+    proc = jax.jit(jax.vmap(lambda w, s, xx: ambi_bin.process(cfg, w, s, xx),
+                            in_axes=(None, 0, 0)))
     # warm-up / compile
-    y, states = proc(states, x)
+    y, states = proc(w, states, x)
     y.block_until_ready()
 
     t0 = time.perf_counter()
     for _ in range(N_BLOCKS):
-        y, states = proc(states, x)
+        y, states = proc(w, states, x)
     y.block_until_ready()
     dt = time.perf_counter() - t0
 
