@@ -19,19 +19,61 @@ import numpy as np
 def _affine_scan(A: jax.Array, bvec: jax.Array):
     """Cumulative composition of affine maps s_t = A s_{t-1} + b_t.
 
-    A: (d, d) static; bvec: (T, ..., d).  Returns s: (T, ..., d) with s_0 =
-    A·0 + b_0 (i.e. zero initial state; fold initial state into b_0).
-    """
+    A: (..., d, d) broadcastable against bvec's batch dims; bvec: (T, ..., d).
+    Returns s: (T, ..., d) with s_0 = A·0 + b_0 (fold any initial state into
+    b_0)."""
     T = bvec.shape[0]
-    As = jnp.broadcast_to(A, (T,) + A.shape)
+    As = jnp.broadcast_to(A, (T,) + bvec.shape[1:] + (A.shape[-1],))
 
     def combine(l, r):
         Al, bl = l
         Ar, br = r
-        return Ar @ Al, jnp.einsum("tij,t...j->t...i", Ar, bl) + br
+        return Ar @ Al, jnp.einsum("t...ij,t...j->t...i", Ar, bl) + br
 
     _, s = jax.lax.associative_scan(combine, (As, bvec))
     return s
+
+
+def _df2t_matrices(b: np.ndarray, a: np.ndarray):
+    """Build the DF2T state matrices for (batched) coefficient arrays.
+
+    b, a: (..., n) host arrays (a[...,0] normalised away).
+    Returns (A (..., d, d), Bx (..., d), b0 (...,))."""
+    b = np.asarray(b, np.float64)
+    a = np.asarray(a, np.float64)
+    b = b / a[..., :1]
+    a = a / a[..., :1]
+    d = a.shape[-1] - 1
+    batch = a.shape[:-1]
+    A = np.zeros(batch + (d, d))
+    for i in range(d - 1):
+        A[..., i, i + 1] = 1.0
+    A[..., :, 0] -= a[..., 1:]
+    Bx = b[..., 1:] - a[..., 1:] * b[..., :1]
+    return A, Bx, b[..., 0]
+
+
+def iir_filter_batched(b: np.ndarray, a: np.ndarray, x, zi=None):
+    """Batched-coefficient IIR along the last axis.
+
+    b, a: (..., n) host numpy (one filter per batch element, broadcastable
+    against x's leading dims); x: (..., T).  Returns (y, zf) with zf shaped
+    (..., n-1).  Same DF2T semantics as scipy lfilter.
+    """
+    A, Bx, b0 = _df2t_matrices(b, a)
+    dtype = x.dtype
+    A_ = jnp.asarray(A, dtype)
+    Bx_ = jnp.asarray(Bx, dtype)
+    b0_ = jnp.asarray(b0, dtype)
+    xt = jnp.moveaxis(x, -1, 0)  # (T, ...)
+    bvec = xt[..., None] * Bx_
+    if zi is not None:
+        bvec = bvec.at[0].add(jnp.einsum("...ij,...j->...i", A_, zi))
+    s = _affine_scan(A_, bvec)
+    first = (zi[..., 0] if zi is not None else jnp.zeros_like(s[0, ..., 0]))
+    s_prev0 = jnp.concatenate([first[None], s[:-1, ..., 0]], axis=0)
+    y = b0_ * xt + s_prev0
+    return jnp.moveaxis(y, 0, -1), s[-1]
 
 
 def iir_filter(b, a, x, zi=None):

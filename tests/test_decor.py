@@ -1,0 +1,84 @@
+"""Decorrelator tests (test__utilities_module.c latticeDecorrelator recipe:
+energy preservation + decorrelation)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spatial_audio_framework_tpu.ops.afstft import AfSTFT
+from spatial_audio_framework_tpu.utils import decor
+
+
+def test_lattice_allpass_flatness():
+    """The implemented lattice structure is all-pass: |H(ω)| == 1."""
+    from scipy.signal import freqz
+
+    for order in [2, 4, 8, 20]:
+        num = decor.lattice_coeffs(order, 3)
+        b = num
+        a = np.concatenate([[1.0], num[::-1][1:order]])
+        w, h = freqz(b, a, worN=256)
+        np.testing.assert_allclose(np.abs(h), 1.0, atol=1e-4)
+
+
+def test_decorrelation_delays():
+    freqs = np.linspace(100, 20000, 64)
+    d = decor.get_decorrelation_delays(4, freqs, 48000.0, 12, 128)
+    assert d.shape == (64, 4) and (d >= 0).all() and (d <= 11).all()
+    # lower bands get longer delays on average
+    assert d[:8].mean() > d[-8:].mean()
+
+
+def test_lattice_decorrelator_energy_and_coherence():
+    hop = 128
+    bank = AfSTFT(hop=hop)
+    fs = 48000.0
+    freqs = bank.centre_freqs(fs)
+    n_ch = 2
+    ld = decor.LatticeDecorrelator(fs=fs, hop_size=hop, n_ch=n_ch,
+                                   orders=(20, 15, 6, 3),
+                                   freq_cutoffs=(700.0, 2400.0, 4e3, 12e3))
+    dz = ld.design(freqs)
+    st = ld.init_state(dz, len(freqs))
+    rng = np.random.default_rng(0)
+    T = 128  # hops
+    x = (rng.standard_normal((len(freqs), n_ch, T))
+         + 1j * rng.standard_normal((len(freqs), n_ch, T))).astype(np.complex64)
+    y, st = jax.jit(lambda s, f: ld.apply(dz, s, f))(st, jnp.asarray(x))
+    y = np.asarray(y)
+    sel = dz["delays"].max(-1) + 25  # skip transient per band
+    # energy roughly preserved per band (compensation clamps at <=1)
+    ein = (np.abs(x) ** 2).mean(-1).mean(-1)
+    eout = (np.abs(y) ** 2).mean(-1).mean(-1)
+    ratio = eout / ein
+    assert (ratio > 0.25).mean() > 0.9 and (ratio < 1.3).all()
+    # low coherence with input in the filtered region
+    band = 20
+    cc = np.abs(np.vdot(y[band, 0, 40:], x[band, 0, 40:])) / (
+        np.linalg.norm(y[band, 0, 40:]) * np.linalg.norm(x[band, 0, 40:]))
+    assert cc < 0.5, cc
+    del sel
+
+
+def test_transient_ducker():
+    n_bands, n_ch, T = 8, 1, 1200
+    x = np.ones((n_bands, n_ch, T), np.complex64) * 0.1
+    x[:, :, 900] = 5.0  # transient after the detector has settled
+    st = decor.transient_ducker_init(n_bands, n_ch)
+    res, trans, st = jax.jit(decor.transient_ducker_apply)(st, jnp.asarray(x))
+    res, trans = np.asarray(res), np.asarray(trans)
+    np.testing.assert_allclose(res + trans, x, atol=1e-6)
+    # the transient slot is mostly routed to the transient stream
+    assert np.abs(trans[0, 0, 900]) > np.abs(res[0, 0, 900])
+    # steady state (detector converged, slot well before the transient)
+    assert np.abs(res[0, 0, 800]) > np.abs(trans[0, 0, 800])
+
+
+def test_synthesise_noise_reverb():
+    rir = decor.synthesise_noise_reverb(
+        2, 48000.0, np.array([0.3, 0.25, 0.2, 0.15]),
+        np.array([500.0, 1000.0, 2000.0, 4000.0]))
+    assert rir.shape[0] == 2 and rir.shape[1] == int(0.3 * 48000)
+    # energy decays over time
+    e0 = (rir[:, :2000] ** 2).sum()
+    e1 = (rir[:, -2000:] ** 2).sum()
+    assert e0 > 10 * e1
