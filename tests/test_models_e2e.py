@@ -103,3 +103,81 @@ def test_beamformer_look_direction_unity():
         np.testing.assert_allclose(out[0], g * x[0], atol=5e-3 * g)
         # beam 1 looks away: attenuated
         assert (out[1] ** 2).sum() < 0.5 * g * g * (x[0] ** 2).sum()
+
+
+def test_ambi_dec_loudest_speaker():
+    """Loudest speaker matches the source direction (test__examples.c
+    ambi_dec recipe), and panner localises correctly too."""
+    from spatial_audio_framework_tpu.models import ambi_dec
+    from spatial_audio_framework_tpu.utils import presets
+    from spatial_audio_framework_tpu.modules import vbap as _vbap
+
+    ls = presets.tdesign(6)  # 24 uniform speakers
+    cfg = ambi_dec.AmbiDecConfig(master_order=3, norm="n3d")
+    w = ambi_dec.design(cfg, ls)
+    sh_sig, _ = _encode_noise(3, ls[5, 0], ls[5, 1], n_hops=24)
+    st = ambi_dec.init_state(cfg, ls.shape[0])
+    y, _ = jax.jit(lambda s, x: ambi_dec.process(cfg, w, s, x))(st, jnp.asarray(sh_sig))
+    y = np.asarray(y)
+    d = cfg.afstft.proc_delay
+    energies = (y[:, d:] ** 2).sum(-1)
+    assert energies.argmax() == 5, energies.argsort()[-3:]
+
+
+def test_panner_localisation_and_norm():
+    from spatial_audio_framework_tpu.models import panner
+    from spatial_audio_framework_tpu.utils import presets
+
+    ls = presets.loudspeaker_preset("9.x")
+    cfg = panner.PannerConfig(n_sources=1, n_loudspeakers=ls.shape[0])
+    w = panner.design(cfg, ls)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (1, 24 * 128)).astype(np.float32)
+    st = panner.init_state(cfg)
+    dirs = jnp.asarray(np.array([[ls[1, 0], ls[1, 1]]], np.float32))
+    y, _ = jax.jit(lambda s, xx, dd: panner.process(cfg, w, s, xx, dd))(
+        st, jnp.asarray(x), dirs)
+    y = np.asarray(y)
+    d = cfg.afstft.proc_delay
+    energies = (y[:, d:] ** 2).sum(-1)
+    assert energies.argmax() == 1, energies
+    # energy confined to that speaker (source exactly at speaker dir)
+    assert energies[1] > 0.8 * energies.sum()
+
+
+def test_binauraliser_lateralisation():
+    from spatial_audio_framework_tpu.models import binauraliser as B
+
+    for mode in [B.INTERP_TRI, B.INTERP_TRI_PS]:
+        cfg = B.BinauraliserConfig(n_sources=1, interp_mode=mode)
+        w = B.design(cfg)
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-1, 1, (1, 24 * 128)).astype(np.float32)
+        st = B.init_state(cfg)
+        dirs = jnp.asarray(np.array([[90.0, 0.0]], np.float32))  # hard left
+        y, _ = jax.jit(lambda s, xx, dd: B.process(cfg, w, s, xx, dd))(
+            st, jnp.asarray(x), dirs)
+        y = np.asarray(y)
+        d = cfg.afstft.proc_delay
+        eL = (y[0, d:] ** 2).sum()
+        eR = (y[1, d:] ** 2).sum()
+        assert eL > 1.5 * eR, (mode, eL, eR)
+
+
+def test_binauraliser_rotation():
+    from spatial_audio_framework_tpu.models import binauraliser as B
+
+    cfg = B.BinauraliserConfig(n_sources=1, enable_rotation=True)
+    w = B.design(cfg)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (1, 24 * 128)).astype(np.float32)
+    st = B.init_state(cfg)
+    dirs = jnp.asarray(np.array([[90.0, 0.0]], np.float32))
+    ypr = jnp.asarray(np.array([np.pi, 0.0, 0.0], np.float32))  # yaw 180°
+    y, _ = jax.jit(lambda s, xx, dd, r: B.process(cfg, w, s, xx, dd, ypr=r))(
+        st, jnp.asarray(x), dirs, ypr)
+    y = np.asarray(y)
+    d = cfg.afstft.proc_delay
+    eL = (y[0, d:] ** 2).sum()
+    eR = (y[1, d:] ** 2).sum()
+    assert eR > 1.5 * eL
