@@ -1,0 +1,201 @@
+"""array2sh — microphone array → SH encoder (counterpart of
+``examples/src/array2sh``).
+
+Design computes per-band encoding matrices W[band] = diag(1/b_n regularised)
+· pinv(Y_mic) from theoretical modal coefficients
+(array2sh_internal.c:100-380): soft-limited (Bernschutz et al. 2011),
+Tikhonov (Moreau et al. 2006), or the Zotter linear-phase filter-bank styles
+(plain / max-rE).  Process = afSTFT analysis → one batched per-band complex
+matmul → synthesis.  Filter evaluation against a simulated array
+(``evaluate_filters``) mirrors array2sh_evaluateSHTfilters.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatial_audio_framework_tpu.models import _common as C
+from spatial_audio_framework_tpu.modules import array_proc as AP, hoa, sh
+from spatial_audio_framework_tpu.ops.afstft import AfSTFT, AfSTFTState
+from spatial_audio_framework_tpu.utils import presets
+
+FILTER_SOFT_LIM = "soft_lim"
+FILTER_TIKHONOV = "tikhonov"
+FILTER_Z_STYLE = "z_style"
+FILTER_Z_STYLE_MAXRE = "z_style_maxre"
+
+ARRAY_SPHERICAL = "spherical"
+ARRAY_CYLINDRICAL = "cylindrical"
+
+# sensor weight types (array2sh.h)
+WEIGHT_RIGID_OMNI = ("rigid", 1.0)
+WEIGHT_RIGID_CARD = ("rigid", 0.5)
+WEIGHT_RIGID_DIPOLE = ("rigid", 0.0)
+WEIGHT_OPEN_OMNI = ("open", 1.0)
+WEIGHT_OPEN_CARD = ("open", 0.5)
+WEIGHT_OPEN_DIPOLE = ("open", 0.0)
+
+
+@dataclass(frozen=True)
+class Array2SHConfig:
+    order: int = 1
+    fs: float = 48000.0
+    filter_type: str = FILTER_TIKHONOV
+    array_type: str = ARRAY_SPHERICAL
+    weight_type: tuple = WEIGHT_RIGID_OMNI
+    r: float = 0.042          # sensor radius (Eigenmike-ish default)
+    R: float = 0.042          # scatterer/baffle radius
+    reg_par_db: float = 15.0
+    c: float = 343.0
+    ch_ordering: str = C.CH_ACN
+    norm: str = C.NORM_SN3D
+    gain_db: float = 0.0
+    hop: int = 128
+
+    @property
+    def nsh(self) -> int:
+        return (self.order + 1) ** 2
+
+    @property
+    def afstft(self) -> AfSTFT:
+        return AfSTFT(hop=self.hop, hybrid=True)
+
+
+class Array2SHWeights(NamedTuple):
+    W: jax.Array  # (nBands, nSH, Q) complex64
+
+
+def _modal_coeffs(cfg: Array2SHConfig, kr, kR):
+    kind, dir_coeff = cfg.weight_type
+    if cfg.array_type == ARRAY_CYLINDRICAL:
+        return AP.cyl_modal_coeffs(cfg.order, kr,
+                                   AP.ARRAY_RIGID if kind == "rigid" else AP.ARRAY_OPEN)
+    if kind == "open":
+        if dir_coeff == 1.0:
+            return AP.sph_modal_coeffs(cfg.order, kr, AP.ARRAY_OPEN)
+        return AP.sph_modal_coeffs(cfg.order, kr, AP.ARRAY_OPEN_DIRECTIONAL, dir_coeff)
+    if cfg.R == cfg.r:
+        return AP.sph_modal_coeffs(cfg.order, kr, AP.ARRAY_RIGID)
+    if dir_coeff == 1.0:
+        return AP.sph_scatterer_modal_coeffs(cfg.order, kr, kR)
+    return AP.sph_scatterer_dir_modal_coeffs(cfg.order, kr, kR, dir_coeff)
+
+
+def _replicate_orders(vals_per_order: np.ndarray) -> np.ndarray:
+    """(..., order+1) → (..., nSH) replicating each order's value over its
+    2n+1 channels (array2sh_replicate_order)."""
+    order = vals_per_order.shape[-1] - 1
+    idx = np.concatenate([[n] * (2 * n + 1) for n in range(order + 1)])
+    return vals_per_order[..., idx]
+
+
+def design(cfg: Array2SHConfig, sensor_dirs_deg: np.ndarray) -> Array2SHWeights:
+    sensor_dirs_deg = np.asarray(sensor_dirs_deg, np.float64)
+    Q = sensor_dirs_deg.shape[0]
+    order = cfg.order
+    bank = cfg.afstft
+    freqs = bank.centre_freqs(cfg.fs).astype(np.float64)
+    kr = 2.0 * np.pi * freqs * cfg.r / cfg.c
+    kR = 2.0 * np.pi * freqs * min(cfg.R, cfg.r) / cfg.c  # R clipped to r
+    n_bands = freqs.shape[0]
+
+    Y_mic = sh.get_rsh(order, sensor_dirs_deg)  # (nSH, Q)
+    pinv_Y = np.linalg.pinv(Y_mic)  # (Q, nSH)
+
+    bN = _modal_coeffs(cfg, kr, kR) / (4.0 * np.pi)  # (nBands, order+1)
+
+    if cfg.filter_type in (FILTER_SOFT_LIM, FILTER_TIKHONOV):
+        if cfg.filter_type == FILTER_SOFT_LIM:
+            g_lim = np.sqrt(Q) * 10.0 ** (cfg.reg_par_db / 20.0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                bn_inv = (1.0 / bN) * (2.0 * g_lim * np.abs(bN) / np.pi) \
+                         * np.arctan(np.pi / (2.0 * g_lim * np.abs(bN)))
+            # where the modal response vanishes (DC bins at higher orders)
+            # nothing can be recovered: zero instead of the C's NaN
+            bn_inv = np.where(np.abs(bN) < 1e-12, 0.0, np.nan_to_num(bn_inv))
+        else:
+            alpha = np.sqrt(Q) * 10.0 ** (cfg.reg_par_db / 20.0)
+            beta = np.sqrt((1.0 - np.sqrt(1.0 - 1.0 / alpha ** 2))
+                           / (1.0 + np.sqrt(1.0 - 1.0 / alpha ** 2)))
+            bn_inv = np.conj(bN) / (np.abs(bN) ** 2 + beta ** 2)
+    else:
+        # Zotter linear-phase filter-bank styles (array2sh_internal.c:225-355)
+        kind, dir_coeff = cfg.weight_type
+        at = (AP.ARRAY_RIGID if kind == "rigid"
+              else (AP.ARRAY_OPEN if dir_coeff == 1.0 else AP.ARRAY_OPEN_DIRECTIONAL))
+        f_lim = AP.sph_array_noise_threshold(order, Q, cfg.r, cfg.c, at,
+                                             dir_coeff, cfg.reg_par_db)
+        H = np.zeros((n_bands, order + 1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for n in range(order + 1):
+                if n == 0:
+                    H[:, n] = 1.0 / (1.0 + (freqs / f_lim[0]) ** 2)
+                elif n == order:
+                    x = (freqs / f_lim[n - 1]) ** (order + 1.0)
+                    H[:, n] = x / (1.0 + x)
+                else:
+                    x = (freqs / f_lim[n - 1]) ** (n + 1.0)
+                    H[:, n] = (x / (1.0 + x)) / (1.0 + (freqs / f_lim[n]) ** (n + 2.0))
+        H = np.nan_to_num(H)
+        H = H / np.maximum(H.sum(-1, keepdims=True), 1e-12)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Hs = np.exp(1j * kr)[:, None] * (1.0 / bN)  # already /4π above
+        Hs = np.nan_to_num(Hs)
+        # per-order weighting table W[i][n] (plain or maxRE), normalised
+        Wt = np.zeros((order + 1, order + 1))
+        for n in range(order + 1):
+            if cfg.filter_type == FILTER_Z_STYLE:
+                wn = np.ones(n + 1)
+            else:
+                a_full = hoa.get_max_re_weights(n)
+                wn = np.array([a_full[i * i] for i in range(n + 1)])
+            scale = np.sum((2 * np.arange(n + 1) + 1) * wn ** 2)
+            Wt[: n + 1, n] = wn / np.sqrt(scale)
+        Wt = Wt / Wt[0, order]
+        bn_inv = np.zeros((n_bands, order + 1), np.complex128)
+        for n in range(order + 1):
+            HW = H[:, n:] @ Wt[n, n:]
+            bn_inv[:, n] = Hs[:, n] * HW
+
+    bn_inv_R = _replicate_orders(bn_inv)  # (nBands, nSH)
+    W = bn_inv_R[:, :, None] * pinv_Y[None, :, :].conj().transpose(0, 2, 1)
+    # output conventions + gain (applied in process in the reference; static)
+    conv_out = C.output_conversion_mtx(order, cfg.ch_ordering, cfg.norm)
+    W = np.einsum("st,btq->bsq", conv_out, W) * 10.0 ** (cfg.gain_db / 20.0)
+    return Array2SHWeights(W=jnp.asarray(W.astype(np.complex64)))
+
+
+def init_state(cfg: Array2SHConfig, n_sensors: int) -> AfSTFTState:
+    return cfg.afstft.init_state(n_sensors, cfg.nsh)
+
+
+def process(cfg: Array2SHConfig, w: Array2SHWeights, state: AfSTFTState,
+            x: jax.Array):
+    """x: (Q, T) sensor signals → ((nSH, T), state)."""
+    bank = cfg.afstft
+    spec, state = bank.analysis(state, x)          # (nBands, Q, H)
+    out = jnp.einsum("bsq,bqh->bsh", w.W, spec)
+    y, state = bank.synthesis(state, out)
+    return y, state
+
+
+def evaluate_filters(cfg: Array2SHConfig, w: Array2SHWeights,
+                     sensor_dirs_deg: np.ndarray):
+    """Objective evaluation (array2sh_evaluateSHTfilters →
+    saf_sh ``evaluateSHTfilters``): spatial correlation & level difference of
+    the encoded patterns vs ideal SH over a simulated array."""
+    freqs = cfg.afstft.centre_freqs(cfg.fs).astype(np.float64)
+    kr = 2.0 * np.pi * freqs * cfg.r / cfg.c
+    grid = presets.tdesign(20)
+    sensor_rad = np.radians(np.asarray(sensor_dirs_deg, np.float64))
+    kind, dir_coeff = cfg.weight_type
+    H_array = AP.simulate_sph_array(
+        cfg.order + 1, kr, sensor_rad, grid,
+        AP.ARRAY_OPEN if kind == "open" else AP.ARRAY_RIGID, dir_coeff)
+    Y_grid = sh.get_rsh(cfg.order, grid) / np.sqrt(4.0 * np.pi)
+    M = np.asarray(w.W)
+    return AP.evaluate_sht_filters(M, H_array, Y_grid)
