@@ -130,6 +130,6 @@ def process(cfg: AmbiBinConfig, weights: AmbiBinWeights, state: AfSTFTState,
         M_rot = sh.get_sh_rot_mtx_real(R.astype(jnp.float32), cfg.order)
         M = jnp.einsum("bes,st->bet", M, M_rot.astype(M.dtype))
     spec, state = bank.analysis(state, x)           # (nBands, nSH, H)
-    out = jnp.einsum("bes,bsh->beh", M, spec)       # batched over 133 bands
+    out = jnp.einsum("bes,bsh->beh", M, spec, precision=jax.lax.Precision.HIGHEST)       # batched over 133 bands
     y, state = bank.synthesis(state, out)           # (2, T)
     return y, state

@@ -123,8 +123,8 @@ def process(cfg: AmbiDecConfig, w: AmbiDecWeights, state: AfSTFTState,
     """x: (nSH, T) → ((nLS or 2, T), state)."""
     bank = cfg.afstft
     spec, state = bank.analysis(state, x)                # (nBands, nSH, H)
-    out = jnp.einsum("bls,bsh->blh", w.M, spec)          # (nBands, nLS, H)
+    out = jnp.einsum("bls,bsh->blh", w.M, spec, precision=jax.lax.Precision.HIGHEST)          # (nBands, nLS, H)
     if cfg.binauralise_ls:
-        out = jnp.einsum("bel,blh->beh", w.H_bin.astype(out.dtype), out)
+        out = jnp.einsum("bel,blh->beh", w.H_bin.astype(out.dtype), out, precision=jax.lax.Precision.HIGHEST)
     y, state = bank.synthesis(state, out)
     return y, state

@@ -178,7 +178,7 @@ def process(cfg: Array2SHConfig, w: Array2SHWeights, state: AfSTFTState,
     """x: (Q, T) sensor signals → ((nSH, T), state)."""
     bank = cfg.afstft
     spec, state = bank.analysis(state, x)          # (nBands, Q, H)
-    out = jnp.einsum("bsq,bqh->bsh", w.W, spec)
+    out = jnp.einsum("bsq,bqh->bsh", w.W, spec, precision=jax.lax.Precision.HIGHEST)
     y, state = bank.synthesis(state, out)
     return y, state
 

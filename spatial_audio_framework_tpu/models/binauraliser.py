@@ -120,7 +120,7 @@ def process(cfg: BinauraliserConfig, w: BinauraliserWeights, state: AfSTFTState,
     H = interp_hrtfs(cfg, w, src_dirs_deg)            # (nBands, 2, nSrc)
     bank = cfg.afstft
     spec, state = bank.analysis(state, x)             # (nBands, nSrc, H)
-    out = jnp.einsum("bes,bsh->beh", H.astype(spec.dtype), spec)
+    out = jnp.einsum("bes,bsh->beh", H.astype(spec.dtype), spec, precision=jax.lax.Precision.HIGHEST)
     out = out / np.sqrt(cfg.n_sources)
     y, state = bank.synthesis(state, out)
     return y, state

@@ -1,0 +1,72 @@
+"""binauraliser_nf — near-field binauraliser (counterpart of
+``examples/src/binauraliser_nf``): the far-field binauraliser plus per-source
+per-ear DVF high-shelf responses evaluated at the band centre frequencies and
+applied as complex per-band gains (binauraliser_nf.c:287-330).
+
+Everything is traced, so per-block source distances stream without
+recompilation.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatial_audio_framework_tpu.models import binauraliser as B
+from spatial_audio_framework_tpu.ops.afstft import AfSTFTState
+from spatial_audio_framework_tpu.utils import dvf as _dvf
+from spatial_audio_framework_tpu.utils import geometry as geo
+
+
+@dataclass(frozen=True)
+class BinauraliserNFConfig(B.BinauraliserConfig):
+    head_radius: float = 0.09096        # binauraliser_nf.c:73
+    # sources beyond this (normalised) distance are effectively far-field
+    far_field_thresh_m: float = 3.0
+
+
+def design(cfg: BinauraliserNFConfig, *args, **kw) -> B.BinauraliserWeights:
+    return B.design(cfg, *args, **kw)
+
+
+def init_state(cfg: BinauraliserNFConfig) -> AfSTFTState:
+    return B.init_state(cfg)
+
+
+def _dvf_band_gains(cfg: BinauraliserNFConfig, freqs: jax.Array,
+                    src_dirs_deg: jax.Array, src_dists_m: jax.Array):
+    """Per-source per-ear complex band gains from the DVF shelves.
+    → (nBands, 2, nSrc) complex."""
+    alpha_lr, _ = _dvf.doa_to_ipsi_interaural(src_dirs_deg[:, 0],
+                                              src_dirs_deg[:, 1])  # (nSrc, 2)
+    rho = jnp.maximum(src_dists_m / cfg.head_radius, 1.0)[:, None]
+    b, a = _dvf.calc_dvf_coeffs(alpha_lr, rho, cfg.fs)  # (nSrc, 2, 2) each
+    w = 2.0 * jnp.pi * freqs / cfg.fs  # (nBands,)
+    z = jnp.exp(-1j * w)[:, None, None]  # (nBands, 1, 1)
+    H = (b[..., 0] + b[..., 1] * z) / (1.0 + a[..., 1] * z)  # (nBands, nSrc, 2)
+    return H.transpose(0, 2, 1)  # (nBands, 2, nSrc)
+
+
+def process(cfg: BinauraliserNFConfig, w: B.BinauraliserWeights,
+            state: AfSTFTState, x: jax.Array, src_dirs_deg: jax.Array,
+            src_dists_m: jax.Array, src_gains: Optional[jax.Array] = None,
+            ypr: Optional[jax.Array] = None):
+    """x: (nSrc, T); src_dists_m: traced (nSrc,) metres → ((2, T), state)."""
+    if src_gains is not None:
+        x = x * src_gains[:, None]
+    if cfg.enable_rotation and ypr is not None:
+        R = geo.yaw_pitch_roll2_rzyx(ypr[0], ypr[1], ypr[2]).astype(x.dtype)
+        u = geo.unit_sph2cart(src_dirs_deg, degrees=True)
+        src_dirs_deg = geo.unit_cart2sph(u @ R.T, degrees=True)
+    H = B.interp_hrtfs(cfg, w, src_dirs_deg)            # (nBands, 2, nSrc)
+    H = H * _dvf_band_gains(cfg, w.freqs, src_dirs_deg,
+                            src_dists_m).astype(H.dtype)
+    bank = cfg.afstft
+    spec, state = bank.analysis(state, x)
+    out = jnp.einsum("bes,bsh->beh", H.astype(spec.dtype), spec, precision=jax.lax.Precision.HIGHEST)
+    out = out / np.sqrt(cfg.n_sources)
+    y, state = bank.synthesis(state, out)
+    return y, state

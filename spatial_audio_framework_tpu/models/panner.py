@@ -82,6 +82,6 @@ def process(cfg: PannerConfig, weights: PannerWeights, state: AfSTFTState,
                   g[None] / (norm[..., None] + 2.23e-9), g[None])
     bank = cfg.afstft
     spec, state = bank.analysis(state, x)              # (nBands, nSrc, H)
-    out = jnp.einsum("bsl,bsh->blh", G.astype(spec.dtype), spec)
+    out = jnp.einsum("bsl,bsh->blh", G.astype(spec.dtype), spec, precision=jax.lax.Precision.HIGHEST)
     y, state = bank.synthesis(state, out)
     return y, state

@@ -1,0 +1,41 @@
+"""pitch_shifter — SMB phase-vocoder wrapper (counterpart of
+``examples/src/pitch_shifter``)."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+
+from spatial_audio_framework_tpu.ops.pitch import SmbPitchShift, SmbPitchShiftState
+
+# PITCH_SHIFTER_FFTSIZE / OSAMP options (pitch_shifter.h)
+FFT_SIZES = (512, 1024, 2048, 4096, 8192, 16384)
+OSAMPS = (2, 4, 8, 16, 32)
+
+
+@dataclass(frozen=True)
+class PitchShifterConfig:
+    fs: float = 48000.0
+    n_ch: int = 1
+    fft_size: int = 8192
+    osamp: int = 16
+
+    @property
+    def op(self) -> SmbPitchShift:
+        return SmbPitchShift(fs=self.fs, n_ch=self.n_ch,
+                             fft_size=self.fft_size, osamp=self.osamp)
+
+    @property
+    def latency(self) -> int:
+        return self.op.latency
+
+
+def init_state(cfg: PitchShifterConfig) -> SmbPitchShiftState:
+    return cfg.op.init_state()
+
+
+def process(cfg: PitchShifterConfig, state: SmbPitchShiftState, x: jax.Array,
+            shift_factor):
+    """x: (nCH, T), T multiple of fft_size/osamp; shift_factor traced scalar
+    in [0.5, 2] → ((nCH, T), state)."""
+    return cfg.op.apply(state, x, shift_factor)

@@ -79,7 +79,11 @@ def rfft_op(x, n: int):
     if _resolve_impl() == "fft":
         return jnp.fft.rfft(x, n=n, axis=-1)
     C, S, _, _ = _rdft_mats(n)
-    return jax.lax.complex(x @ jnp.asarray(C), x @ jnp.asarray(S))
+    # HIGHEST: keep full f32 accuracy on the MXU (default would downcast to
+    # bf16 passes; the ≤1e-4 parity budget rules that out)
+    hp = jax.lax.Precision.HIGHEST
+    return jax.lax.complex(jnp.matmul(x, jnp.asarray(C), precision=hp),
+                           jnp.matmul(x, jnp.asarray(S), precision=hp))
 
 
 def irfft_op(X, n: int):
@@ -87,7 +91,9 @@ def irfft_op(X, n: int):
     if _resolve_impl() == "fft":
         return jnp.fft.irfft(X, n=n, axis=-1)
     _, _, A, B = _rdft_mats(n)
-    return jnp.real(X) @ jnp.asarray(A) + jnp.imag(X) @ jnp.asarray(B)
+    hp = jax.lax.Precision.HIGHEST
+    return (jnp.matmul(jnp.real(X), jnp.asarray(A), precision=hp)
+            + jnp.matmul(jnp.imag(X), jnp.asarray(B), precision=hp))
 
 
 def get_uniform_freq_vector(fft_size: int, fs: float) -> np.ndarray:

@@ -1,0 +1,98 @@
+"""SMB phase-vocoder pitch shifter (counterpart of ``saf_utility_pitch``,
+the classic smbPitchShift algorithm).
+
+Functional state + lax.scan over STFT frames (the phase accumulators are a
+true sequential dependency); each frame is windowed rFFT → phase-vocoder
+reassignment (scatter-add over bins) → irFFT → overlap-add, all batched over
+channels.  The pitch-shift factor is traced, so it can vary per block.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatial_audio_framework_tpu.ops.fft import irfft_op, rfft_op
+
+
+class SmbPitchShiftState(NamedTuple):
+    in_fifo: jax.Array     # (nCH, N - step) input history
+    out_accum: jax.Array   # (nCH, N) overlap-add accumulator
+    last_phase: jax.Array  # (nCH, N//2+1)
+    sum_phase: jax.Array   # (nCH, N//2+1)
+
+
+@dataclass(frozen=True)
+class SmbPitchShift:
+    fs: float = 48000.0
+    n_ch: int = 1
+    fft_size: int = 8192     # smb_pitchShift_create defaults (pitch_shifter.c)
+    osamp: int = 16
+
+    @property
+    def step(self) -> int:
+        return self.fft_size // self.osamp
+
+    @property
+    def latency(self) -> int:
+        return self.fft_size - self.step
+
+    def init_state(self) -> SmbPitchShiftState:
+        N, half = self.fft_size, self.fft_size // 2 + 1
+        return SmbPitchShiftState(
+            in_fifo=jnp.zeros((self.n_ch, N - self.step), jnp.float32),
+            out_accum=jnp.zeros((self.n_ch, N), jnp.float32),
+            last_phase=jnp.zeros((self.n_ch, half), jnp.float32),
+            sum_phase=jnp.zeros((self.n_ch, half), jnp.float32))
+
+    def apply(self, state: SmbPitchShiftState, x: jax.Array,
+              shift_factor: jax.Array):
+        """x: (nCH, T) with T a multiple of step → ((nCH, T), state)."""
+        N, step, osamp = self.fft_size, self.step, self.osamp
+        half = N // 2 + 1
+        n_frames = x.shape[-1] // step
+        win = jnp.asarray(-0.5 * np.cos(2.0 * np.pi * np.arange(N) / N) + 0.5,
+                          jnp.float32)
+        k = jnp.arange(half, dtype=jnp.float32)
+        freq_per_bin = self.fs / N
+        expct = 2.0 * jnp.pi * step / N
+
+        def frame_step(carry, x_hop):
+            fifo, accum, last_ph, sum_ph = carry
+            buf = jnp.concatenate([fifo, x_hop], axis=-1)  # (nCH, N)
+            spec = rfft_op(buf * win, N)
+            magn = 2.0 * jnp.abs(spec)
+            phase = jnp.angle(spec)
+            # phase-difference → true frequency (smb analysis)
+            tmp = phase - last_ph - k * expct
+            tmp = tmp - 2.0 * jnp.pi * jnp.round(tmp / (2.0 * jnp.pi))
+            true_freq = k * freq_per_bin + (osamp * tmp / (2 * jnp.pi)) * freq_per_bin
+            # reassign bins: index = floor(k * shift)
+            idx = jnp.floor(k * shift_factor).astype(jnp.int32)
+            valid = idx <= (N // 2)
+            idx_c = jnp.clip(idx, 0, half - 1)
+            syn_mag = jnp.zeros_like(magn).at[:, idx_c].add(
+                jnp.where(valid, magn, 0.0))
+            syn_freq = jnp.zeros_like(true_freq * magn)
+            syn_freq = syn_freq.at[:, idx_c].set(
+                jnp.where(valid, true_freq * shift_factor, 0.0))
+            # synthesis phases
+            tmp2 = ((syn_freq - k * freq_per_bin) / freq_per_bin
+                    ) * 2.0 * jnp.pi / osamp + k * expct
+            sum_ph = sum_ph + tmp2
+            out_spec = syn_mag * jnp.exp(1j * sum_ph)
+            frame = irfft_op(out_spec, N) * N  # undo 1/N (smbFft is unscaled)
+            accum = accum + 2.0 * win * frame / (N / 2 * osamp)
+            out_hop = accum[:, :step]
+            accum = jnp.concatenate(
+                [accum[:, step:], jnp.zeros((x.shape[0], step), accum.dtype)], -1)
+            return (buf[:, step:], accum, phase, sum_ph), out_hop
+
+        hops = jnp.moveaxis(x.reshape(x.shape[0], n_frames, step), 1, 0)
+        carry = (state.in_fifo, state.out_accum, state.last_phase, state.sum_phase)
+        carry, outs = jax.lax.scan(frame_step, carry, hops)
+        y = jnp.moveaxis(outs, 0, 1).reshape(x.shape[0], -1)
+        return y, SmbPitchShiftState(*carry)
