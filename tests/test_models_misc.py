@@ -85,3 +85,30 @@ def test_tvconv_example_position_lookup():
     # output is exact once pos_last2 has caught up
     np.testing.assert_allclose(np.asarray(y)[:, 2 * 64:], ref[:, 2 * 64:],
                                atol=2e-4)
+
+
+def test_spreader_modes():
+    from spatial_audio_framework_tpu.models import spreader as SP
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (1, 16 * 128)).astype(np.float32)
+    dirs = jnp.asarray(np.array([[60.0, 0.0]], np.float32))
+    outs = {}
+    for mode in [SP.MODE_NAIVE, SP.MODE_EVD, SP.MODE_OM]:
+        cfg = SP.SpreaderConfig(n_sources=1, mode=mode)
+        w = SP.design(cfg)
+        st = SP.init_state(cfg, w)
+        proc = jax.jit(lambda s, xx, dd, sp: SP.process(cfg, w, s, xx, dd, sp))
+        y, st = proc(st, jnp.asarray(x), dirs,
+                     jnp.asarray(np.array([90.0], np.float32)))
+        y = np.asarray(y)
+        assert y.shape[0] == 2 and np.isfinite(y).all(), mode
+        d = cfg.afstft.proc_delay
+        assert (y[:, d:] ** 2).sum() > 0, mode
+        outs[mode] = y
+    # spreading decorrelates L/R: EVD/OM interchannel coherence below naive's
+    def coh(y):
+        a = y[0, 2048:].astype(np.float64)
+        b = y[1, 2048:].astype(np.float64)
+        return abs(np.dot(a, b)) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert coh(outs[SP.MODE_EVD]) < coh(outs[SP.MODE_NAIVE]) + 0.1
