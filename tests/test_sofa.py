@@ -1,0 +1,79 @@
+"""SOFA reader tests: fixture round-trip + use in ambi_bin/binauraliser
+(the reference's SOFA tests are fixture-by-path; here we synthesise one,
+test__sofa_reader_module.c recipe)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spatial_audio_framework_tpu.modules import sofa
+from spatial_audio_framework_tpu.modules.hrir import default_hrirs
+
+
+@pytest.fixture(scope="module")
+def sofa_file(tmp_path_factory):
+    hrirs, dirs_deg, fs = default_hrirs()
+    sub = hrirs[::8]  # 105 dirs, keep the test light
+    pos = np.concatenate([dirs_deg[::8], np.full((sub.shape[0], 1), 1.2)], -1)
+    path = str(tmp_path_factory.mktemp("sofa") / "test.sofa")
+    sofa.sofa_save(path, sub.astype(np.float64), fs, pos)
+    return path, sub, pos, fs
+
+
+def test_sofa_open(sofa_file):
+    path, sub, pos, fs = sofa_file
+    c = sofa.sofa_open(path)
+    assert c.n_sources == sub.shape[0]
+    assert c.n_receivers == 2
+    assert c.data_length_ir == sub.shape[-1]
+    assert c.data_sampling_rate == fs
+    np.testing.assert_allclose(c.data_ir, sub, atol=1e-6)
+    np.testing.assert_allclose(c.source_dirs_deg(), pos[:, :2], atol=1e-5)
+    assert c.global_attrs["SOFAConventions"] == "SimpleFreeFieldHRIR"
+    assert c.var_attrs["SourcePosition:Type"] == "spherical"
+
+
+def test_sofa_hrir_usecase_validation(sofa_file, tmp_path):
+    path, sub, pos, fs = sofa_file
+    sofa.sofa_open(path, usecase=sofa.USECASE_HRIR)  # 2 receivers → OK
+    bad = str(tmp_path / "bad.sofa")
+    sofa.sofa_save(bad, np.zeros((4, 3, 16)), 48000.0, np.zeros((4, 3)))
+    with pytest.raises(sofa.SofaError):
+        sofa.sofa_open(bad, usecase=sofa.USECASE_HRIR)
+    with pytest.raises(sofa.SofaError):
+        sofa.sofa_open(str(tmp_path / "missing.sofa"))
+
+
+def test_sofa_brir_usecase(tmp_path):
+    path = str(tmp_path / "brir.sofa")
+    sofa.sofa_save(path, np.zeros((2, 2, 64)), 48000.0, np.zeros((2, 3)),
+                   conventions="MultiSpeakerBRIR")
+    c = sofa.sofa_open(path, usecase=sofa.USECASE_BRIR)
+    assert c.global_attrs["SOFAConventions"] == "MultiSpeakerBRIR"
+    bad = str(tmp_path / "nb.sofa")
+    sofa.sofa_save(bad, np.zeros((2, 2, 64)), 48000.0, np.zeros((2, 3)),
+                   conventions="SimpleFreeFieldHRIR")
+    with pytest.raises(sofa.SofaError):
+        sofa.sofa_open(bad, usecase=sofa.USECASE_BRIR)
+
+
+def test_ambi_bin_with_sofa(sofa_file):
+    """ambi_bin with a SOFA-loaded HRIR set (ambi_bin.c:212-246 path)."""
+    from spatial_audio_framework_tpu.models import ambi_bin
+    from spatial_audio_framework_tpu.modules import sh
+
+    path, _, _, _ = sofa_file
+    c = sofa.sofa_open(path, usecase=sofa.USECASE_HRIR)
+    cfg = ambi_bin.AmbiBinConfig(order=1, norm="n3d")
+    w = ambi_bin.design(cfg, hrirs=c.data_ir.astype(np.float32),
+                        hrir_dirs_deg=c.source_dirs_deg(),
+                        hrir_fs=int(c.data_sampling_rate))
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (1, 24 * 128)).astype(np.float32)
+    Y = sh.get_rsh(1, np.array([[90.0, 0.0]]))[:, 0].astype(np.float32)
+    st = ambi_bin.init_state(cfg)
+    y, _ = jax.jit(lambda w, s, xx: ambi_bin.process(cfg, w, s, xx))(
+        w, st, jnp.asarray(Y[:, None] * x))
+    y = np.asarray(y)
+    d = cfg.afstft.proc_delay
+    assert (y[0, d:] ** 2).sum() > 1.5 * (y[1, d:] ** 2).sum()
