@@ -1,0 +1,69 @@
+"""HADES tests (test__hades_module.c style: analysis+synthesis run, params
+behave physically)."""
+import numpy as np
+import pytest
+
+from spatial_audio_framework_tpu.modules import hades
+from spatial_audio_framework_tpu.modules.hrir import default_hrirs
+
+
+@pytest.fixture(scope="module")
+def ana():
+    return hades.HadesAnalysis()
+
+
+def _binaural_input(azi_deg, elev_deg, T, seed=0):
+    """Simulate a plane wave arriving at the binaural 'array' (default HRIRs)."""
+    hrirs, dirs, fs = default_hrirs()
+    from spatial_audio_framework_tpu.utils.geometry import unit_sph2cart
+    u = np.asarray(unit_sph2cart(dirs.astype(np.float64), degrees=True))
+    v = np.asarray(unit_sph2cart(np.array([[azi_deg, elev_deg]]), degrees=True))[0]
+    idx = np.argmax(u @ v)
+    rng = np.random.default_rng(seed)
+    s = rng.uniform(-1, 1, T).astype(np.float32)
+    from scipy.signal import fftconvolve
+    return np.stack([fftconvolve(s, hrirs[idx, e])[:T] for e in range(2)])
+
+
+def test_comedie_extremes():
+    # single plane wave: one dominant eigenvalue → diffuseness ≈ 0
+    assert hades.comedie(np.array([4.0, 0.0, 0.0, 0.0])) < 0.05
+    # isotropic: equal eigenvalues → diffuseness 1
+    assert hades.comedie(np.ones(4)) == pytest.approx(1.0)
+    assert hades.comedie(np.zeros(4)) == 1.0
+
+
+def test_hades_analysis_params(ana):
+    x = _binaural_input(-90.0, 0.0, 32 * 128)
+    params = None
+    for i in range(3):  # let the SCM average settle
+        params, sigs = ana.apply(x)
+    assert params.diffuseness.shape == (ana.n_bands,)
+    sel = slice(10, 60)  # mid bands
+    assert params.diffuseness[sel].mean() < 0.7
+    # DoA estimates point left-ish in mid bands
+    azi = ana.grid_dirs_deg[params.doa_idx[sel], 0]
+    frac_left = np.mean(np.abs(azi + 90) < 60)
+    assert frac_left > 0.5, azi
+
+
+def test_hades_synthesis_runs(ana):
+    syn = hades.HadesSynthesis(ana, beam_option=hades.HADES_BEAMFORMER_FILTER_AND_SUM)
+    x = _binaural_input(60.0, 0.0, 16 * 128, seed=2)
+    params, sigs = ana.apply(x)
+    y = syn.apply(params, sigs)
+    assert y.shape == (2, x.shape[1]) and np.isfinite(y).all()
+    assert (y ** 2).sum() > 0
+    # radial editor: kill everything → near-silent direct stream
+    ed = hades.HadesRadialEditor(ana.grid_dirs_deg)
+    params2 = ed.apply(params, np.full(360, -60.0))
+    assert params2.gains_dir.max() < 0.01
+
+
+def test_hades_synthesis_bmvdr(ana):
+    syn = hades.HadesSynthesis(ana, beam_option=hades.HADES_BEAMFORMER_BMVDR,
+                               enable_cm=False)
+    x = _binaural_input(0.0, 0.0, 16 * 128, seed=3)
+    params, sigs = ana.apply(x)
+    y = syn.apply(params, sigs)
+    assert np.isfinite(y).all() and (y ** 2).sum() > 0
