@@ -8,19 +8,24 @@ of the reference's per-image loops (saf_reverb_internal.c:269-523).
 
 The reference's streaming time-domain applicator
 (``ims_shoebox_applyEchogramTD``: per-image-source circular-buffer taps +
-per-source IIR filterbanks + crossfading, saf_reverb.c:297+) maps TPU-native
-to *partitioned convolution of the rendered RIRs* with crossfade on scene
-updates — i.e. ``ops.matrix_conv.TVConv`` — since dynamic per-tap gathers
-don't tile onto the MXU but batched frequency-domain MACs do.  See
-``models/ambi_roomsim.py``.
+per-source IIR filterbanks + crossfading, saf_reverb.c:297+) is provided two
+ways: (a) as *partitioned convolution of the rendered RIRs* with crossfade on
+scene updates — ``ops.matrix_conv.TVConv``, see ``models/ambi_roomsim.py`` —
+the MXU-preferred path; and (b) as a direct jit-compiled equivalent,
+:class:`ImsTDApplicator`, which band-splits each source with the Favrot &
+Faller IIR filterbank, reads statically-padded per-image-source delay taps
+from a rolling buffer (one batched gather + one einsum per block, Lagrange
+taps for fractional delays), and linearly cross-fades previous/current
+echograms exactly like the reference.
 
 Limits follow the reference: ≤128 sources, ≤16 receivers (saf_reverb.h:52-55).
 """
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Optional
+from typing import Dict, NamedTuple, Optional
 
+import jax
 import numpy as np
 
 from spatial_audio_framework_tpu.modules import sh as _sh
@@ -174,6 +179,135 @@ def render_rir(echograms: list[Echogram], fs: float,
     return out.astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# streaming time-domain applicator (ims_shoebox_applyEchogramTD,
+# saf_reverb.c:297-523)
+# ---------------------------------------------------------------------------
+
+class EchogramTaps(NamedTuple):
+    """Statically-padded tap representation of one (receiver, source) pair's
+    per-band echograms: integer sample delays shared across bands, per-band
+    per-channel tap values (zero-padded to max_taps)."""
+    delays: np.ndarray   # (nTaps,) int32
+    values: np.ndarray   # (nBands, nCh, nTaps) float32
+
+
+def pack_echogram_taps(echograms: list, fs: float, max_taps: int,
+                       fractional_delays: bool = False) -> EchogramTaps:
+    """Pack per-band echograms (shared time vector) into static-shape tap
+    tensors.  Fractional delays are folded in at pack time: each image source
+    expands into order-2 Lagrange taps (the same interpolator renderRIR
+    uses), so the streaming path needs only integer gathers."""
+    times = echograms[0].time
+    vals = np.stack([ec.value for ec in echograms])  # (nBands, nCh, nIm)
+    if fractional_delays:
+        from spatial_audio_framework_tpu.utils.misc import lagrange_weights
+
+        order = 2
+        base = np.floor(times * fs).astype(np.int64)
+        frac = times * fs - base
+        W = lagrange_weights(order, frac)            # (order+1, nIm)
+        delays = np.concatenate([np.maximum(base + k - order // 2, 0)
+                                 for k in range(order + 1)])
+        vals = np.concatenate([vals * W[k][None, None, :]
+                               for k in range(order + 1)], axis=-1)
+    else:
+        delays = np.round(times * fs).astype(np.int64)
+    n = delays.shape[0]
+    if n > max_taps:
+        raise ValueError(f"echogram has {n} taps > max_taps={max_taps}")
+    pad = max_taps - n
+    delays = np.concatenate([delays, np.zeros(pad, np.int64)])
+    vals = np.pad(vals, ((0, 0), (0, 0), (0, pad)))
+    return EchogramTaps(delays=delays.astype(np.int32),
+                        values=vals.astype(np.float32))
+
+
+class ImsTDApplicatorState(NamedTuple):
+    band_tail: jax.Array              # (nSrc, nBands, D) filtered history
+    faf_zi: Optional[jax.Array]       # (nSlots, nSrc, order) or None (1 band)
+
+
+@dataclass(frozen=True)
+class ImsTDApplicator:
+    """Jit-compiled equivalent of ``ims_shoebox_applyEchogramTD``
+    (saf_reverb.c:297-523) for ONE receiver: per source, band-split via the
+    Favrot & Faller IIR filterbank (IMS_IIR_FILTERBANK_ORDER=3,
+    saf_reverb_internal.h:50), delayed taps read from a rolling buffer, tap
+    values applied per band/channel, previous↔current echogram cross-fade
+    with the reference's linear per-sample ramp (saf_reverb.c:352-357)."""
+    fs: float
+    n_src: int
+    n_ch: int
+    band_cutoffs: Optional[tuple]     # None → broadband (single band)
+    max_delay: int                    # circular-buffer depth, samples
+    iir_order: int = 3
+
+    @property
+    def n_bands(self) -> int:
+        return 1 if not self.band_cutoffs else len(self.band_cutoffs) + 1
+
+    def _bank(self) -> Optional[_filters.FafIIRFilterbank]:
+        if self.n_bands == 1:
+            return None
+        return _filters.FafIIRFilterbank(self.iir_order,
+                                         np.asarray(self.band_cutoffs),
+                                         self.fs)
+
+    def init_state(self) -> ImsTDApplicatorState:
+        import jax.numpy as jnp
+
+        bank = self._bank()
+        return ImsTDApplicatorState(
+            band_tail=jnp.zeros((self.n_src, self.n_bands, self.max_delay),
+                                jnp.float32),
+            faf_zi=(None if bank is None
+                    else bank.init_device_state((self.n_src,))))
+
+    def process(self, state: ImsTDApplicatorState, x,
+                taps_cur: EchogramTaps, taps_prev: EchogramTaps = None,
+                xfade=None):
+        """x: (nSrc, T) → ((nCh, T), state).
+
+        taps_*: stacked over sources — delays (nSrc, nTaps) int32, values
+        (nSrc, nBands, nCh, nTaps).  xfade: (nSrc,) float {0,1}; where 1 the
+        output ramps prev→cur over this block (set it for exactly the first
+        block after an echogram update, then pass the updated taps as both
+        cur and prev with xfade=0, mirroring applyCrossFadeFLAG)."""
+        import jax.numpy as jnp
+
+        T = x.shape[-1]
+        D = self.max_delay
+        bank = self._bank()
+        if bank is None:
+            bands = x[:, None, :]
+            new_zi = None
+        else:
+            bands, new_zi = bank.apply_device(x, state.faf_zi)
+            bands = jnp.moveaxis(bands, 0, 1)        # (nSrc, nBands, T)
+        full = jnp.concatenate([state.band_tail, bands], axis=-1)
+
+        def tap_sum(delays, values):
+            # read idx for output sample t of tap with delay d: D + t - d
+            idx = (D + jnp.arange(T)[None, None, :]
+                   - delays[:, :, None])             # (nSrc, nTaps, T)
+            idx = jnp.clip(idx, 0, D + T - 1)
+            g = jnp.take_along_axis(full[:, :, None, :],
+                                    idx[:, None, :, :], axis=-1)
+            # g: (nSrc, nBands, nTaps, T); values: (nSrc, nBands, nCh, nTaps)
+            return jnp.einsum("sbit,sbci->sct", g, values)
+
+        out_cur = tap_sum(taps_cur.delays, taps_cur.values)
+        if taps_prev is not None and xfade is not None:
+            out_prev = tap_sum(taps_prev.delays, taps_prev.values)
+            ramp = (jnp.arange(1, T + 1, dtype=out_cur.dtype) / T)
+            blended = out_cur * ramp + out_prev * (1.0 - ramp)
+            out_cur = jnp.where(xfade[:, None, None] > 0, blended, out_cur)
+        out = out_cur.sum(0)                         # (nCh, T)
+        return out, ImsTDApplicatorState(band_tail=full[..., -D:],
+                                         faf_zi=new_zi)
+
+
 @dataclass
 class ShoeboxRoom:
     """Scene container (``ims_shoebox_create``, saf_reverb.h:105-118)."""
@@ -241,3 +375,24 @@ class ShoeboxRoom:
         for key, ecs in self.echograms.items():
             self.rirs[key] = render_rir(ecs, self.fs, H_filt, fractional_delays)
         return self.rirs
+
+    # -- streaming TD path (ims_shoebox_applyEchogramTD) ---------------------
+    def pack_taps(self, rid: int, max_taps: int,
+                  fractional_delays: bool = False) -> EchogramTaps:
+        """Stack this receiver's per-source echogram taps for
+        :class:`ImsTDApplicator`: delays (nSrc, max_taps), values
+        (nSrc, nBands, nCh, max_taps); source order = sorted source IDs."""
+        per_src = [pack_echogram_taps(self.echograms[(rid, sid)], self.fs,
+                                      max_taps, fractional_delays)
+                   for sid in sorted(self.sources)]
+        return EchogramTaps(
+            delays=np.stack([t.delays for t in per_src]),
+            values=np.stack([t.values for t in per_src]))
+
+    def td_applicator(self, rid: int, max_delay: int) -> ImsTDApplicator:
+        n_ch = (self.receivers[rid]["sh_order"] + 1) ** 2
+        return ImsTDApplicator(
+            fs=self.fs, n_src=len(self.sources), n_ch=n_ch,
+            band_cutoffs=(None if self.n_bands == 1
+                          else tuple(self.band_cutoffs)),
+            max_delay=max_delay)

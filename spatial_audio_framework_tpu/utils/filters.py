@@ -317,6 +317,97 @@ class FafIIRFilterbank:
                - np.convolve(np.conj(d2[::-1]), d1))
         return (-0.5 * num[::-1].real)[:n]
 
+    def _sos(self, b, a) -> np.ndarray:
+        """(b, a) → second-order sections, fixed count per filter order.
+        The f32 associative-scan IIR loses ~0.25 abs error on a direct
+        order-3 transfer function over 2k samples (poles near |z|=1); the
+        SOS cascade keeps it <1e-4."""
+        sos = sps.tf2sos(b, a)
+        n_sec = (self.order + 1) // 2 + (1 if self.order % 2 == 0 else 0)
+        if sos.shape[0] < n_sec:  # pad with identity sections
+            pad = np.tile([1.0, 0, 0, 1.0, 0, 0], (n_sec - sos.shape[0], 1))
+            sos = np.vstack([sos, pad])
+        return sos
+
+    def _device_ops(self):
+        """Static stage list for the jit path: ('f', band, sos, slot) = plain
+        filter in place; ('apc', band, sos_lp, sos_hp, slot_lp, slot_hp) =
+        allpass correction (LPF+HPF of the same input, summed)."""
+        ops = []
+        slot = 0
+        nf = self.n_filters
+        lp = [self._sos(self.b_lpf[j], self.a_lpf[j]) for j in range(nf)]
+        hp = [self._sos(self.b_hpf[j], self.a_hpf[j]) for j in range(nf)]
+
+        def take():
+            nonlocal slot
+            s = slot
+            slot += 1
+            return s
+
+        for j in range(nf):                       # band 0: all LPFs
+            ops.append(("f", 0, lp[j], take()))
+        if self.n_bands > 1:                      # band 1: HPF0 then LPFs 1..
+            ops.append(("f", 1, hp[0], take()))
+            for j in range(1, nf):
+                ops.append(("f", 1, lp[j], take()))
+        for band in range(2, self.n_bands):       # allpass corrections
+            for j in range(band - 1):
+                ops.append(("apc", band, lp[j], hp[j], take(), take()))
+        for band in range(2, self.n_bands - 1):   # HPF[band-1] then LPFs
+            ops.append(("f", band, hp[band - 1], take()))
+            for j in range(band, nf):
+                ops.append(("f", band, lp[j], take()))
+        if self.n_bands > 2:                      # last band: HPF[end]
+            ops.append(("f", self.n_bands - 1, hp[-1], take()))
+        return ops, slot
+
+    @property
+    def n_state_slots(self) -> int:
+        return self._device_ops()[1]
+
+    @property
+    def n_sections(self) -> int:
+        return self._sos(self.b_lpf[0], self.a_lpf[0]).shape[0]
+
+    def init_device_state(self, batch_shape=()):
+        import jax.numpy as jnp
+
+        return jnp.zeros((self.n_state_slots, self.n_sections)
+                         + tuple(batch_shape) + (2,), jnp.float32)
+
+    def apply_device(self, x, zi):
+        """Jit-traceable filterbank: x (..., T) → ((n_bands, ..., T), zi').
+
+        Same band topology as :meth:`apply`, built from associative-scan
+        biquad cascades (ops.iir); zi: (n_slots, n_sections, ..., 2) carried
+        across blocks.
+        """
+        import jax.numpy as jnp
+
+        from spatial_audio_framework_tpu.ops.iir import iir_filter
+
+        def run_sos(sos, y, z):
+            zs = []
+            for k, sec in enumerate(sos):
+                y, zk = iir_filter(sec[:3], sec[3:], y, zi=z[k])
+                zs.append(zk)
+            return y, jnp.stack(zs)
+
+        ops, _ = self._device_ops()
+        bands = [x for _ in range(self.n_bands)]
+        new_zi = [None] * zi.shape[0]
+        for op in ops:
+            if op[0] == "f":
+                _, band, sos, s = op
+                bands[band], new_zi[s] = run_sos(sos, bands[band], zi[s])
+            else:
+                _, band, sos_lp, sos_hp, s1, s2 = op
+                lo, new_zi[s1] = run_sos(sos_lp, bands[band], zi[s1])
+                hi, new_zi[s2] = run_sos(sos_hp, bands[band], zi[s2])
+                bands[band] = lo + hi
+        return jnp.stack(bands), jnp.stack(new_zi)
+
     def apply(self, x: np.ndarray) -> np.ndarray:
         """x: (T,) → (n_bands, T) (host, scipy)."""
         T = x.shape[-1]
