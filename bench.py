@@ -4,6 +4,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
 is audio-seconds rendered per wall-second per chip (RTF) and vs_baseline is
 value / 100 (the driver target: >100x real-time per v5e chip; the reference
 publishes no numbers — BASELINE.json "published" is empty).
+
+Measurement notes (this runtime):
+* ``block_until_ready`` does NOT fence device execution on the axon tunnel
+  (calibration: a 1.1-TFLOP matmul "completes" in 0.07 ms ⇒ >15 PFLOP/s,
+  impossible), so every timing here is fenced by a device→host scalar
+  transfer of a reduction of the output — a true execution fence.
+* complex64 anywhere in the graph permanently breaks the d2h path on this
+  runtime, so the benchmark runs the split real/imaginary pipeline
+  (models.ambi_bin.process_ri_batched → ops.afstft_ri + the fused pallas
+  analysis front-end in ops.pallas_afstft), which is numerically equivalent
+  to the complex path (tests/test_afstft_ri.py) and complex-free end-to-end.
+* throughput: K chunks rendered per dispatch via device-side lax.scan with
+  distinct (rolled) inputs pregenerated on device; the fenced wall time
+  therefore includes reading every input sample from HBM.
+* accuracy: one block is re-rendered on CPU (float32, same pipeline) and the
+  max abs deviation of the TPU output is reported (budget: 1e-4).
 """
 import json
 import time
@@ -21,45 +37,104 @@ def main():
     N_STREAMS = 64
     ORDER = 3
     HOP = 128
-    HOPS_PER_BLOCK = 32          # 32*128 = 4096 samples (~85 ms) per call
-    N_BLOCKS = 50
+    K = 8                 # chunks per dispatch
+    HOPS_CHUNK = 64       # 8192 samples (~171 ms of audio) per chunk
 
     cfg = ambi_bin.AmbiBinConfig(order=ORDER, fs=FS, method="magls")
-    w = ambi_bin.design(cfg)
-    st1 = ambi_bin.init_state(cfg)
-    states = jax.tree.map(lambda a: jnp.broadcast_to(a, (N_STREAMS,) + a.shape),
-                          st1)
-
-    T = HOPS_PER_BLOCK * HOP
+    wri = ambi_bin.design_ri(cfg)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(-1, 1, (N_STREAMS, cfg.nsh, T)).astype(np.float32))
+    Tc = HOPS_CHUNK * HOP
+    xc = jnp.asarray(rng.uniform(
+        -1, 1, (N_STREAMS, cfg.nsh, Tc)).astype(np.float32))
+    # K distinct input chunks, generated on device (no h2d in the timed loop)
+    xs = jax.jit(lambda x: jax.vmap(
+        lambda k: jnp.roll(x, k + 1, axis=-1))(jnp.arange(K)))(xc)
 
-    # NB: weights are jit *arguments* (closure constants would require a
-    # device→host complex transfer at lowering, unsupported on this runtime).
-    proc = jax.jit(jax.vmap(lambda w, s, xx: ambi_bin.process(cfg, w, s, xx),
-                            in_axes=(None, 0, 0)))
-    # warm-up / compile
-    y, states = proc(w, states, x)
-    y.block_until_ready()
+    def render(wri, states, xs):
+        def body(st, xk):
+            y, st = ambi_bin.process_ri_batched(cfg, wri, st, xk)
+            return st, jnp.sum(y * y)
+        states, e = jax.lax.scan(body, states, xs)
+        return jnp.sum(e), states
 
-    t0 = time.perf_counter()
-    for _ in range(N_BLOCKS):
-        y, states = proc(w, states, x)
-    y.block_until_ready()
-    dt = time.perf_counter() - t0
+    proc = jax.jit(render)
+    states = ambi_bin.init_state_batched(cfg, N_STREAMS)
+    e, states = proc(wri, states, xs)
+    fence = float(e)  # true execution fence (d2h scalar)
 
-    audio_seconds = N_STREAMS * N_BLOCKS * T / FS
-    rtf = audio_seconds / dt
-    p50_block_ms = 1000.0 * dt / N_BLOCKS
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        e, states = proc(wri, states, xs)
+        fence = float(e)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    audio_sec = N_STREAMS * K * Tc / FS
+    rtf = audio_sec / dt
+
+    # -- streaming latency: one 85 ms block per dispatch, fenced -------------
+    T = 32 * HOP
+    xb = jnp.asarray(rng.uniform(
+        -1, 1, (N_STREAMS, cfg.nsh, T)).astype(np.float32))
+
+    def one_block(wri, st, x):
+        y, st = ambi_bin.process_ri_batched(cfg, wri, st, x)
+        return jnp.sum(y * y), st
+
+    proc1 = jax.jit(one_block)
+    st = ambi_bin.init_state_batched(cfg, N_STREAMS)
+    e, st = proc1(wri, st, xb)
+    float(e)
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        e, st = proc1(wri, st, xb)
+        float(e)
+        lat.append(time.perf_counter() - t0)
+    p50_block_ms = 1000.0 * float(np.median(lat))
+
+    # -- accuracy vs CPU reference (one 4-stream chunk) -----------------------
+    max_err = None
+    try:
+        import subprocess, sys, tempfile, os
+        x_small = np.asarray(xc[:4])
+        with tempfile.TemporaryDirectory() as td:
+            np.save(os.path.join(td, "x.npy"), x_small)
+            code = (
+                "import numpy as np, jax\n"
+                "jax.config.update('jax_platforms','cpu')\n"
+                "import jax.numpy as jnp\n"
+                "from spatial_audio_framework_tpu.models import ambi_bin\n"
+                f"cfg = ambi_bin.AmbiBinConfig(order={ORDER}, fs={FS}, "
+                "method='magls')\n"
+                "wri = ambi_bin.design_ri(cfg)\n"
+                "x = jnp.asarray(np.load(r'%s/x.npy'))\n"
+                "st = ambi_bin.init_state_batched(cfg, 4)\n"
+                "y, _ = ambi_bin.process_ri_batched(cfg, wri, st, x, "
+                "use_pallas=False)\n"
+                "np.save(r'%s/y.npy', np.asarray(y))\n" % (td, td))
+            subprocess.run([sys.executable, "-c", code], check=True,
+                           timeout=600, capture_output=True)
+            y_cpu = np.load(os.path.join(td, "y.npy"))
+        st4 = ambi_bin.init_state_batched(cfg, 4)
+        y_tpu, _ = jax.jit(lambda w, s, x: ambi_bin.process_ri_batched(
+            cfg, w, s, x))(wri, st4, xc[:4])
+        max_err = float(jnp.max(jnp.abs(y_tpu - jnp.asarray(y_cpu))))
+    except Exception:
+        pass
+
     result = {
         "metric": "ambi_bin_order3_magls_64streams_rtf",
         "value": round(rtf, 2),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtf / 100.0, 3),
         "extra": {
-            "p50_block_latency_ms": round(p50_block_ms, 3),
-            "block_samples": T,
+            "fence": "d2h_scalar (true execution fence)",
+            "p50_block_latency_ms_85ms_block": round(p50_block_ms, 3),
+            "chunks_per_dispatch": K,
+            "chunk_samples": Tc,
             "n_streams": N_STREAMS,
+            "max_abs_err_vs_cpu_f32": max_err,
             "device": str(jax.devices()[0]),
         },
     }

@@ -59,11 +59,10 @@ class AmbiBinWeights(NamedTuple):
     M_dec: jax.Array  # (nBands, 2, nSH) complex64, conventions folded in
 
 
-def design(cfg: AmbiBinConfig, hrirs: Optional[np.ndarray] = None,
-           hrir_dirs_deg: Optional[np.ndarray] = None,
-           hrir_fs: Optional[int] = None) -> AmbiBinWeights:
-    """The initCodec pipeline (ambi_bin.c:167-380).  Pass a loaded SOFA set
-    via (hrirs, hrir_dirs_deg, hrir_fs) or use the default set."""
+def _design_host(cfg: AmbiBinConfig, hrirs: Optional[np.ndarray] = None,
+                 hrir_dirs_deg: Optional[np.ndarray] = None,
+                 hrir_fs: Optional[int] = None) -> np.ndarray:
+    """Host-side initCodec pipeline → decode matrix as numpy complex."""
     if hrirs is None:
         hrirs, hrir_dirs_deg, hrir_fs = hrir_mod.default_hrirs()
     if hrir_fs != cfg.fs:
@@ -107,8 +106,27 @@ def design(cfg: AmbiBinConfig, hrirs: Optional[np.ndarray] = None,
 
     # Fold the input channel-order/normalisation conversion into the decoder.
     conv = C.input_conversion_mtx(cfg.order, cfg.ch_ordering, cfg.norm)
-    dec = np.einsum("bes,st->bet", dec, conv)
+    return np.einsum("bes,st->bet", dec, conv)
+
+
+def design(cfg: AmbiBinConfig, hrirs: Optional[np.ndarray] = None,
+           hrir_dirs_deg: Optional[np.ndarray] = None,
+           hrir_fs: Optional[int] = None) -> AmbiBinWeights:
+    """The initCodec pipeline (ambi_bin.c:167-380).  Pass a loaded SOFA set
+    via (hrirs, hrir_dirs_deg, hrir_fs) or use the default set."""
+    dec = _design_host(cfg, hrirs, hrir_dirs_deg, hrir_fs)
     return AmbiBinWeights(M_dec=jnp.asarray(dec.astype(np.complex64)))
+
+
+def design_ri(cfg: AmbiBinConfig, hrirs: Optional[np.ndarray] = None,
+              hrir_dirs_deg: Optional[np.ndarray] = None,
+              hrir_fs: Optional[int] = None):
+    """design() for the split real/imaginary pipeline: returns (M_re, M_im)
+    float32 device arrays WITHOUT ever creating a complex64 device array
+    (some experimental runtimes mishandle complex transfers)."""
+    dec = _design_host(cfg, hrirs, hrir_dirs_deg, hrir_fs)
+    return (jnp.asarray(dec.real.astype(np.float32)),
+            jnp.asarray(dec.imag.astype(np.float32)))
 
 
 def init_state(cfg: AmbiBinConfig) -> AfSTFTState:
@@ -132,4 +150,78 @@ def process(cfg: AmbiBinConfig, weights: AmbiBinWeights, state: AfSTFTState,
     spec, state = bank.analysis(state, x)           # (nBands, nSH, H)
     out = jnp.einsum("bes,bsh->beh", M, spec, precision=jax.lax.Precision.HIGHEST)       # batched over 133 bands
     y, state = bank.synthesis(state, out)           # (2, T)
+    return y, state
+
+
+# -- split real/imaginary pipeline (no complex64 in the graph) ---------------
+
+def weights_ri(weights: AmbiBinWeights):
+    """Split the decode matrix into an (re, im) float32 pair for process_ri.
+    Runs on device (jit) so no host transfer of the complex weights occurs."""
+    split = jax.jit(lambda M: (jnp.real(M).astype(jnp.float32),
+                               jnp.imag(M).astype(jnp.float32)))
+    return split(weights.M_dec)
+
+
+def init_state_ri(cfg: AmbiBinConfig):
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    return ri.init_state_ri(cfg.afstft, cfg.nsh, C.NUM_EARS)
+
+
+def process_ri(cfg: AmbiBinConfig, w_ri, state, x: jax.Array,
+               ypr: Optional[jax.Array] = None):
+    """process() in split real/imaginary arithmetic (ops.afstft_ri): same
+    math, no complex dtype anywhere in the compiled graph.  w_ri = (M_re,
+    M_im) from :func:`weights_ri`; the complex per-band decode becomes four
+    real einsums."""
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    bank = cfg.afstft
+    Mre, Mim = w_ri
+    if cfg.enable_rotation and cfg.order > 0:
+        assert ypr is not None
+        R = geo.yaw_pitch_roll2_rzyx(ypr[0], ypr[1], ypr[2])
+        M_rot = sh.get_sh_rot_mtx_real(R.astype(jnp.float32), cfg.order)
+        Mre = jnp.einsum("bes,st->bet", Mre, M_rot)
+        Mim = jnp.einsum("bes,st->bet", Mim, M_rot)
+    (sre, sim), state = ri.analysis_ri(bank, state, x)
+    hp = jax.lax.Precision.HIGHEST
+    out_re = (jnp.einsum("bes,bsh->beh", Mre, sre, precision=hp)
+              - jnp.einsum("bes,bsh->beh", Mim, sim, precision=hp))
+    out_im = (jnp.einsum("bes,bsh->beh", Mre, sim, precision=hp)
+              + jnp.einsum("bes,bsh->beh", Mim, sre, precision=hp))
+    y, state = ri.synthesis_ri(bank, state, (out_re, out_im))
+    return y, state
+
+
+def init_state_batched(cfg: AmbiBinConfig, n_streams: int):
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    return ri.init_state_batched(cfg.afstft, n_streams, cfg.nsh, C.NUM_EARS)
+
+
+def process_ri_batched(cfg: AmbiBinConfig, w_ri, state, x: jax.Array,
+                       use_pallas: bool = True, interpret: bool = False):
+    """Stream-batched process_ri: x (S, nSH, T) → ((S, 2, T), state).
+
+    The throughput configuration: all streams' channels are flattened into
+    one batch for the fused pallas analysis front-end (see
+    ops.pallas_afstft), and the per-band decode runs as one einsum over
+    (streams × bands).  Don't wrap this in vmap — batching is native.
+    """
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    bank = cfg.afstft
+    Mre, Mim = w_ri
+    (sre, sim), state = ri.analysis_ri_batched(bank, state, x,
+                                               use_pallas=use_pallas,
+                                               interpret=interpret)
+    hp = jax.lax.Precision.HIGHEST
+    # spec: (S, nSH, H, nBands); M: (nBands, 2, nSH) → out (S, 2, H, nBands)
+    out_re = (jnp.einsum("bes,zshb->zehb", Mre, sre, precision=hp)
+              - jnp.einsum("bes,zshb->zehb", Mim, sim, precision=hp))
+    out_im = (jnp.einsum("bes,zshb->zehb", Mre, sim, precision=hp)
+              + jnp.einsum("bes,zshb->zehb", Mim, sre, precision=hp))
+    y, state = ri.synthesis_ri_batched(bank, state, (out_re, out_im))
     return y, state

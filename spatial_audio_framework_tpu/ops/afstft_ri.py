@@ -1,0 +1,226 @@
+"""afSTFT in split real/imaginary arithmetic (no complex64 anywhere).
+
+Numerically identical to :mod:`ops.afstft` (same prototype, hybrid stage and
+delays; afSTFT_internal.c:237-673) but every complex tensor is carried as an
+(re, im) pair of float32 arrays.  Two reasons to want this on TPU:
+
+* XLA lowers complex64 to interleaved real pairs anyway — expressing the
+  pipeline directly in real arithmetic gives the compiler plain f32 matmuls
+  and elementwise ops with no complex-semantics boxing, and opens the door to
+  mixed-precision variants.
+* Some experimental TPU runtimes have incomplete complex64 support on
+  auxiliary paths (e.g. device→host transfers); a complex-free graph keeps
+  the full streaming pipeline usable there.
+
+API mirrors AfSTFT: ``init_state_ri`` / ``analysis_ri`` / ``synthesis_ri``
+with spectra as (re, im) tuples in BANDS_CH_TIME layout.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spatial_audio_framework_tpu.ops.afstft import (_COEFF1, _COEFF2,
+                                                    _TOTAL_HOPS, AfSTFT,
+                                                    _windows)
+from spatial_audio_framework_tpu.ops.fft import _rdft_mats
+
+_HP = jax.lax.Precision.HIGHEST
+
+
+class AfSTFTStateRI(NamedTuple):
+    in_tail: jax.Array      # (n_ch_in, h_len - hop) float32
+    hyb_tail_re: jax.Array  # (n_ch_in, 6, hop+1) float32
+    hyb_tail_im: jax.Array
+    ola_tail: jax.Array     # (n_ch_out, h_len - hop) float32
+
+
+def init_state_ri(bank: AfSTFT, n_ch_in: int, n_ch_out: int) -> AfSTFTStateRI:
+    hop, h_len = bank.hop, bank.h_len
+    return AfSTFTStateRI(
+        in_tail=jnp.zeros((n_ch_in, h_len - hop), jnp.float32),
+        hyb_tail_re=jnp.zeros((n_ch_in, 6, hop + 1), jnp.float32),
+        hyb_tail_im=jnp.zeros((n_ch_in, 6, hop + 1), jnp.float32),
+        ola_tail=jnp.zeros((n_ch_out, h_len - hop), jnp.float32))
+
+
+def _hybrid_forward_ri(fre, fim, H: int):
+    """Real-pair version of afstft._hybrid_forward: f*: (..., 6+H, hop+1)
+    (any number of leading batch dims)."""
+    b = slice(1, 5)
+    d3_re = fre[..., 3:3 + H, :]
+    d3_im = fim[..., 3:3 + H, :]
+
+    def inner(f):
+        return (_COEFF1 * (f[..., 6:6 + H, b] - f[..., 0:H, b])
+                + _COEFF2 * (f[..., 4:4 + H, b] - f[..., 2:2 + H, b]))
+
+    # hb = 1j * inner  →  hb_re = -inner_im, hb_im = inner_re
+    hb_re = -inner(fim)
+    hb_im = inner(fre)
+    s = jnp.asarray(np.array([-1.0, 1.0, -1.0, 1.0], np.float32))
+
+    def assemble(d3, hb):
+        c = 0.5 * d3[..., b]
+        lo = c + s * hb
+        hi = c - s * hb
+        pairs = jnp.stack([lo, hi], axis=-1).reshape(*lo.shape[:-1], 8)
+        return jnp.concatenate([d3[..., :1], pairs, d3[..., 5:]], axis=-1)
+
+    return assemble(d3_re, hb_re), assemble(d3_im, hb_im)
+
+
+def _hybrid_inverse_ri(Y):
+    pairs = Y[..., 1:9].reshape(*Y.shape[:-1], 4, 2).sum(-1)
+    return jnp.concatenate([Y[..., :1], pairs, Y[..., 9:]], axis=-1)
+
+
+# -- natively stream-batched path (used with the pallas front-end) -----------
+
+class AfSTFTStateBatched(NamedTuple):
+    """State for the (n_streams, ...) batched pipeline."""
+    in_tail: jax.Array      # (S, n_ch_in, (10-1)*hop)
+    hyb_tail_re: jax.Array  # (S, n_ch_in, 6, hop+1)
+    hyb_tail_im: jax.Array
+    ola_tail: jax.Array     # (S, n_ch_out, h_len - hop)
+
+
+def init_state_batched(bank: AfSTFT, n_streams: int, n_ch_in: int,
+                       n_ch_out: int) -> AfSTFTStateBatched:
+    hop, h_len = bank.hop, bank.h_len
+    S = n_streams
+    return AfSTFTStateBatched(
+        in_tail=jnp.zeros((S, n_ch_in, h_len - hop), jnp.float32),
+        hyb_tail_re=jnp.zeros((S, n_ch_in, 6, hop + 1), jnp.float32),
+        hyb_tail_im=jnp.zeros((S, n_ch_in, 6, hop + 1), jnp.float32),
+        ola_tail=jnp.zeros((S, n_ch_out, h_len - hop), jnp.float32))
+
+
+def analysis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
+                        use_pallas: bool = True, interpret: bool = False):
+    """x: (S, n_ch, H*hop) → ((re, im) each (S, n_ch, H, n_bands), state).
+
+    With use_pallas, the framing⊗window⊗fold⊗rDFT front-end runs as one
+    fused TPU kernel over the flattened (S·n_ch) batch
+    (ops.pallas_afstft.analysis_front_ri): input read from HBM once instead
+    of materialising the 10×-overlapped frame tensor.
+    """
+    from spatial_audio_framework_tpu.ops.pallas_afstft import analysis_front_ri
+
+    hop = bank.hop
+    S, n_ch = x.shape[:2]
+    H = x.shape[2] // hop
+    buf = jnp.concatenate([state.in_tail, x], axis=-1)
+    new_in_tail = buf[..., H * hop:]
+    flat = buf.reshape(S * n_ch, -1)
+    if use_pallas:
+        sre, sim = analysis_front_ri(flat, low_delay=bank.low_delay,
+                                     interpret=interpret)
+    else:  # XLA reference path (same math)
+        from spatial_audio_framework_tpu.ops.fft import _rdft_mats as _m
+        w_ana, _ = _windows(hop, bank.low_delay)
+        C, Smat, _, _ = _m(2 * hop)
+        hops = flat.reshape(S * n_ch, H + _TOTAL_HOPS - 1, hop)
+        seg = jnp.stack([hops[:, k:k + H] for k in range(_TOTAL_HOPS)], axis=2)
+        frames = seg.reshape(S * n_ch, H, bank.h_len) * jnp.asarray(w_ana)
+        folded = frames.reshape(S * n_ch, H, _TOTAL_HOPS // 2,
+                                2 * hop).sum(axis=2)
+        sre = jnp.matmul(folded, jnp.asarray(C), precision=_HP)
+        sim = jnp.matmul(folded, jnp.asarray(Smat), precision=_HP)
+    sre = sre.reshape(S, n_ch, H, hop + 1)
+    sim = sim.reshape(S, n_ch, H, hop + 1)
+    if not bank.hybrid:
+        return (sre, sim), state._replace(in_tail=new_in_tail)
+    fre = jnp.concatenate([state.hyb_tail_re, sre], axis=2)  # (S,C,6+H,129)
+    fim = jnp.concatenate([state.hyb_tail_im, sim], axis=2)
+    ore, oim = _hybrid_forward_ri(fre, fim, H)               # (S,C,H,133)
+    return (ore, oim), state._replace(in_tail=new_in_tail,
+                                      hyb_tail_re=fre[:, :, H:H + 6],
+                                      hyb_tail_im=fim[:, :, H:H + 6])
+
+
+def synthesis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, Y):
+    """Y: (re, im) each (S, n_ch, H, n_bands) → ((S, n_ch, H*hop), state)."""
+    Yre, Yim = Y
+    hop, h_len = bank.hop, bank.h_len
+    _, w_syn = _windows(hop, bank.low_delay)
+    _, _, A, B = _rdft_mats(2 * hop)
+    S, n_ch, H = Yre.shape[:3]
+    if bank.hybrid:
+        Yre = _hybrid_inverse_ri(Yre)
+        Yim = _hybrid_inverse_ri(Yim)
+    if bank.low_delay:
+        sign = jnp.asarray(np.where(np.arange(hop + 1) % 2, -1.0, 1.0),
+                           jnp.float32)
+        Yre = Yre * sign
+        Yim = Yim * sign
+    frame = (jnp.matmul(Yre, jnp.asarray(A), precision=_HP)
+             + jnp.matmul(Yim, jnp.asarray(B), precision=_HP))
+    contrib = jnp.tile(frame, (1, 1, 1, _TOTAL_HOPS // 2)) * jnp.asarray(w_syn)
+    contrib = contrib.reshape(S, n_ch, H, _TOTAL_HOPS, hop)
+    acc = jnp.zeros((S, n_ch, H + _TOTAL_HOPS - 1, hop), frame.dtype)
+    for k in range(_TOTAL_HOPS):
+        acc = acc.at[:, :, k:k + H].add(contrib[:, :, :, k])
+    flat = acc.reshape(S, n_ch, (H + _TOTAL_HOPS - 1) * hop)
+    flat = flat.at[..., :h_len - hop].add(state.ola_tail)
+    return flat[..., :H * hop], state._replace(ola_tail=flat[..., H * hop:])
+
+
+def analysis_ri(bank: AfSTFT, state: AfSTFTStateRI, x: jax.Array
+                ) -> Tuple[Tuple[jax.Array, jax.Array], AfSTFTStateRI]:
+    """x: (n_ch, H*hop) → ((re, im) each (n_bands, n_ch, H), state)."""
+    hop, h_len = bank.hop, bank.h_len
+    n_ch = x.shape[0]
+    H = x.shape[1] // hop
+    w_ana, _ = _windows(hop, bank.low_delay)
+    C, S, _, _ = _rdft_mats(2 * hop)
+    buf = jnp.concatenate([state.in_tail, x], axis=-1)
+    hops = buf.reshape(n_ch, H + _TOTAL_HOPS - 1, hop)
+    seg = jnp.stack([hops[:, k:k + H] for k in range(_TOTAL_HOPS)], axis=2)
+    frames = seg.reshape(n_ch, H, h_len) * jnp.asarray(w_ana)
+    folded = frames.reshape(n_ch, H, _TOTAL_HOPS // 2, 2 * hop).sum(axis=2)
+    sre = jnp.matmul(folded, jnp.asarray(C), precision=_HP)
+    sim = jnp.matmul(folded, jnp.asarray(S), precision=_HP)
+    new_in_tail = buf[:, H * hop:]
+    if not bank.hybrid:
+        return ((sre.transpose(2, 0, 1), sim.transpose(2, 0, 1)),
+                state._replace(in_tail=new_in_tail))
+    fre = jnp.concatenate([state.hyb_tail_re, sre], axis=1)
+    fim = jnp.concatenate([state.hyb_tail_im, sim], axis=1)
+    ore, oim = _hybrid_forward_ri(fre, fim, H)
+    return ((ore.transpose(2, 0, 1), oim.transpose(2, 0, 1)),
+            state._replace(in_tail=new_in_tail,
+                           hyb_tail_re=fre[:, H:H + 6],
+                           hyb_tail_im=fim[:, H:H + 6]))
+
+
+def synthesis_ri(bank: AfSTFT, state: AfSTFTStateRI,
+                 Y: Tuple[jax.Array, jax.Array]):
+    """Y: (re, im) each (n_bands, n_ch, H) → ((n_ch, H*hop), state)."""
+    hop, h_len = bank.hop, bank.h_len
+    _, w_syn = _windows(hop, bank.low_delay)
+    _, _, A, B = _rdft_mats(2 * hop)
+    Yre = Y[0].transpose(1, 2, 0)
+    Yim = Y[1].transpose(1, 2, 0)
+    n_ch, H = Yre.shape[:2]
+    if bank.hybrid:
+        Yre = _hybrid_inverse_ri(Yre)
+        Yim = _hybrid_inverse_ri(Yim)
+    if bank.low_delay:
+        sign = jnp.asarray(np.where(np.arange(hop + 1) % 2, -1.0, 1.0),
+                           jnp.float32)
+        Yre = Yre * sign
+        Yim = Yim * sign
+    frame = (jnp.matmul(Yre, jnp.asarray(A), precision=_HP)
+             + jnp.matmul(Yim, jnp.asarray(B), precision=_HP))
+    contrib = jnp.tile(frame, (1, 1, _TOTAL_HOPS // 2)) * jnp.asarray(w_syn)
+    contrib = contrib.reshape(n_ch, H, _TOTAL_HOPS, hop)
+    acc = jnp.zeros((n_ch, H + _TOTAL_HOPS - 1, hop), frame.dtype)
+    for k in range(_TOTAL_HOPS):
+        acc = acc.at[:, k:k + H].add(contrib[:, :, k])
+    flat = acc.reshape(n_ch, (H + _TOTAL_HOPS - 1) * hop)
+    flat = flat.at[:, :h_len - hop].add(state.ola_tail)
+    return flat[:, :H * hop], state._replace(ola_tail=flat[:, H * hop:])
