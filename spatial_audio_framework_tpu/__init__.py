@@ -31,3 +31,14 @@ Subpackage map (reference layers in parentheses — see SURVEY.md):
 __version__ = "0.1.0"
 
 from spatial_audio_framework_tpu import utils, ops, modules, models, parallel  # noqa: F401
+
+
+def version_banner() -> str:
+    """Version/config banner (analogue of SAF_VERSION_BANNER, saf.h:115-122,
+    and SAF_EXTERNALS_CONFIGURATION_STRING, saf_externals.h:362-369)."""
+    import jax
+
+    backends = ",".join(sorted({d.platform for d in jax.devices()}))
+    return (f"spatial_audio_framework_tpu v{__version__} | "
+            f"jax {jax.__version__} | devices: {backends} "
+            f"({len(jax.devices())} visible)")

@@ -128,3 +128,67 @@ def det(A):
 def inv(A):
     """Matrix inverse (utility_?inv)."""
     return _xp(A).linalg.inv(A)
+
+
+# -- elementwise vector ops (utility_?vabs/vmod/vrecip/vconj/vvcopy/vvadd/
+#    vvsub/vvmul/svsmul/svsdiv/svsadd/svssub; saf_utility_veclib.h:150-860).
+#    Kept for API parity — under jit XLA fuses these anyway.
+
+def vabs(x):
+    return _xp(x).abs(x)
+
+
+def vmod(a, b):
+    """Elementwise modulus a % b (utility_?vmod)."""
+    return _xp(a, b).mod(a, b)
+
+
+def vrecip(x):
+    return 1.0 / x
+
+
+def vconj(x):
+    return _xp(x).conj(x)
+
+
+def vneg(x):
+    return -x
+
+
+def vvcopy(x):
+    xp = _xp(x)
+    return xp.array(x, copy=True) if xp is np else xp.asarray(x).copy()
+
+
+def vvadd(a, b):
+    return a + b
+
+
+def vvsub(a, b):
+    return a - b
+
+
+def vvmul(a, b):
+    return a * b
+
+
+def svsmul(x, s):
+    """Vector × scalar (utility_?svsmul)."""
+    return x * s
+
+
+def svsdiv(x, s):
+    return x / s
+
+
+def svsadd(x, s):
+    return x + s
+
+
+def svssub(x, s):
+    return x - s
+
+
+def vsadd(x, s):
+    """In the reference vsadd == svsadd with accumulate variants; alias."""
+    return x + s

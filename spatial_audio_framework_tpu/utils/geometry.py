@@ -199,3 +199,19 @@ def rodrigues(axis, theta):
     ], -2)
     eye = xp.eye(3)
     return eye + xp.sin(theta) * K + (1 - xp.cos(theta)) * (K @ K)
+
+
+def convhull_nd(points):
+    """N-dimensional convex hull (saf_utility_geometry.h ``convhullnd`` via
+    convhull_3d/qhull) → simplex vertex indices (nFaces, d)."""
+    from scipy.spatial import ConvexHull
+
+    return ConvexHull(np.asarray(points, np.float64)).simplices
+
+
+def delaunay_nd(points):
+    """N-dimensional Delaunay triangulation (``delaunaynd``) → (nSimplices,
+    d+1) vertex indices."""
+    from scipy.spatial import Delaunay
+
+    return Delaunay(np.asarray(points, np.float64)).simplices

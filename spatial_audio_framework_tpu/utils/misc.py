@@ -113,3 +113,54 @@ def sort_cmplx_pairs(vals: np.ndarray) -> np.ndarray:
     real = vals[np.abs(vals.imag) <= 1e-12].real
     order = np.lexsort((np.sign(cplx.imag), np.abs(cplx.imag), cplx.real))
     return np.concatenate([cplx[order], np.sort(real).astype(vals.dtype)])
+
+
+def factorial(n):
+    """Exact factorial, vectorised (saf_utility_misc.h ``factorial``)."""
+    from math import factorial as _f
+
+    if np.isscalar(n):
+        return float(_f(int(n)))
+    return np.array([float(_f(int(v))) for v in np.ravel(n)]).reshape(
+        np.shape(n))
+
+
+def convz(x: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Complex polynomial/sequence convolution (saf_utility_misc.h ``convz``)."""
+    return np.convolve(np.asarray(x, np.complex128),
+                       np.asarray(h, np.complex128))
+
+
+def polyz_v(roots: np.ndarray) -> np.ndarray:
+    """Complex polynomial coefficients from roots (``polyz_v``)."""
+    return np.poly(np.asarray(roots, np.complex128))
+
+
+def rand_m1_1(shape, rng=None) -> np.ndarray:
+    """Uniform random values in -1..1 (saf_utility_misc.h ``rand_m1_1``)."""
+    rng = rng or np.random.default_rng()
+    return rng.uniform(-1.0, 1.0, shape).astype(np.float32)
+
+
+def rand_0_1(shape, rng=None) -> np.ndarray:
+    """Uniform random values in 0..1 (``rand_0_1``)."""
+    rng = rng or np.random.default_rng()
+    return rng.uniform(0.0, 1.0, shape).astype(np.float32)
+
+
+def saf_print_warning(msg: str) -> None:
+    """Debug warning print (saf_utilities.h:120-142 ``saf_print_warning``)."""
+    import warnings
+
+    warnings.warn(f"SAF WARNING: {msg}", stacklevel=2)
+
+
+def saf_print_error(msg: str) -> None:
+    """Fatal error (``saf_print_error`` exits; here raises)."""
+    raise RuntimeError(f"SAF ERROR: {msg}")
+
+
+def saf_assert(cond, msg: str = "") -> None:
+    """``saf_assert`` analogue."""
+    if not cond:
+        raise AssertionError(f"SAF ASSERT: {msg}")
