@@ -218,10 +218,15 @@ def process_ri_batched(cfg: AmbiBinConfig, w_ri, state, x: jax.Array,
                                                use_pallas=use_pallas,
                                                interpret=interpret)
     hp = jax.lax.Precision.HIGHEST
-    # spec: (S, nSH, H, nBands); M: (nBands, 2, nSH) → out (S, 2, H, nBands)
-    out_re = (jnp.einsum("bes,zshb->zehb", Mre, sre, precision=hp)
-              - jnp.einsum("bes,zshb->zehb", Mim, sim, precision=hp))
-    out_im = (jnp.einsum("bes,zshb->zehb", Mre, sim, precision=hp)
-              + jnp.einsum("bes,zshb->zehb", Mim, sre, precision=hp))
+    # spec: (S, nSH, H, nBands); M: (nBands, 2, nSH) → out (S, 2, H, nBands).
+    # The 4-einsum complex multiply is packed into 2 einsums over a doubled
+    # channel axis so the spectrum is read twice, not four times (the
+    # pipeline is HBM-bandwidth-bound):
+    #   out_re = [Mre | -Mim] @ [sre; sim],  out_im = [Mim | Mre] @ [sre; sim]
+    spec2 = jnp.concatenate([sre, sim], axis=1)        # (S, 2·nSH, H, B)
+    M_re2 = jnp.concatenate([Mre, -Mim], axis=-1)      # (B, 2, 2·nSH)
+    M_im2 = jnp.concatenate([Mim, Mre], axis=-1)
+    out_re = jnp.einsum("bes,zshb->zehb", M_re2, spec2, precision=hp)
+    out_im = jnp.einsum("bes,zshb->zehb", M_im2, spec2, precision=hp)
     y, state = ri.synthesis_ri_batched(bank, state, (out_re, out_im))
     return y, state
