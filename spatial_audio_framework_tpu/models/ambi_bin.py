@@ -214,19 +214,22 @@ def process_ri_batched(cfg: AmbiBinConfig, w_ri, state, x: jax.Array,
 
     bank = cfg.afstft
     Mre, Mim = w_ri
-    (sre, sim), state = ri.analysis_ri_batched(bank, state, x,
-                                               use_pallas=use_pallas,
-                                               interpret=interpret)
+    spec_p, state = ri.analysis_ri_batched(bank, state, x,
+                                           use_pallas=use_pallas,
+                                           interpret=interpret, packed=True)
     hp = jax.lax.Precision.HIGHEST
-    # spec: (S, nSH, H, nBands); M: (nBands, 2, nSH) → out (S, 2, H, nBands).
-    # The 4-einsum complex multiply is packed into 2 einsums over a doubled
-    # channel axis so the spectrum is read twice, not four times (the
-    # pipeline is HBM-bandwidth-bound):
-    #   out_re = [Mre | -Mim] @ [sre; sim],  out_im = [Mim | Mre] @ [sre; sim]
-    spec2 = jnp.concatenate([sre, sim], axis=1)        # (S, 2·nSH, H, B)
-    M_re2 = jnp.concatenate([Mre, -Mim], axis=-1)      # (B, 2, 2·nSH)
-    M_im2 = jnp.concatenate([Mim, Mre], axis=-1)
-    out_re = jnp.einsum("bes,zshb->zehb", M_re2, spec2, precision=hp)
-    out_im = jnp.einsum("bes,zshb->zehb", M_im2, spec2, precision=hp)
-    y, state = ri.synthesis_ri_batched(bank, state, (out_re, out_im))
+    # spec_p: (S, nSH, H, 2·B) packed [re | im]; M: (B, 2, nSH).  The whole
+    # complex multiply is ONE einsum over a (B, 2, nSH, 2out, 2in) tensor so
+    # the spectrum is read exactly once (the pipeline is HBM-bound):
+    #   [out_re; out_im][b] = [[Mre, -Mim], [Mim, Mre]][b] @ [sre; sim][b]
+    S, nsh, H, nb2 = spec_p.shape
+    B = nb2 // 2
+    M4 = jnp.stack([jnp.stack([Mre, -Mim], axis=-1),
+                    jnp.stack([Mim, Mre], axis=-1)], axis=-2)  # (B,2,nSH,2,2)
+    spec5 = spec_p.reshape(S, nsh, H, 2, B)
+    out = jnp.einsum("besij,zshjb->zehib", M4, spec5, precision=hp)
+    out_p = out.reshape(S, C.NUM_EARS, H, 2 * B)
+    y, state = ri.synthesis_ri_batched(bank, state, out_p,
+                                       use_pallas=use_pallas,
+                                       interpret=interpret, packed=True)
     return y, state

@@ -78,14 +78,46 @@ def _hybrid_inverse_ri(Y):
     return jnp.concatenate([Y[..., :1], pairs, Y[..., 9:]], axis=-1)
 
 
+def _hybrid_forward_ri_packed(fre, fim, H: int):
+    """_hybrid_forward_ri emitting one packed (..., H, 2·nHyb) tensor
+    ([re | im] on the last axis) so downstream consumers read the spectrum
+    once — the packing shares the assemble-concat, costing nothing extra."""
+    b = slice(1, 5)
+    d3_re = fre[..., 3:3 + H, :]
+    d3_im = fim[..., 3:3 + H, :]
+
+    def inner(f):
+        return (_COEFF1 * (f[..., 6:6 + H, b] - f[..., 0:H, b])
+                + _COEFF2 * (f[..., 4:4 + H, b] - f[..., 2:2 + H, b]))
+
+    hb_re = -inner(fim)
+    hb_im = inner(fre)
+    s = jnp.asarray(np.array([-1.0, 1.0, -1.0, 1.0], np.float32))
+
+    def halves(d3, hb):
+        c = 0.5 * d3[..., b]
+        lo = c + s * hb
+        hi = c - s * hb
+        pairs = jnp.stack([lo, hi], axis=-1).reshape(*lo.shape[:-1], 8)
+        return [d3[..., :1], pairs, d3[..., 5:]]
+
+    return jnp.concatenate(halves(d3_re, hb_re) + halves(d3_im, hb_im),
+                           axis=-1)
+
+
 # -- natively stream-batched path (used with the pallas front-end) -----------
 
 class AfSTFTStateBatched(NamedTuple):
-    """State for the (n_streams, ...) batched pipeline."""
-    in_tail: jax.Array      # (S, n_ch_in, (10-1)*hop)
-    hyb_tail_re: jax.Array  # (S, n_ch_in, 6, hop+1)
-    hyb_tail_im: jax.Array
+    """State for the (n_streams, ...) batched pipeline.
+
+    in_tail carries 15 hops (9 for framing + 6 so the hybrid stage's history
+    spectra are recomputed in the fused kernel instead of being carried —
+    this removes the hybrid-tail concat traffic from the per-block path)."""
+    in_tail: jax.Array      # (S, n_ch_in, (10-1+6)*hop)
     ola_tail: jax.Array     # (S, n_ch_out, h_len - hop)
+
+
+_TAIL_HOPS = _TOTAL_HOPS - 1 + 6  # 15
 
 
 def init_state_batched(bank: AfSTFT, n_streams: int, n_ch_in: int,
@@ -93,59 +125,110 @@ def init_state_batched(bank: AfSTFT, n_streams: int, n_ch_in: int,
     hop, h_len = bank.hop, bank.h_len
     S = n_streams
     return AfSTFTStateBatched(
-        in_tail=jnp.zeros((S, n_ch_in, h_len - hop), jnp.float32),
-        hyb_tail_re=jnp.zeros((S, n_ch_in, 6, hop + 1), jnp.float32),
-        hyb_tail_im=jnp.zeros((S, n_ch_in, 6, hop + 1), jnp.float32),
+        in_tail=jnp.zeros((S, n_ch_in, _TAIL_HOPS * hop), jnp.float32),
         ola_tail=jnp.zeros((S, n_ch_out, h_len - hop), jnp.float32))
 
 
 def analysis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
-                        use_pallas: bool = True, interpret: bool = False):
+                        use_pallas: bool = True, interpret: bool = False,
+                        packed: bool = False):
     """x: (S, n_ch, H*hop) → ((re, im) each (S, n_ch, H, n_bands), state).
 
     With use_pallas, the framing⊗window⊗fold⊗rDFT front-end runs as one
     fused TPU kernel over the flattened (S·n_ch) batch
     (ops.pallas_afstft.analysis_front_ri): input read from HBM once instead
-    of materialising the 10×-overlapped frame tensor.
+    of materialising the 10×-overlapped frame tensor.  H+6 spectral hops are
+    produced per block (6 recomputed from the tail) so the hybrid stage
+    slices the kernel output directly, with no carried spectral state.
     """
     from spatial_audio_framework_tpu.ops.pallas_afstft import analysis_front_ri
 
     hop = bank.hop
     S, n_ch = x.shape[:2]
     H = x.shape[2] // hop
-    buf = jnp.concatenate([state.in_tail, x], axis=-1)
+    if use_pallas:
+        # tail and block stay separate — concatenated in VMEM by the kernel
+        sre, sim = analysis_front_ri(
+            state.in_tail.reshape(S * n_ch, -1),
+            x.reshape(S * n_ch, -1),
+            low_delay=bank.low_delay, interpret=interpret)   # (B, H+6, 129)
+        if H >= _TAIL_HOPS:
+            new_in_tail = x[..., (H - _TAIL_HOPS) * hop:]
+        else:
+            new_in_tail = jnp.concatenate(
+                [state.in_tail[..., H * hop:], x], axis=-1)
+        sre = sre.reshape(S, n_ch, H + 6, hop + 1)
+        sim = sim.reshape(S, n_ch, H + 6, hop + 1)
+        state = state._replace(in_tail=new_in_tail)
+        if packed:
+            if not bank.hybrid:
+                return jnp.concatenate([sre[:, :, 6:], sim[:, :, 6:]],
+                                       axis=-1), state
+            return _hybrid_forward_ri_packed(sre, sim, H), state
+        if not bank.hybrid:
+            return (sre[:, :, 6:], sim[:, :, 6:]), state
+        ore, oim = _hybrid_forward_ri(sre, sim, H)           # (S,C,H,133)
+        return (ore, oim), state
+    buf = jnp.concatenate([state.in_tail, x], axis=-1)   # (S,C,(H+15)·hop)
     new_in_tail = buf[..., H * hop:]
     flat = buf.reshape(S * n_ch, -1)
-    if use_pallas:
-        sre, sim = analysis_front_ri(flat, low_delay=bank.low_delay,
-                                     interpret=interpret)
-    else:  # XLA reference path (same math)
+    if True:  # XLA reference path (same math)
         from spatial_audio_framework_tpu.ops.fft import _rdft_mats as _m
         w_ana, _ = _windows(hop, bank.low_delay)
         C, Smat, _, _ = _m(2 * hop)
-        hops = flat.reshape(S * n_ch, H + _TOTAL_HOPS - 1, hop)
-        seg = jnp.stack([hops[:, k:k + H] for k in range(_TOTAL_HOPS)], axis=2)
-        frames = seg.reshape(S * n_ch, H, bank.h_len) * jnp.asarray(w_ana)
-        folded = frames.reshape(S * n_ch, H, _TOTAL_HOPS // 2,
+        He = H + 6
+        hops = flat.reshape(S * n_ch, H + _TAIL_HOPS, hop)
+        seg = jnp.stack([hops[:, k:k + He] for k in range(_TOTAL_HOPS)],
+                        axis=2)
+        frames = seg.reshape(S * n_ch, He, bank.h_len) * jnp.asarray(w_ana)
+        folded = frames.reshape(S * n_ch, He, _TOTAL_HOPS // 2,
                                 2 * hop).sum(axis=2)
         sre = jnp.matmul(folded, jnp.asarray(C), precision=_HP)
         sim = jnp.matmul(folded, jnp.asarray(Smat), precision=_HP)
-    sre = sre.reshape(S, n_ch, H, hop + 1)
-    sim = sim.reshape(S, n_ch, H, hop + 1)
+    sre = sre.reshape(S, n_ch, H + 6, hop + 1)
+    sim = sim.reshape(S, n_ch, H + 6, hop + 1)
+    state = state._replace(in_tail=new_in_tail)
+    if packed:
+        if not bank.hybrid:
+            return jnp.concatenate([sre[:, :, 6:], sim[:, :, 6:]],
+                                   axis=-1), state
+        return _hybrid_forward_ri_packed(sre, sim, H), state
     if not bank.hybrid:
-        return (sre, sim), state._replace(in_tail=new_in_tail)
-    fre = jnp.concatenate([state.hyb_tail_re, sre], axis=2)  # (S,C,6+H,129)
-    fim = jnp.concatenate([state.hyb_tail_im, sim], axis=2)
-    ore, oim = _hybrid_forward_ri(fre, fim, H)               # (S,C,H,133)
-    return (ore, oim), state._replace(in_tail=new_in_tail,
-                                      hyb_tail_re=fre[:, :, H:H + 6],
-                                      hyb_tail_im=fim[:, :, H:H + 6])
+        return (sre[:, :, 6:], sim[:, :, 6:]), state
+    ore, oim = _hybrid_forward_ri(sre, sim, H)               # (S,C,H,133)
+    return (ore, oim), state
 
 
-def synthesis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, Y):
-    """Y: (re, im) each (S, n_ch, H, n_bands) → ((S, n_ch, H*hop), state)."""
-    Yre, Yim = Y
+def synthesis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, Y,
+                         use_pallas: bool = True, interpret: bool = False,
+                         packed: bool = False):
+    """Y: (re, im) each (S, n_ch, H, n_bands) — or, with packed=True, one
+    (S, n_ch, H, 2·n_bands) [re | im] tensor — → ((S, n_ch, H*hop), state).
+
+    With use_pallas, hybrid-inverse ⊗ irDFT ⊗ window ⊗ overlap-add run as one
+    fused TPU kernel (ops.pallas_afstft.synthesis_back_ri)."""
+    if packed:
+        nb = Y.shape[-1] // 2
+        Yre, Yim = Y[..., :nb], Y[..., nb:]
+    else:
+        Yre, Yim = Y
     hop, h_len = bank.hop, bank.h_len
+    if use_pallas:
+        from spatial_audio_framework_tpu.ops.pallas_afstft import \
+            synthesis_back_ri
+
+        S, n_ch, H = (Y.shape[:3] if packed else Yre.shape[:3])
+        spec = (Y if packed
+                else jnp.concatenate([Yre, Yim], axis=-1)).reshape(
+            S * n_ch, H, -1)
+        tail = state.ola_tail.reshape(S * n_ch, _TOTAL_HOPS - 1, hop)
+        y, new_tail = synthesis_back_ri(spec, tail,
+                                        low_delay=bank.low_delay,
+                                        hybrid=bank.hybrid,
+                                        interpret=interpret)
+        return (y.reshape(S, n_ch, H * hop),
+                state._replace(ola_tail=new_tail.reshape(S, n_ch,
+                                                         h_len - hop)))
     _, w_syn = _windows(hop, bank.low_delay)
     _, _, A, B = _rdft_mats(2 * hop)
     S, n_ch, H = Yre.shape[:3]

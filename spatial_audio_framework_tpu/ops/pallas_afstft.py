@@ -32,9 +32,12 @@ from spatial_audio_framework_tpu.ops.fft import _rdft_mats
 BLK_B = 8       # batch rows per grid step (f32 sublane)
 
 
-def _kernel(H: int, x_ref, w_ref, cs_ref, out_ref):
+def _kernel(H: int, tail_ref, x_ref, w_ref, cs_ref, out_ref):
     hop = 128
-    x = x_ref[:]                                    # (BLK_B, H+9, hop)
+    # VMEM concat of the carried tail and the new block (both offset-0 on
+    # the sublane axis, which Mosaic supports) — avoids materialising the
+    # concatenated buffer in HBM every block.
+    x = jnp.concatenate([tail_ref[:], x_ref[:]], axis=1)
     w = w_ref[:]                                    # (10, hop)
     # fold: parity p gets window taps k = p, p+2, ..., p+8
     acc0 = jnp.zeros((BLK_B, H, hop), jnp.float32)
@@ -55,17 +58,22 @@ def _kernel(H: int, x_ref, w_ref, cs_ref, out_ref):
 
 
 @partial(jax.jit, static_argnames=("low_delay", "interpret"))
-def analysis_front_ri(buf: jax.Array, low_delay: bool = False,
+def analysis_front_ri(tail: jax.Array, x: jax.Array, low_delay: bool = False,
                       interpret: bool = False):
     """Fused framing+window+fold+rDFT.
 
-    buf: (B, (H+9)·hop) float32 — input tail (9 hops) followed by the block.
-    Returns (re, im) each (B, H, hop+1).  hop is fixed at 128 (the window
-    fold and tile sizes assume it; the reference uses hop 128 throughout).
+    tail: (B, T_tail) float32 — carried input history (multiple of hop);
+    x:    (B, H·hop) float32 — the new block.
+    Returns (re, im) each (B, H + T_tail/hop − 9, hop+1): one spectral hop
+    per input hop beyond the 9-hop window warm-up.  hop is fixed at 128
+    (the window fold and tile sizes assume it; the reference uses hop 128
+    throughout).  The tail/block concatenation happens inside the kernel in
+    VMEM — neither buffer is copied in HBM.
     """
     hop = 128
-    B = buf.shape[0]
-    n_hops = buf.shape[1] // hop
+    B = x.shape[0]
+    t_hops = tail.shape[1] // hop
+    n_hops = x.shape[1] // hop + t_hops
     H = n_hops - (_TOTAL_HOPS - 1)
     w_ana, _ = _windows(hop, low_delay)
     C, S, _, _ = _rdft_mats(2 * hop)
@@ -73,14 +81,19 @@ def analysis_front_ri(buf: jax.Array, low_delay: bool = False,
     # pad batch to a multiple of BLK_B
     Bp = -(-B // BLK_B) * BLK_B
     if Bp != B:
-        buf = jnp.concatenate(
-            [buf, jnp.zeros((Bp - B, buf.shape[1]), buf.dtype)], axis=0)
-    x3 = buf.reshape(Bp, n_hops, hop)
+        x = jnp.concatenate(
+            [x, jnp.zeros((Bp - B, x.shape[1]), x.dtype)], axis=0)
+        tail = jnp.concatenate(
+            [tail, jnp.zeros((Bp - B, tail.shape[1]), tail.dtype)], axis=0)
+    x3 = x.reshape(Bp, n_hops - t_hops, hop)
+    tail3 = tail.reshape(Bp, t_hops, hop)
     out = pl.pallas_call(
         partial(_kernel, H),
         grid=(Bp // BLK_B,),
         in_specs=[
-            pl.BlockSpec((BLK_B, n_hops, hop),
+            pl.BlockSpec((BLK_B, t_hops, hop),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK_B, n_hops - t_hops, hop),
                          lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_TOTAL_HOPS, hop),             # window (10, 128)
                          lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -92,6 +105,107 @@ def analysis_front_ri(buf: jax.Array, low_delay: bool = False,
             lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, H, 2 * (hop + 1)), jnp.float32),
         interpret=interpret,
-    )(x3, jnp.asarray(w_ana.reshape(_TOTAL_HOPS, hop)), jnp.asarray(CS))
+    )(tail3, x3, jnp.asarray(w_ana.reshape(_TOTAL_HOPS, hop)),
+      jnp.asarray(CS))
     out = out[:B]
     return out[..., : hop + 1], out[..., hop + 1:]
+
+
+# ---------------------------------------------------------------------------
+# synthesis back-end: hybrid-inverse ⊗ irDFT ⊗ window ⊗ overlap-add
+# ---------------------------------------------------------------------------
+
+def _hybrid_inverse_mtx(n_bands_hyb: int, hop: int) -> np.ndarray:
+    """(n_bands_hyb, hop+1) 0/1 matrix summing hybrid band pairs back to
+    uniform bands (afSTFT_internal.c:644-673) — folded into the irDFT."""
+    nb_uni = hop + 1
+    P = np.zeros((n_bands_hyb, nb_uni), np.float32)
+    if n_bands_hyb == nb_uni:       # non-hybrid
+        return np.eye(nb_uni, dtype=np.float32)
+    P[0, 0] = 1.0
+    for p in range(4):              # bands 1..8 are pairs of uniform 1..4
+        P[1 + 2 * p, 1 + p] = 1.0
+        P[2 + 2 * p, 1 + p] = 1.0
+    for b in range(5, nb_uni):      # bands 9.. map 1:1 to uniform 5..
+        P[4 + b, b] = 1.0
+    return P
+
+
+def _syn_kernel(H: int, spec_ref, tail_ref, ab_ref, w_ref, y_ref,
+                tail_out_ref, acc):
+    hop = 128
+    nbh2 = spec_ref.shape[2]
+    # frames = [spec_re | spec_im] @ [P·A; P·B]  → (BLK_B·H, 2·hop)
+    frames = jnp.dot(spec_ref[:].reshape(BLK_B * H, nbh2), ab_ref[:],
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    frames = frames.reshape(BLK_B, H, 2 * hop)
+    f0 = frames[..., :hop]
+    f1 = frames[..., hop:]
+    w = w_ref[:]
+    acc[:] = jnp.zeros((BLK_B, H + _TOTAL_HOPS - 1, hop), jnp.float32)
+    for k in range(_TOTAL_HOPS):
+        fk = f0 if k % 2 == 0 else f1
+        acc[:, k:k + H, :] += fk * w[k]
+    y_ref[:] = acc[:, :H, :]
+    y_ref[:, : _TOTAL_HOPS - 1, :] += tail_ref[:]
+    tail_out_ref[:] = acc[:, H:, :]
+
+
+@partial(jax.jit, static_argnames=("low_delay", "hybrid", "interpret"))
+def synthesis_back_ri(spec: jax.Array, tail: jax.Array,
+                      low_delay: bool = False, hybrid: bool = True,
+                      interpret: bool = False):
+    """Fused hybrid-inverse + irDFT + window + overlap-add.
+
+    spec: (B, H, 2·n_bands) float32, packed [re | im] (post-decode);
+    tail:  (B, 9, hop) float32 — previous block's overlap carry.
+    Returns (y (B, H, hop), new_tail (B, 9, hop)).
+    """
+    hop = 128
+    B, H = spec.shape[:2]
+    nbh = spec.shape[2] // 2
+    _, w_syn = _windows(hop, low_delay)
+    _, _, A, Bm = _rdft_mats(2 * hop)
+    P = _hybrid_inverse_mtx(nbh, hop)
+    if low_delay:
+        sign = np.where(np.arange(hop + 1) % 2, -1.0, 1.0)[:, None]
+        A = A * sign
+        Bm = Bm * sign
+    AB = np.concatenate([P @ A, P @ Bm], axis=0).astype(np.float32)
+    Bp = -(-B // BLK_B) * BLK_B
+    if Bp != B:
+        spec = jnp.concatenate(
+            [spec, jnp.zeros((Bp - B,) + spec.shape[1:], spec.dtype)], 0)
+        tail = jnp.concatenate(
+            [tail, jnp.zeros((Bp - B,) + tail.shape[1:], tail.dtype)], 0)
+    y, new_tail = pl.pallas_call(
+        partial(_syn_kernel, H),
+        grid=(Bp // BLK_B,),
+        in_specs=[
+            pl.BlockSpec((BLK_B, H, 2 * nbh),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK_B, _TOTAL_HOPS - 1, hop),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * nbh, 2 * hop),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TOTAL_HOPS, hop),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((BLK_B, H, hop),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK_B, _TOTAL_HOPS - 1, hop),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, H, hop), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, _TOTAL_HOPS - 1, hop), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BLK_B, H + _TOTAL_HOPS - 1, hop), jnp.float32),
+        ],
+        interpret=interpret,
+    )(spec, tail, jnp.asarray(AB),
+      jnp.asarray(w_syn.reshape(_TOTAL_HOPS, hop)))
+    return y[:B], new_tail[:B]
