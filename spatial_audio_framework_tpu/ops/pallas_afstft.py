@@ -147,9 +147,15 @@ def _syn_kernel(H: int, spec_ref, tail_ref, ab_ref, w_ref, y_ref,
     for k in range(_TOTAL_HOPS):
         fk = f0 if k % 2 == 0 else f1
         acc[:, k:k + H, :] += fk * w[k]
-    y_ref[:] = acc[:, :H, :]
-    y_ref[:, : _TOTAL_HOPS - 1, :] += tail_ref[:]
-    tail_out_ref[:] = acc[:, H:, :]
+    nt = _TOTAL_HOPS - 1
+    if H >= nt:
+        y_ref[:] = acc[:, :H, :]
+        y_ref[:, :nt, :] += tail_ref[:]
+        tail_out_ref[:] = acc[:, H:, :]
+    else:  # block shorter than the window tail: part of the old tail carries
+        y_ref[:] = acc[:, :H, :] + tail_ref[:, :H, :]
+        tail_out_ref[:] = acc[:, H:, :]
+        tail_out_ref[:, : nt - H, :] += tail_ref[:, H:, :]
 
 
 @partial(jax.jit, static_argnames=("low_delay", "hybrid", "interpret"))

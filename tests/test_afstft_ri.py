@@ -82,3 +82,26 @@ def test_ambi_bin_batched_pallas_equivalence():
     y1, st1 = ambi_bin.process_ri(cfg, wri, st1, jnp.asarray(x[0]))
     y2, _ = ambi_bin.process_ri(cfg, wri, st1, jnp.asarray(x[0]))
     np.testing.assert_allclose(np.asarray(y2b)[0], np.asarray(y2), atol=1e-5)
+
+
+def test_batched_pallas_small_blocks_state_carry():
+    """Blocks shorter than the 9-hop OLA tail (H=2) must carry state
+    correctly: four 2-hop blocks equal one 8-hop block."""
+    cfg = ambi_bin.AmbiBinConfig(order=1, method="ls")
+    wri = ambi_bin.design_ri(cfg)
+    S = 2
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, (S, cfg.nsh, 8 * 128)).astype(np.float32)
+
+    st = ambi_bin.init_state_batched(cfg, S)
+    y_big, _ = ambi_bin.process_ri_batched(cfg, wri, st, jnp.asarray(x),
+                                           use_pallas=True, interpret=True)
+    st = ambi_bin.init_state_batched(cfg, S)
+    ys = []
+    for k in range(4):
+        y, st = ambi_bin.process_ri_batched(
+            cfg, wri, st, jnp.asarray(x[:, :, k * 256:(k + 1) * 256]),
+            use_pallas=True, interpret=True)
+        ys.append(np.asarray(y))
+    np.testing.assert_allclose(np.concatenate(ys, axis=-1),
+                               np.asarray(y_big), atol=1e-5)
