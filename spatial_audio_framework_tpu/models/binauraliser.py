@@ -124,3 +124,43 @@ def process(cfg: BinauraliserConfig, w: BinauraliserWeights, state: AfSTFTState,
     out = out / np.sqrt(cfg.n_sources)
     y, state = bank.synthesis(state, out)
     return y, state
+
+
+# -- stream-batched fast path (complex-free, fused pallas afSTFT kernels) ----
+
+def init_state_batched(cfg: BinauraliserConfig, n_streams: int):
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    return ri.init_state_batched(cfg.afstft, n_streams, cfg.n_sources, 2)
+
+
+def process_ri_batched(cfg: BinauraliserConfig, w: BinauraliserWeights,
+                       state, x: jax.Array, src_dirs_deg: jax.Array,
+                       src_gains: Optional[jax.Array] = None,
+                       ypr: Optional[jax.Array] = None,
+                       use_pallas: bool = True, interpret: bool = False):
+    """Stream-batched process: x (S, nSrc, T), src_dirs_deg (S, nSrc, 2),
+    src_gains (S, nSrc) or None, ypr (S, 3) or None → ((S, 2, T), state).
+
+    Runs on the split real/imaginary pipeline with the fused pallas afSTFT
+    kernels (ops.afstft_ri.render_tf_matrix_ri); the per-stream interpolated
+    HRTFs become the per-stream mixing matrices.  Don't wrap in vmap —
+    batching is native.
+    """
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    if src_gains is not None:
+        x = x * src_gains[..., None]
+    if cfg.enable_rotation and ypr is not None:
+        R = jax.vmap(lambda r: geo.yaw_pitch_roll2_rzyx(r[0], r[1], r[2]))(
+            ypr).astype(x.dtype)                        # (S, 3, 3)
+        u = geo.unit_sph2cart(src_dirs_deg, degrees=True)  # (S, nSrc, 3)
+        u = jnp.einsum("zij,zsj->zsi", R, u)
+        src_dirs_deg = geo.unit_cart2sph(u, degrees=True)
+    H = jax.vmap(lambda d: interp_hrtfs(cfg, w, d))(src_dirs_deg)
+    # H: (S, nBands, 2, nSrc) complex → RI pair
+    y, state = ri.render_tf_matrix_ri(
+        cfg.afstft, state, x,
+        jnp.real(H).astype(jnp.float32), jnp.imag(H).astype(jnp.float32),
+        use_pallas=use_pallas, interpret=interpret)
+    return y / np.sqrt(cfg.n_sources), state

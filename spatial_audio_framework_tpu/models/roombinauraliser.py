@@ -264,3 +264,38 @@ def process(cfg: RoomBinauraliserConfig, w: RoomBinauraliserWeights,
     out = out / np.sqrt(cfg.n_sources)
     y, state = bank.synthesis(state, out)
     return y, state
+
+
+# -- stream-batched fast path (complex-free, fused pallas afSTFT kernels) ----
+
+def init_state_batched(cfg: RoomBinauraliserConfig, n_streams: int):
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    return ri.init_state_batched(cfg.afstft, n_streams, cfg.n_sources, 2)
+
+
+def process_ri_batched(cfg: RoomBinauraliserConfig, w: RoomBinauraliserWeights,
+                       state, x: jax.Array,
+                       src_gains: Optional[jax.Array] = None,
+                       ypr: Optional[jax.Array] = None,
+                       use_pallas: bool = True, interpret: bool = False):
+    """Stream-batched process: x (S, nSrc, T), src_gains (S, nSrc) or None,
+    ypr (S, 3) or None → ((S, 2, T), state) on the split real/imaginary
+    pipeline with the fused pallas afSTFT kernels."""
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    S = x.shape[0]
+    if src_gains is not None:
+        x = x * src_gains[..., None]
+    if cfg.enable_rotation and ypr is not None:
+        rot_deg = jax.vmap(rotation_lookup_dir)(ypr)     # (S, 2)
+    else:
+        rot_deg = jnp.zeros((S, 2))
+    Hm = jax.vmap(lambda r: interp_hrtfs(cfg, w, r))(rot_deg)
+    # Hm: (S, nSrc, nBands, 2) complex → per-stream (S, nBands, 2, nSrc)
+    Hm = jnp.moveaxis(Hm, 1, -1)
+    y, state = ri.render_tf_matrix_ri(
+        cfg.afstft, state, x,
+        jnp.real(Hm).astype(jnp.float32), jnp.imag(Hm).astype(jnp.float32),
+        use_pallas=use_pallas, interpret=interpret)
+    return y / np.sqrt(cfg.n_sources), state

@@ -17,7 +17,7 @@ with spectra as (re, im) tuples in BANDS_CH_TIME layout.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -250,6 +250,39 @@ def synthesis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, Y,
     flat = acc.reshape(S, n_ch, (H + _TOTAL_HOPS - 1) * hop)
     flat = flat.at[..., :h_len - hop].add(state.ola_tail)
     return flat[..., :H * hop], state._replace(ola_tail=flat[..., H * hop:])
+
+
+def render_tf_matrix_ri(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
+                        Mre: jax.Array, Mim: Optional[jax.Array] = None,
+                        use_pallas: bool = True, interpret: bool = False):
+    """Generic TF-domain matrix renderer on the batched RI fast path:
+    afSTFT analysis → per-band mixing matrix → afSTFT synthesis, the shape
+    shared by ambi_bin / binauraliser / roombinauraliser / ambi_dec.
+
+    x: (S, Cin, T); M: (B, Cout, Cin) shared across streams or
+    (S, B, Cout, Cin) per-stream (e.g. per-stream interpolated HRTFs);
+    Mim None ⇒ real mixing matrix.  → ((S, Cout, T), state).
+    """
+    spec_p, state = analysis_ri_batched(bank, state, x, use_pallas=use_pallas,
+                                        interpret=interpret, packed=True)
+    S, cin, H, nb2 = spec_p.shape
+    B = nb2 // 2
+    spec5 = spec_p.reshape(S, cin, H, 2, B)
+    per_stream = Mre.ndim == 4
+    if Mim is None:
+        eq = "zbes,zshjb->zehjb" if per_stream else "bes,zshjb->zehjb"
+        out = jnp.einsum(eq, Mre, spec5, precision=_HP)
+        cout = Mre.shape[-2]
+        out_p = out.reshape(S, cout, H, nb2)
+    else:
+        M4 = jnp.stack([jnp.stack([Mre, -Mim], axis=-1),
+                        jnp.stack([Mim, Mre], axis=-1)], axis=-2)
+        eq = "zbesij,zshjb->zehib" if per_stream else "besij,zshjb->zehib"
+        out = jnp.einsum(eq, M4, spec5, precision=_HP)
+        cout = Mre.shape[-2]
+        out_p = out.reshape(S, cout, H, nb2)
+    return synthesis_ri_batched(bank, state, out_p, use_pallas=use_pallas,
+                                interpret=interpret, packed=True)
 
 
 def analysis_ri(bank: AfSTFT, state: AfSTFTStateRI, x: jax.Array

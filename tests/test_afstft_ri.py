@@ -105,3 +105,63 @@ def test_batched_pallas_small_blocks_state_carry():
         ys.append(np.asarray(y))
     np.testing.assert_allclose(np.concatenate(ys, axis=-1),
                                np.asarray(y_big), atol=1e-5)
+
+
+def test_binauraliser_batched_fast_path():
+    """Stream-batched binauraliser fast path equals the per-stream reference
+    process (rotation on, gains on)."""
+    from spatial_audio_framework_tpu.models import binauraliser as B
+
+    cfg = B.BinauraliserConfig(n_sources=2, enable_rotation=True)
+    w = B.design(cfg)
+    S = 2
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-1, 1, (S, 2, 16 * 128)).astype(np.float32)
+    dirs = np.array([[[40.0, 10.0], [-70.0, 0.0]],
+                     [[90.0, 0.0], [0.0, 45.0]]], np.float32)
+    gains = np.array([[1.0, 0.5], [0.8, 1.0]], np.float32)
+    ypr = np.array([[0.3, 0.0, 0.1], [-0.5, 0.2, 0.0]], np.float32)
+
+    ys = []
+    for s in range(S):
+        st = B.init_state(cfg)
+        y, _ = B.process(cfg, w, st, jnp.asarray(x[s]), jnp.asarray(dirs[s]),
+                         jnp.asarray(gains[s]), jnp.asarray(ypr[s]))
+        ys.append(np.asarray(y))
+    ref = np.stack(ys)
+
+    stb = B.init_state_batched(cfg, S)
+    yb, _ = B.process_ri_batched(cfg, w, stb, jnp.asarray(x),
+                                 jnp.asarray(dirs), jnp.asarray(gains),
+                                 jnp.asarray(ypr), use_pallas=True,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(yb), ref, atol=1e-4)
+
+
+def test_roombinauraliser_batched_fast_path():
+    from spatial_audio_framework_tpu.models import roombinauraliser as RB
+
+    n_azi = 12
+    azis = -180.0 + 360.0 * np.arange(n_azi) / n_azi
+    dirs = np.stack([azis, np.zeros(n_azi)], -1)
+    rng = np.random.default_rng(5)
+    brirs = 0.02 * rng.standard_normal((1, n_azi, 2, 128)).astype(np.float32)
+    brirs[:, :, 0, 4] += 1.0 + 0.5 * np.sin(np.radians(azis))
+    brirs[:, :, 1, 4] += 1.0 - 0.5 * np.sin(np.radians(azis))
+    cfg, w = RB.design(RB.RoomBinauraliserConfig(
+        n_sources=1, fs=48000, enable_hrir_diff_eq=False), brirs, dirs, 48000)
+
+    x = rng.uniform(-1, 1, (2, 1, 16 * 128)).astype(np.float32)
+    ypr = np.array([[np.pi / 2, 0, 0], [-np.pi / 2, 0, 0]], np.float32)
+    ys = []
+    for s in range(2):
+        st = RB.init_state(cfg)
+        y, _ = RB.process(cfg, w, st, jnp.asarray(x[s]),
+                          ypr=jnp.asarray(ypr[s]))
+        ys.append(np.asarray(y))
+    ref = np.stack(ys)
+    stb = RB.init_state_batched(cfg, 2)
+    yb, _ = RB.process_ri_batched(cfg, w, stb, jnp.asarray(x),
+                                  ypr=jnp.asarray(ypr), use_pallas=True,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(yb), ref, atol=1e-4)
