@@ -128,3 +128,32 @@ def process(cfg: AmbiDecConfig, w: AmbiDecWeights, state: AfSTFTState,
         out = jnp.einsum("bel,blh->beh", w.H_bin.astype(out.dtype), out, precision=jax.lax.Precision.HIGHEST)
     y, state = bank.synthesis(state, out)
     return y, state
+
+
+# -- stream-batched fast path (complex-free, fused pallas afSTFT kernels) ----
+
+def init_state_batched(cfg: AmbiDecConfig, n_streams: int, n_ls: int):
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    n_out = 2 if cfg.binauralise_ls else n_ls
+    return ri.init_state_batched(cfg.afstft, n_streams, cfg.nsh, n_out)
+
+
+def process_ri_batched(cfg: AmbiDecConfig, w: AmbiDecWeights, state,
+                       x: jax.Array, use_pallas: bool = True,
+                       interpret: bool = False):
+    """Stream-batched process on the split real/imaginary pipeline with the
+    fused pallas afSTFT kernels: x (S, nSH, T) → ((S, nLS or 2, T), state).
+    The dual-band decoder is a real per-band matrix; with binauralise_ls the
+    headphone preview H_bin·M is folded into one complex matrix."""
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    if cfg.binauralise_ls:
+        M = jnp.einsum("bel,bls->bes", w.H_bin, w.M)
+        Mre = jnp.real(M).astype(jnp.float32)
+        Mim = jnp.imag(M).astype(jnp.float32)
+    else:
+        Mre = jnp.real(w.M).astype(jnp.float32)
+        Mim = None
+    return ri.render_tf_matrix_ri(cfg.afstft, state, x, Mre, Mim,
+                                  use_pallas=use_pallas, interpret=interpret)

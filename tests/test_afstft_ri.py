@@ -165,3 +165,25 @@ def test_roombinauraliser_batched_fast_path():
                                   ypr=jnp.asarray(ypr), use_pallas=True,
                                   interpret=True)
     np.testing.assert_allclose(np.asarray(yb), ref, atol=1e-4)
+
+
+def test_ambi_dec_batched_fast_path():
+    from spatial_audio_framework_tpu.models import ambi_dec as D
+
+    ls = np.array([[30.0, 0.0], [-30.0, 0.0], [110.0, 0.0], [-110.0, 0.0],
+                   [0.0, 90.0]])
+    cfg = D.AmbiDecConfig(master_order=1)
+    w = D.design(cfg, ls)
+    rng = np.random.default_rng(6)
+    S = 2
+    x = rng.uniform(-1, 1, (S, cfg.nsh, 16 * 128)).astype(np.float32)
+    ys = []
+    for s in range(S):
+        st = D.init_state(cfg, ls.shape[0])
+        y, _ = D.process(cfg, w, st, jnp.asarray(x[s]))
+        ys.append(np.asarray(y))
+    ref = np.stack(ys)
+    stb = D.init_state_batched(cfg, S, ls.shape[0])
+    yb, _ = D.process_ri_batched(cfg, w, stb, jnp.asarray(x),
+                                 use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(yb), ref, atol=1e-4)
