@@ -123,6 +123,43 @@ def main():
     except Exception:
         pass
 
+    # -- secondary: binauraliser (object renderer) fast path ------------------
+    bin_rtf = None
+    try:
+        from spatial_audio_framework_tpu.models import binauraliser as BIN
+        bcfg = BIN.BinauraliserConfig(n_sources=4, enable_rotation=True)
+        bw = BIN.design_ri(bcfg)
+        S2, K2 = 64, 4
+        xb2 = jnp.asarray(rng.uniform(
+            -1, 1, (S2, 4, Tc)).astype(np.float32))
+        dirs = jnp.asarray(rng.uniform(-180, 180, (S2, 4, 2)).astype(
+            np.float32) * np.array([1.0, 0.45], np.float32))
+        yprs = jnp.asarray(rng.uniform(-1, 1, (S2, 3)).astype(np.float32))
+        xs2 = jax.jit(lambda x: jax.vmap(
+            lambda k: jnp.roll(x, k + 1, axis=-1))(jnp.arange(K2)))(xb2)
+
+        def brender(st, xs2):
+            def body(st, xk):
+                y, st = BIN.process_ri_batched(bcfg, bw, st, xk, dirs,
+                                               None, yprs)
+                return st, jnp.sum(y * y)
+            st, e = jax.lax.scan(body, st, xs2)
+            return jnp.sum(e), st
+
+        bproc = jax.jit(brender)
+        bst = BIN.init_state_batched(bcfg, S2)
+        e2, bst = bproc(bst, xs2)
+        float(e2)
+        bt = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            e2, bst = bproc(bst, xs2)
+            float(e2)
+            bt.append(time.perf_counter() - t0)
+        bin_rtf = round(S2 * K2 * Tc / FS / float(np.median(bt)), 1)
+    except Exception:
+        pass
+
     result = {
         "metric": "ambi_bin_order3_magls_64streams_rtf",
         "value": round(rtf, 2),
@@ -135,6 +172,7 @@ def main():
             "chunk_samples": Tc,
             "n_streams": N_STREAMS,
             "max_abs_err_vs_cpu_f32": max_err,
+            "binauraliser_64streams_4src_rtf": bin_rtf,
             "device": str(jax.devices()[0]),
         },
     }

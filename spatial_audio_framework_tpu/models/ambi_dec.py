@@ -54,6 +54,13 @@ class AmbiDecWeights(NamedTuple):
     H_bin: Optional[jax.Array]   # (nBands, 2, nLS) or None
 
 
+class AmbiDecWeightsRI(NamedTuple):
+    """Fast-path weights, complex-free: the real dual-band decoder, or (with
+    binauralise_ls) the H_bin·M fold as an (re, im) float32 pair."""
+    M_re: jax.Array              # (nBands, nOut, nSH)
+    M_im: Optional[jax.Array]    # None for the pure loudspeaker decode
+
+
 def _norm_factors(M_dec: np.ndarray, order: int) -> tuple[float, float]:
     """Amplitude/energy preservation factors from a t-design sweep
     (ambi_dec.c:305-335)."""
@@ -69,7 +76,8 @@ def design(cfg: AmbiDecConfig, ls_dirs_deg: np.ndarray,
            order_per_band: Optional[np.ndarray] = None,
            hrirs: Optional[np.ndarray] = None,
            hrir_dirs_deg: Optional[np.ndarray] = None,
-           hrir_fs: Optional[int] = None) -> AmbiDecWeights:
+           hrir_fs: Optional[int] = None,
+           _split_ri: bool = False) -> AmbiDecWeights:
     ls_dirs_deg = np.asarray(ls_dirs_deg, np.float64)
     n_ls = ls_dirs_deg.shape[0]
     bank = cfg.afstft
@@ -101,6 +109,24 @@ def design(cfg: AmbiDecConfig, ls_dirs_deg: np.ndarray,
         n = int(order_per_band[band])
         M[band, :, : (n + 1) ** 2] = M_full[(d, n)]
         M[band] = M[band] @ conv
+    if _split_ri:
+        # complex-free fast-path weights: M is real; with binauralise_ls the
+        # headphone preview H_bin·M is folded on host into one RI pair
+        if cfg.binauralise_ls:
+            from spatial_audio_framework_tpu.models import binauraliser as _b
+
+            bcfg = _b.BinauraliserConfig(n_sources=n_ls, fs=cfg.fs,
+                                         hop=cfg.hop)
+            bwri = _b.design_ri(bcfg, hrirs, hrir_dirs_deg, hrir_fs)
+            Hre, Him = _b.interp_hrtfs_ri(
+                bcfg, bwri, jnp.asarray(ls_dirs_deg, jnp.float32))
+            Mre = jnp.einsum("bel,bls->bes", Hre,
+                             jnp.asarray(M.astype(np.float32)))
+            Mim = jnp.einsum("bel,bls->bes", Him,
+                             jnp.asarray(M.astype(np.float32)))
+            return AmbiDecWeightsRI(M_re=Mre, M_im=Mim)
+        return AmbiDecWeightsRI(M_re=jnp.asarray(M.astype(np.float32)),
+                                M_im=None)
     weights = AmbiDecWeights(M=jnp.asarray(M.astype(np.complex64)), H_bin=None)
 
     if cfg.binauralise_ls:
@@ -111,6 +137,13 @@ def design(cfg: AmbiDecConfig, ls_dirs_deg: np.ndarray,
         H = _bin.interp_hrtfs(bcfg, bw, jnp.asarray(ls_dirs_deg, jnp.float32))
         weights = weights._replace(H_bin=H)
     return weights
+
+
+def design_ri(cfg: AmbiDecConfig, ls_dirs_deg, order_per_band=None,
+              hrirs=None, hrir_dirs_deg=None, hrir_fs=None):
+    """design() for the complex-free fast path (see AmbiDecWeightsRI)."""
+    return design(cfg, ls_dirs_deg, order_per_band, hrirs, hrir_dirs_deg,
+                  hrir_fs, _split_ri=True)
 
 
 def init_state(cfg: AmbiDecConfig, n_ls: int) -> AfSTFTState:
@@ -139,21 +172,14 @@ def init_state_batched(cfg: AmbiDecConfig, n_streams: int, n_ls: int):
     return ri.init_state_batched(cfg.afstft, n_streams, cfg.nsh, n_out)
 
 
-def process_ri_batched(cfg: AmbiDecConfig, w: AmbiDecWeights, state,
+def process_ri_batched(cfg: AmbiDecConfig, w: AmbiDecWeightsRI, state,
                        x: jax.Array, use_pallas: bool = True,
                        interpret: bool = False):
     """Stream-batched process on the split real/imaginary pipeline with the
     fused pallas afSTFT kernels: x (S, nSH, T) → ((S, nLS or 2, T), state).
-    The dual-band decoder is a real per-band matrix; with binauralise_ls the
-    headphone preview H_bin·M is folded into one complex matrix."""
+    w from :func:`design_ri` (the dual-band decoder is a real per-band
+    matrix; with binauralise_ls the folded H_bin·M RI pair)."""
     from spatial_audio_framework_tpu.ops import afstft_ri as ri
 
-    if cfg.binauralise_ls:
-        M = jnp.einsum("bel,bls->bes", w.H_bin, w.M)
-        Mre = jnp.real(M).astype(jnp.float32)
-        Mim = jnp.imag(M).astype(jnp.float32)
-    else:
-        Mre = jnp.real(w.M).astype(jnp.float32)
-        Mim = None
-    return ri.render_tf_matrix_ri(cfg.afstft, state, x, Mre, Mim,
+    return ri.render_tf_matrix_ri(cfg.afstft, state, x, w.M_re, w.M_im,
                                   use_pallas=use_pallas, interpret=interpret)

@@ -50,9 +50,9 @@ class BinauraliserWeights(NamedTuple):
     freqs: jax.Array         # (nBands,)
 
 
-def design(cfg: BinauraliserConfig, hrirs: Optional[np.ndarray] = None,
-           hrir_dirs_deg: Optional[np.ndarray] = None,
-           hrir_fs: Optional[int] = None) -> BinauraliserWeights:
+def _design_host(cfg: BinauraliserConfig, hrirs: Optional[np.ndarray] = None,
+                 hrir_dirs_deg: Optional[np.ndarray] = None,
+                 hrir_fs: Optional[int] = None):
     if hrirs is None:
         hrirs, hrir_dirs_deg, hrir_fs = hrir_mod.default_hrirs()
     if hrir_fs != cfg.fs:
@@ -69,8 +69,43 @@ def design(cfg: BinauraliserConfig, hrirs: Optional[np.ndarray] = None,
         np.asarray(hrir_dirs_deg, np.float64), cfg.azi_res, cfg.elev_res,
         omit_large_triangles=True, enable_dummies=False)
     comp, idx = vbap.compress_vbap_gain_table_3d(gtable)
+    return hrtf_fb, itds, comp, idx, freqs
+
+
+def design(cfg: BinauraliserConfig, hrirs: Optional[np.ndarray] = None,
+           hrir_dirs_deg: Optional[np.ndarray] = None,
+           hrir_fs: Optional[int] = None) -> BinauraliserWeights:
+    hrtf_fb, itds, comp, idx, freqs = _design_host(cfg, hrirs, hrir_dirs_deg,
+                                                   hrir_fs)
     return BinauraliserWeights(
         hrtf_fb=jnp.asarray(hrtf_fb),
+        hrtf_mag=jnp.asarray(np.abs(hrtf_fb).astype(np.float32)),
+        itds=jnp.asarray(itds),
+        table_w=jnp.asarray(comp), table_idx=jnp.asarray(idx),
+        freqs=jnp.asarray(freqs))
+
+
+class BinauraliserWeightsRI(NamedTuple):
+    """Weights with the HRTF filterbank split into (re, im) float32 — no
+    complex64 device arrays anywhere (see ops.afstft_ri's rationale)."""
+    hrtf_re: jax.Array       # (nBands, 2, nDirs)
+    hrtf_im: jax.Array
+    hrtf_mag: jax.Array
+    itds: jax.Array
+    table_w: jax.Array
+    table_idx: jax.Array
+    freqs: jax.Array
+
+
+def design_ri(cfg: BinauraliserConfig, hrirs: Optional[np.ndarray] = None,
+              hrir_dirs_deg: Optional[np.ndarray] = None,
+              hrir_fs: Optional[int] = None) -> BinauraliserWeightsRI:
+    """design() for the complex-free fast path (host-side re/im split)."""
+    hrtf_fb, itds, comp, idx, freqs = _design_host(cfg, hrirs, hrir_dirs_deg,
+                                                   hrir_fs)
+    return BinauraliserWeightsRI(
+        hrtf_re=jnp.asarray(hrtf_fb.real.astype(np.float32)),
+        hrtf_im=jnp.asarray(hrtf_fb.imag.astype(np.float32)),
         hrtf_mag=jnp.asarray(np.abs(hrtf_fb).astype(np.float32)),
         itds=jnp.asarray(itds),
         table_w=jnp.asarray(comp), table_idx=jnp.asarray(idx),
@@ -106,6 +141,31 @@ def interp_hrtfs(cfg: BinauraliserConfig, w: BinauraliserWeights,
     return mag * jnp.exp(1j * phase)
 
 
+def interp_hrtfs_ri(cfg: BinauraliserConfig, w: BinauraliserWeightsRI,
+                    dirs_deg: jax.Array):
+    """interp_hrtfs in split real/imaginary arithmetic:
+    dirs_deg (nSrc, 2) → (Hre, Him) each (nBands, 2, nSrc)."""
+    n_azi = int(360.0 / cfg.azi_res + 0.5) + 1
+    azi_idx = jnp.round(jnp.mod(dirs_deg[:, 0] + 180.0, 360.0) / cfg.azi_res)
+    elev_idx = jnp.round((dirs_deg[:, 1] + 90.0) / cfg.elev_res)
+    idx3d = (elev_idx * n_azi + azi_idx).astype(jnp.int32)
+    w3 = jnp.take(w.table_w, idx3d, axis=0)
+    i3 = jnp.take(w.table_idx, idx3d, axis=0)
+    if cfg.interp_mode == INTERP_TRI:
+        Hre = jnp.einsum("besk,sk->bes", w.hrtf_re[:, :, i3], w3)
+        Him = jnp.einsum("besk,sk->bes", w.hrtf_im[:, :, i3], w3)
+        return Hre, Him
+    m3 = w.hrtf_mag[:, :, i3]
+    mag = jnp.einsum("besk,sk->bes", m3, w3)
+    itd = jnp.einsum("sk,sk->s", w3, w.itds[i3])
+    f = w.freqs
+    ipd = (jnp.mod(2.0 * jnp.pi * f[:, None] * itd[None, :] + jnp.pi,
+                   2.0 * jnp.pi) - jnp.pi) / 2.0
+    ipd = jnp.where((f < 1.5e3)[:, None], ipd, 0.0)
+    phase = jnp.stack([ipd, -ipd], axis=1)
+    return mag * jnp.cos(phase), mag * jnp.sin(phase)
+
+
 def process(cfg: BinauraliserConfig, w: BinauraliserWeights, state: AfSTFTState,
             x: jax.Array, src_dirs_deg: jax.Array,
             src_gains: Optional[jax.Array] = None,
@@ -134,7 +194,7 @@ def init_state_batched(cfg: BinauraliserConfig, n_streams: int):
     return ri.init_state_batched(cfg.afstft, n_streams, cfg.n_sources, 2)
 
 
-def process_ri_batched(cfg: BinauraliserConfig, w: BinauraliserWeights,
+def process_ri_batched(cfg: BinauraliserConfig, w: BinauraliserWeightsRI,
                        state, x: jax.Array, src_dirs_deg: jax.Array,
                        src_gains: Optional[jax.Array] = None,
                        ypr: Optional[jax.Array] = None,
@@ -157,10 +217,9 @@ def process_ri_batched(cfg: BinauraliserConfig, w: BinauraliserWeights,
         u = geo.unit_sph2cart(src_dirs_deg, degrees=True)  # (S, nSrc, 3)
         u = jnp.einsum("zij,zsj->zsi", R, u)
         src_dirs_deg = geo.unit_cart2sph(u, degrees=True)
-    H = jax.vmap(lambda d: interp_hrtfs(cfg, w, d))(src_dirs_deg)
-    # H: (S, nBands, 2, nSrc) complex → RI pair
-    y, state = ri.render_tf_matrix_ri(
-        cfg.afstft, state, x,
-        jnp.real(H).astype(jnp.float32), jnp.imag(H).astype(jnp.float32),
-        use_pallas=use_pallas, interpret=interpret)
+    Hre, Him = jax.vmap(lambda d: interp_hrtfs_ri(cfg, w, d))(src_dirs_deg)
+    # (S, nBands, 2, nSrc) per-stream mixing matrices, complex-free
+    y, state = ri.render_tf_matrix_ri(cfg.afstft, state, x, Hre, Him,
+                                      use_pallas=use_pallas,
+                                      interpret=interpret)
     return y / np.sqrt(cfg.n_sources), state

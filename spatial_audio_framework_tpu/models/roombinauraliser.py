@@ -88,6 +88,18 @@ class RoomBinauraliserWeights(NamedTuple):
     freqs: jax.Array      # (nBands,)
 
 
+class RoomBinauraliserWeightsRI(NamedTuple):
+    """Weights with the BRTF filterbank split into (re, im) float32 — no
+    complex64 device arrays (see ops.afstft_ri's rationale)."""
+    hrtf_re: jax.Array    # (nSrc, nBands, 2, nDirs)
+    hrtf_im: jax.Array
+    hrtf_mag: jax.Array
+    itds: jax.Array
+    table_w: jax.Array
+    table_idx: jax.Array
+    freqs: jax.Array
+
+
 def fabian_ctf_ir() -> np.ndarray:
     """The FABIAN dummy-head CTF impulse response (256 taps @48 kHz,
     roombinauraliser_internal.h:192 ``fabian_ir``)."""
@@ -111,6 +123,7 @@ def design(cfg: RoomBinauraliserConfig,
            brir_fs: Optional[int] = None,
            own_ctf_ir: Optional[np.ndarray] = None,
            reinit: str = REINIT_FULL,
+           _split_ri: bool = False,
            ) -> Tuple[RoomBinauraliserConfig, RoomBinauraliserWeights]:
     """Codec init (roombinauraliser_initHRTFsAndGainTables).
 
@@ -176,12 +189,29 @@ def design(cfg: RoomBinauraliserConfig,
         else:
             raise ValueError(f"unknown diff_eq_mode {cfg.diff_eq_mode!r}")
 
+    if _split_ri:
+        w = RoomBinauraliserWeightsRI(
+            hrtf_re=jnp.asarray(hrtf_fb.real.astype(np.float32)),
+            hrtf_im=jnp.asarray(hrtf_fb.imag.astype(np.float32)),
+            hrtf_mag=jnp.asarray(np.abs(hrtf_fb).astype(np.float32)),
+            itds=jnp.asarray(itds.astype(np.float32)),
+            table_w=jnp.asarray(comp), table_idx=jnp.asarray(idx),
+            freqs=jnp.asarray(freqs))
+        return cfg, w
     return cfg, RoomBinauraliserWeights(
         hrtf_fb=jnp.asarray(hrtf_fb.astype(np.complex64)),
         hrtf_mag=jnp.asarray(np.abs(hrtf_fb).astype(np.float32)),
         itds=jnp.asarray(itds.astype(np.float32)),
         table_w=jnp.asarray(comp), table_idx=jnp.asarray(idx),
         freqs=jnp.asarray(freqs))
+
+
+def design_ri(cfg: RoomBinauraliserConfig, brirs=None, brir_dirs_deg=None,
+              brir_fs=None, own_ctf_ir=None):
+    """design() for the complex-free fast path: BRTF coefficients split into
+    (re, im) float32 on host (no complex64 device arrays)."""
+    return design(cfg, brirs, brir_dirs_deg, brir_fs, own_ctf_ir,
+                  _split_ri=True)
 
 
 def init_state(cfg: RoomBinauraliserConfig) -> AfSTFTState:
@@ -245,6 +275,34 @@ def interp_hrtfs(cfg: RoomBinauraliserConfig, w: RoomBinauraliserWeights,
     return mag * jnp.exp(1j * phase)
 
 
+def interp_hrtfs_ri(cfg: RoomBinauraliserConfig, w: RoomBinauraliserWeightsRI,
+                    rot_deg: jax.Array):
+    """interp_hrtfs in split real/imaginary arithmetic:
+    rot_deg (2,) → (Hre, Him) each (nSrc, nBands, 2)."""
+    n_azi = int(360.0 / cfg.azi_res + 0.5) + 1
+    azi_idx = jnp.round(jnp.mod(rot_deg[0] + 180.0, 360.0) / cfg.azi_res)
+    if cfg.vbap_3d:
+        elev_idx = jnp.round((rot_deg[1] + 90.0) / cfg.elev_res)
+    else:
+        elev_idx = jnp.zeros(())
+    idx3d = (elev_idx * n_azi + azi_idx).astype(jnp.int32)
+    w3 = jnp.take(w.table_w, idx3d, axis=0)
+    i3 = jnp.take(w.table_idx, idx3d, axis=0)
+    if cfg.interp_mode == INTERP_TRI:
+        Hre = jnp.einsum("sbek,k->sbe", w.hrtf_re[:, :, :, i3], w3)
+        Him = jnp.einsum("sbek,k->sbe", w.hrtf_im[:, :, :, i3], w3)
+        return Hre, Him
+    m3 = w.hrtf_mag[:, :, :, i3]
+    mag = jnp.einsum("sbek,k->sbe", m3, w3)
+    itd = w.itds[:, i3] @ w3
+    f = w.freqs
+    ipd = (jnp.mod(2.0 * jnp.pi * f[None, :] * itd[:, None] + jnp.pi,
+                   2.0 * jnp.pi) - jnp.pi) / 2.0
+    ipd = jnp.where((f < 1.5e3)[None, :], ipd, 0.0)
+    phase = jnp.stack([ipd, -ipd], axis=-1)
+    return mag * jnp.cos(phase), mag * jnp.sin(phase)
+
+
 def process(cfg: RoomBinauraliserConfig, w: RoomBinauraliserWeights,
             state: AfSTFTState, x: jax.Array,
             src_gains: Optional[jax.Array] = None,
@@ -274,7 +332,8 @@ def init_state_batched(cfg: RoomBinauraliserConfig, n_streams: int):
     return ri.init_state_batched(cfg.afstft, n_streams, cfg.n_sources, 2)
 
 
-def process_ri_batched(cfg: RoomBinauraliserConfig, w: RoomBinauraliserWeights,
+def process_ri_batched(cfg: RoomBinauraliserConfig,
+                       w: RoomBinauraliserWeightsRI,
                        state, x: jax.Array,
                        src_gains: Optional[jax.Array] = None,
                        ypr: Optional[jax.Array] = None,
@@ -291,11 +350,11 @@ def process_ri_batched(cfg: RoomBinauraliserConfig, w: RoomBinauraliserWeights,
         rot_deg = jax.vmap(rotation_lookup_dir)(ypr)     # (S, 2)
     else:
         rot_deg = jnp.zeros((S, 2))
-    Hm = jax.vmap(lambda r: interp_hrtfs(cfg, w, r))(rot_deg)
-    # Hm: (S, nSrc, nBands, 2) complex → per-stream (S, nBands, 2, nSrc)
-    Hm = jnp.moveaxis(Hm, 1, -1)
-    y, state = ri.render_tf_matrix_ri(
-        cfg.afstft, state, x,
-        jnp.real(Hm).astype(jnp.float32), jnp.imag(Hm).astype(jnp.float32),
-        use_pallas=use_pallas, interpret=interpret)
+    Hre, Him = jax.vmap(lambda r: interp_hrtfs_ri(cfg, w, r))(rot_deg)
+    # (S, nSrc, nBands, 2) → per-stream mixing (S, nBands, 2, nSrc)
+    Hre = jnp.moveaxis(Hre, 1, -1)
+    Him = jnp.moveaxis(Him, 1, -1)
+    y, state = ri.render_tf_matrix_ri(cfg.afstft, state, x, Hre, Him,
+                                      use_pallas=use_pallas,
+                                      interpret=interpret)
     return y / np.sqrt(cfg.n_sources), state

@@ -169,10 +169,11 @@ def analysis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
             return (sre[:, :, 6:], sim[:, :, 6:]), state
         ore, oim = _hybrid_forward_ri(sre, sim, H)           # (S,C,H,133)
         return (ore, oim), state
+    # XLA reference path (same math as the kernel)
     buf = jnp.concatenate([state.in_tail, x], axis=-1)   # (S,C,(H+15)·hop)
     new_in_tail = buf[..., H * hop:]
     flat = buf.reshape(S * n_ch, -1)
-    if True:  # XLA reference path (same math)
+    if True:
         from spatial_audio_framework_tpu.ops.fft import _rdft_mats as _m
         w_ana, _ = _windows(hop, bank.low_delay)
         C, Smat, _, _ = _m(2 * hop)

@@ -71,6 +71,7 @@ def analysis_front_ri(tail: jax.Array, x: jax.Array, low_delay: bool = False,
     VMEM — neither buffer is copied in HBM.
     """
     hop = 128
+    interpret = interpret or jax.default_backend() != "tpu"
     B = x.shape[0]
     t_hops = tail.shape[1] // hop
     n_hops = x.shape[1] // hop + t_hops
@@ -169,6 +170,7 @@ def synthesis_back_ri(spec: jax.Array, tail: jax.Array,
     Returns (y (B, H, hop), new_tail (B, 9, hop)).
     """
     hop = 128
+    interpret = interpret or jax.default_backend() != "tpu"
     B, H = spec.shape[:2]
     nbh = spec.shape[2] // 2
     _, w_syn = _windows(hop, low_delay)

@@ -114,6 +114,7 @@ def test_binauraliser_batched_fast_path():
 
     cfg = B.BinauraliserConfig(n_sources=2, enable_rotation=True)
     w = B.design(cfg)
+    wri = B.design_ri(cfg)
     S = 2
     rng = np.random.default_rng(4)
     x = rng.uniform(-1, 1, (S, 2, 16 * 128)).astype(np.float32)
@@ -131,7 +132,7 @@ def test_binauraliser_batched_fast_path():
     ref = np.stack(ys)
 
     stb = B.init_state_batched(cfg, S)
-    yb, _ = B.process_ri_batched(cfg, w, stb, jnp.asarray(x),
+    yb, _ = B.process_ri_batched(cfg, wri, stb, jnp.asarray(x),
                                  jnp.asarray(dirs), jnp.asarray(gains),
                                  jnp.asarray(ypr), use_pallas=True,
                                  interpret=True)
@@ -150,6 +151,8 @@ def test_roombinauraliser_batched_fast_path():
     brirs[:, :, 1, 4] += 1.0 - 0.5 * np.sin(np.radians(azis))
     cfg, w = RB.design(RB.RoomBinauraliserConfig(
         n_sources=1, fs=48000, enable_hrir_diff_eq=False), brirs, dirs, 48000)
+    cfg2, wri = RB.design_ri(RB.RoomBinauraliserConfig(
+        n_sources=1, fs=48000, enable_hrir_diff_eq=False), brirs, dirs, 48000)
 
     x = rng.uniform(-1, 1, (2, 1, 16 * 128)).astype(np.float32)
     ypr = np.array([[np.pi / 2, 0, 0], [-np.pi / 2, 0, 0]], np.float32)
@@ -161,7 +164,7 @@ def test_roombinauraliser_batched_fast_path():
         ys.append(np.asarray(y))
     ref = np.stack(ys)
     stb = RB.init_state_batched(cfg, 2)
-    yb, _ = RB.process_ri_batched(cfg, w, stb, jnp.asarray(x),
+    yb, _ = RB.process_ri_batched(cfg2, wri, stb, jnp.asarray(x),
                                   ypr=jnp.asarray(ypr), use_pallas=True,
                                   interpret=True)
     np.testing.assert_allclose(np.asarray(yb), ref, atol=1e-4)
@@ -183,7 +186,8 @@ def test_ambi_dec_batched_fast_path():
         y, _ = D.process(cfg, w, st, jnp.asarray(x[s]))
         ys.append(np.asarray(y))
     ref = np.stack(ys)
+    wri = D.design_ri(cfg, ls)
     stb = D.init_state_batched(cfg, S, ls.shape[0])
-    yb, _ = D.process_ri_batched(cfg, w, stb, jnp.asarray(x),
+    yb, _ = D.process_ri_batched(cfg, wri, stb, jnp.asarray(x),
                                  use_pallas=True, interpret=True)
     np.testing.assert_allclose(np.asarray(yb), ref, atol=1e-4)
