@@ -85,3 +85,40 @@ def process(cfg: PannerConfig, weights: PannerWeights, state: AfSTFTState,
     out = jnp.einsum("bsl,bsh->blh", G.astype(spec.dtype), spec, precision=jax.lax.Precision.HIGHEST)
     y, state = bank.synthesis(state, out)
     return y, state
+
+
+# -- stream-batched fast path (complex-free, fused pallas afSTFT kernels) ----
+
+def init_state_batched(cfg: PannerConfig, n_streams: int, n_ls: int):
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    return ri.init_state_batched(cfg.afstft, n_streams, cfg.n_sources, n_ls)
+
+
+def process_ri_batched(cfg: PannerConfig, weights: PannerWeights, state,
+                       x: jax.Array, src_dirs_deg: jax.Array,
+                       ypr: Optional[jax.Array] = None,
+                       use_pallas: bool = True, interpret: bool = False):
+    """Stream-batched process: x (S, nSrc, T), src_dirs_deg (S, nSrc, 2),
+    ypr (S, 3) or None → ((S, nLS, T), state).  The frequency-dependent
+    VBAP gains (real, per band) become per-stream mixing matrices on the
+    complex-free fused-kernel pipeline."""
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    if ypr is not None:
+        R = jax.vmap(lambda r: geo.yaw_pitch_roll2_rzyx(r[0], r[1], r[2]))(
+            ypr).astype(x.dtype)
+        u = geo.unit_sph2cart(src_dirs_deg, degrees=True)
+        u = jnp.einsum("zsj,zij->zsi", u, R)
+        src_dirs_deg = geo.unit_cart2sph(u, degrees=True)
+    g = jax.vmap(lambda d: _table_lookup(cfg, weights.gtable, d))(
+        src_dirs_deg)                                   # (S, nSrc, nLS)
+    p = weights.p_values
+    gp = jnp.maximum(g, 0.0)[:, None] ** p[None, :, None, None]
+    norm = jnp.sum(gp, axis=-1) ** (1.0 / (p[None, :, None] + 2.23e-9))
+    G = jnp.where((jnp.abs(p - 2.0) > 1e-6)[None, :, None, None],
+                  g[:, None] / (norm[..., None] + 2.23e-9), g[:, None])
+    # G: (S, nBands, nSrc, nLS) → mixing (S, nBands, nLS, nSrc)
+    G = jnp.swapaxes(G, -1, -2).astype(jnp.float32)
+    return ri.render_tf_matrix_ri(cfg.afstft, state, x, G, None,
+                                  use_pallas=use_pallas, interpret=interpret)

@@ -112,3 +112,26 @@ def test_spreader_modes():
         b = y[1, 2048:].astype(np.float64)
         return abs(np.dot(a, b)) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
     assert coh(outs[SP.MODE_EVD]) < coh(outs[SP.MODE_NAIVE]) + 0.1
+
+
+def test_profiling_utils():
+    """Timer laps / progress reporter / trace annotation (SURVEY §5 aux)."""
+    import time as _t
+
+    from spatial_audio_framework_tpu.utils.profiling import (
+        ProgressReporter, Timer, trace_annotation)
+
+    t = Timer()
+    _t.sleep(0.01)
+    d = t.lap("step1")
+    assert d >= 0.009 and "step1" in t.laps and t.total >= d
+    assert "total" in t.report()
+
+    p = ProgressReporter()
+    p.set(0.3, "Estimating ITDs")
+    assert abs(p.progress_0_1 - 0.3) < 1e-9 and p.text == "Estimating ITDs"
+    p.done()
+    assert p.progress_0_1 == 1.0
+
+    with trace_annotation("unit-test"):
+        pass
