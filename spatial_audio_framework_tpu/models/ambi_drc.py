@@ -96,3 +96,61 @@ def process(cfg: AmbiDrcConfig, state: AmbiDrcState, x: jax.Array):
     out = spec * (cdb * makeup)[:, None, :].astype(spec.dtype)
     y, bank_st = bank.synthesis(bank_st, out)
     return y, AmbiDrcState(bank=bank_st, yl_z1=yl_last)
+
+
+# -- stream-batched fast path (complex-free, fused pallas afSTFT kernels) ----
+
+class AmbiDrcStateBatched(NamedTuple):
+    bank: "object"      # ops.afstft_ri.AfSTFTStateBatched
+    yl_z1: jax.Array    # (S, nBands) smoother state
+
+
+def init_state_batched(cfg: AmbiDrcConfig, n_streams: int) -> AmbiDrcStateBatched:
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    return AmbiDrcStateBatched(
+        bank=ri.init_state_batched(cfg.afstft, n_streams, cfg.nsh, cfg.nsh),
+        yl_z1=jnp.zeros((n_streams, cfg.afstft.n_bands), jnp.float32))
+
+
+def process_ri_batched(cfg: AmbiDrcConfig, state: AmbiDrcStateBatched,
+                       x: jax.Array, use_pallas: bool = True,
+                       interpret: bool = False):
+    """Stream-batched process on the complex-free pipeline:
+    x (S, nSH, T) → ((S, nSH, T), state).  The per-(band, slot) gain comes
+    from the omni magnitude √(re²+im²) and multiplies both halves of the
+    packed spectrum."""
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    bank = cfg.afstft
+    spec_p, bank_st = ri.analysis_ri_batched(bank, state.bank, x,
+                                             use_pallas=use_pallas,
+                                             interpret=interpret, packed=True)
+    S, _, H, nb2 = spec_p.shape
+    B = nb2 // 2
+    boost = 10.0 ** (cfg.in_gain_db / 20.0)
+    makeup = 10.0 ** (cfg.out_gain_db / 20.0)
+    spec_p = spec_p * boost
+    w_pow = (spec_p[:, 0, :, :B] ** 2
+             + spec_p[:, 0, :, B:] ** 2)              # (S, H, B)
+    alpha_a = jnp.exp(-1.0 / (cfg.attack_ms * 0.001 * cfg.fs / cfg.hop))
+    alpha_r = jnp.exp(-1.0 / (cfg.release_ms * 0.001 * cfg.fs / cfg.hop))
+    xg = 10.0 * jnp.log10(w_pow + 2e-13)              # (S, H, B)
+    yg = _gain_computer(xg, cfg.theshold_db, cfg.ratio, cfg.knee_db)
+    xl = jnp.moveaxis(xg - yg, 1, 0)                  # (H, S, B)
+
+    def smooth(yl_z1, xl_t):
+        yl = jnp.where(xl_t > yl_z1,
+                       alpha_a * yl_z1 + (1 - alpha_a) * xl_t,
+                       alpha_r * yl_z1 + (1 - alpha_r) * xl_t)
+        return yl, yl
+
+    yl_last, yl = jax.lax.scan(smooth, state.yl_z1, xl)
+    yl = jnp.moveaxis(yl, 0, 1)                       # (S, H, B)
+    cdb = jnp.maximum(SPECTRAL_FLOOR, jnp.sqrt(10.0 ** (-yl / 20.0)))
+    g = (cdb * makeup)[:, None]                       # (S, 1, H, B)
+    out_p = spec_p * jnp.concatenate([g, g], axis=-1)
+    y, bank_st = ri.synthesis_ri_batched(bank, bank_st, out_p,
+                                         use_pallas=use_pallas,
+                                         interpret=interpret, packed=True)
+    return y, AmbiDrcStateBatched(bank=bank_st, yl_z1=yl_last)

@@ -247,3 +247,27 @@ def test_long_run_stability():
     assert float(np.asarray(es)[-1]) > 0.0
     for leaf in jax.tree.leaves(st):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_ambi_drc_batched_fast_path():
+    from spatial_audio_framework_tpu.models import ambi_drc as DRC
+
+    cfg = DRC.AmbiDrcConfig(order=1, theshold_db=-20.0, ratio=8.0,
+                            in_gain_db=6.0)
+    rng = np.random.default_rng(9)
+    S = 2
+    x = rng.uniform(-1, 1, (S, cfg.nsh, 16 * 128)).astype(np.float32)
+    ys = []
+    for s in range(S):
+        st = DRC.init_state(cfg)
+        y, _ = DRC.process(cfg, st, jnp.asarray(x[s]))
+        ys.append(np.asarray(y))
+    ref = np.stack(ys)
+    stb = DRC.init_state_batched(cfg, S)
+    yb, stb = DRC.process_ri_batched(cfg, stb, jnp.asarray(x),
+                                     use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(yb), ref, atol=2e-4)
+    # second block continues the smoother state
+    yb2, _ = DRC.process_ri_batched(cfg, stb, jnp.asarray(x),
+                                    use_pallas=True, interpret=True)
+    assert np.isfinite(np.asarray(yb2)).all()
