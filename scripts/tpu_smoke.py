@@ -1,0 +1,113 @@
+"""On-TPU integration smoke test: run every complex-free fast-path model for
+a few blocks with a fenced readback and report max|y| + wall time.
+
+Usage: python scripts/tpu_smoke.py   (expects a TPU backend; also runs on
+CPU, where the pallas kernels fall back to interpreter mode).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def fenced(f, *args):
+    out = f(*args)
+    v = float(out[0] if isinstance(out, tuple) else out)
+    t0 = time.perf_counter()
+    out = f(*args)
+    v = float(out[0] if isinstance(out, tuple) else out)
+    return v, time.perf_counter() - t0
+
+
+def main():
+    rng = np.random.default_rng(0)
+    S, T = 8, 16 * 128
+    results = []
+
+    from spatial_audio_framework_tpu.models import (ambi_bin, ambi_dec,
+                                                    ambi_drc, binauraliser,
+                                                    panner, roombinauraliser)
+
+    # ambi_bin
+    cfg = ambi_bin.AmbiBinConfig(order=3, method="magls")
+    w = ambi_bin.design_ri(cfg)
+    st = ambi_bin.init_state_batched(cfg, S)
+    x = jnp.asarray(rng.uniform(-1, 1, (S, cfg.nsh, T)).astype(np.float32))
+    f = jax.jit(lambda w, s, x: (
+        jnp.max(jnp.abs(ambi_bin.process_ri_batched(cfg, w, s, x)[0]))))
+    results.append(("ambi_bin",) + fenced(f, w, st, x))
+
+    # binauraliser
+    bcfg = binauraliser.BinauraliserConfig(n_sources=2, enable_rotation=True)
+    bw = binauraliser.design_ri(bcfg)
+    bst = binauraliser.init_state_batched(bcfg, S)
+    bx = jnp.asarray(rng.uniform(-1, 1, (S, 2, T)).astype(np.float32))
+    dirs = jnp.asarray(rng.uniform(-90, 90, (S, 2, 2)).astype(np.float32))
+    ypr = jnp.zeros((S, 3), jnp.float32)
+    fb = jax.jit(lambda s, x: (jnp.max(jnp.abs(
+        binauraliser.process_ri_batched(bcfg, bw, s, x, dirs, None, ypr)[0]))))
+    results.append(("binauraliser",) + fenced(fb, bst, bx))
+
+    # roombinauraliser (synthetic ring grid)
+    azis = -180.0 + 30.0 * np.arange(12)
+    gdirs = np.stack([azis, np.zeros(12)], -1)
+    brirs = 0.05 * rng.standard_normal((2, 12, 2, 128)).astype(np.float32)
+    brirs[:, :, :, 4] += 1.0
+    rcfg, rw = roombinauraliser.design_ri(
+        roombinauraliser.RoomBinauraliserConfig(
+            n_sources=2, enable_hrir_diff_eq=False), brirs, gdirs, 48000)
+    rst = roombinauraliser.init_state_batched(rcfg, S)
+    rx = jnp.asarray(rng.uniform(-1, 1, (S, 2, T)).astype(np.float32))
+    fr = jax.jit(lambda s, x: (jnp.max(jnp.abs(
+        roombinauraliser.process_ri_batched(rcfg, rw, s, x,
+                                            ypr=ypr)[0]))))
+    results.append(("roombinauraliser",) + fenced(fr, rst, rx))
+
+    # ambi_dec
+    ls = np.array([[30.0, 0], [-30, 0], [110, 0], [-110, 0], [0, 90]],
+                  np.float64)
+    dcfg = ambi_dec.AmbiDecConfig(master_order=1)
+    dw = ambi_dec.design_ri(dcfg, ls)
+    dst = ambi_dec.init_state_batched(dcfg, S, 5)
+    dx = jnp.asarray(rng.uniform(-1, 1, (S, dcfg.nsh, T)).astype(np.float32))
+    fd = jax.jit(lambda s, x: (jnp.max(jnp.abs(
+        ambi_dec.process_ri_batched(dcfg, dw, s, x)[0]))))
+    results.append(("ambi_dec",) + fenced(fd, dst, dx))
+
+    # panner
+    pcfg = panner.PannerConfig(n_sources=2, n_loudspeakers=5)
+    pw = panner.design(pcfg, ls)
+    pst = panner.init_state_batched(pcfg, S, 5)
+    px = jnp.asarray(rng.uniform(-1, 1, (S, 2, T)).astype(np.float32))
+    pdirs = jnp.asarray(rng.uniform(-90, 90, (S, 2, 2)).astype(np.float32))
+    fp = jax.jit(lambda s, x: (jnp.max(jnp.abs(
+        panner.process_ri_batched(pcfg, pw, s, x, pdirs)[0]))))
+    results.append(("panner",) + fenced(fp, pst, px))
+
+    # ambi_drc
+    ccfg = ambi_drc.AmbiDrcConfig(order=1, theshold_db=-20.0)
+    cst = ambi_drc.init_state_batched(ccfg, S)
+    cx = jnp.asarray(rng.uniform(-1, 1, (S, ccfg.nsh, T)).astype(np.float32))
+    fc = jax.jit(lambda s, x: (jnp.max(jnp.abs(
+        ambi_drc.process_ri_batched(ccfg, s, x)[0]))))
+    results.append(("ambi_drc",) + fenced(fc, cst, cx))
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}")
+    ok = True
+    for name, peak, dt in results:
+        good = np.isfinite(peak) and peak < 100.0
+        ok &= bool(good)
+        print(f"  {name:18s} peak={peak:8.4f}  {1e3 * dt:7.2f} ms "
+              f"({'ok' if good else 'BAD'})")
+    print("ALL OK" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
