@@ -70,3 +70,65 @@ def process(cfg: BinauraliserNFConfig, w: B.BinauraliserWeights,
     out = out / np.sqrt(cfg.n_sources)
     y, state = bank.synthesis(state, out)
     return y, state
+
+
+# -- stream-batched fast path (complex-free, fused pallas afSTFT kernels) ----
+
+def design_ri(cfg: BinauraliserNFConfig, *args, **kw):
+    return B.design_ri(cfg, *args, **kw)
+
+
+def init_state_batched(cfg: BinauraliserNFConfig, n_streams: int):
+    return B.init_state_batched(cfg, n_streams)
+
+
+def _dvf_band_gains_ri(cfg: BinauraliserNFConfig, freqs: jax.Array,
+                       src_dirs_deg: jax.Array, src_dists_m: jax.Array):
+    """_dvf_band_gains in real arithmetic: H(e^{-jw}) = (b0+b1 z)/(1+a1 z),
+    z = cos w − j sin w → (Hre, Him) each (nBands, 2, nSrc)."""
+    alpha_lr, _ = _dvf.doa_to_ipsi_interaural(src_dirs_deg[:, 0],
+                                              src_dirs_deg[:, 1])
+    rho = jnp.maximum(src_dists_m / cfg.head_radius, 1.0)[:, None]
+    b, a = _dvf.calc_dvf_coeffs(alpha_lr, rho, cfg.fs)  # (nSrc, 2, 2)
+    wv = 2.0 * jnp.pi * freqs / cfg.fs
+    c = jnp.cos(wv)[:, None, None]
+    s = jnp.sin(wv)[:, None, None]
+    nr = b[..., 0] + b[..., 1] * c
+    ni = -b[..., 1] * s
+    dr = 1.0 + a[..., 1] * c
+    di = -a[..., 1] * s
+    d2 = dr * dr + di * di
+    Hre = (nr * dr + ni * di) / d2
+    Him = (ni * dr - nr * di) / d2
+    return Hre.transpose(0, 2, 1), Him.transpose(0, 2, 1)
+
+
+def process_ri_batched(cfg: BinauraliserNFConfig, w, state, x: jax.Array,
+                       src_dirs_deg: jax.Array, src_dists_m: jax.Array,
+                       src_gains: Optional[jax.Array] = None,
+                       ypr: Optional[jax.Array] = None,
+                       use_pallas: bool = True, interpret: bool = False):
+    """Stream-batched near-field binauraliser on the complex-free pipeline:
+    x (S, nSrc, T), src_dirs_deg (S, nSrc, 2), src_dists_m (S, nSrc)
+    → ((S, 2, T), state).  w from :func:`design_ri`."""
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    if src_gains is not None:
+        x = x * src_gains[..., None]
+    if cfg.enable_rotation and ypr is not None:
+        R = jax.vmap(lambda r: geo.yaw_pitch_roll2_rzyx(r[0], r[1], r[2]))(
+            ypr).astype(x.dtype)
+        u = geo.unit_sph2cart(src_dirs_deg, degrees=True)
+        u = jnp.einsum("zij,zsj->zsi", R, u)
+        src_dirs_deg = geo.unit_cart2sph(u, degrees=True)
+
+    def per_stream(d, dist):
+        Are, Aim = B.interp_hrtfs_ri(cfg, w, d)
+        Bre, Bim = _dvf_band_gains_ri(cfg, w.freqs, d, dist)
+        return Are * Bre - Aim * Bim, Are * Bim + Aim * Bre
+
+    Hre, Him = jax.vmap(per_stream)(src_dirs_deg, src_dists_m)
+    y, state = ri.render_tf_matrix_ri(cfg.afstft, state, x, Hre, Him,
+                                      use_pallas=use_pallas,
+                                      interpret=interpret)
+    return y / np.sqrt(cfg.n_sources), state

@@ -271,3 +271,29 @@ def test_ambi_drc_batched_fast_path():
     yb2, _ = DRC.process_ri_batched(cfg, stb, jnp.asarray(x),
                                     use_pallas=True, interpret=True)
     assert np.isfinite(np.asarray(yb2)).all()
+
+
+def test_binauraliser_nf_batched_fast_path():
+    from spatial_audio_framework_tpu.models import binauraliser_nf as NF
+
+    cfg = NF.BinauraliserNFConfig(n_sources=2)
+    w = NF.design(cfg)
+    wri = NF.design_ri(cfg)
+    rng = np.random.default_rng(10)
+    S = 2
+    x = rng.uniform(-1, 1, (S, 2, 16 * 128)).astype(np.float32)
+    dirs = np.array([[[40.0, 0.0], [-60.0, 10.0]],
+                     [[90.0, 0.0], [0.0, 0.0]]], np.float32)
+    dists = np.array([[0.3, 1.5], [0.2, 2.5]], np.float32)
+    ys = []
+    for s in range(S):
+        st = NF.init_state(cfg)
+        y, _ = NF.process(cfg, w, st, jnp.asarray(x[s]), jnp.asarray(dirs[s]),
+                          jnp.asarray(dists[s]))
+        ys.append(np.asarray(y))
+    ref = np.stack(ys)
+    stb = NF.init_state_batched(cfg, S)
+    yb, _ = NF.process_ri_batched(cfg, wri, stb, jnp.asarray(x),
+                                  jnp.asarray(dirs), jnp.asarray(dists),
+                                  use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(yb), ref, atol=1e-4)
