@@ -73,6 +73,11 @@ class RoomBinauraliserConfig:
     azi_res: int = 2                 # roombinauraliser_internal.c:320-321
     elev_res: int = 5
     vbap_3d: bool = True             # set by design() from the grid's extent
+    # roombinauraliser_setEnablePartConv (roombinauraliser.h:192): in the
+    # reference fork this flag is stored but never read by the processing
+    # path (roombinauraliser.c:371-375 is a setter only) — kept for API
+    # parity with identical (non-)behaviour.
+    enable_part_conv: bool = False
 
     @property
     def afstft(self) -> AfSTFT:
