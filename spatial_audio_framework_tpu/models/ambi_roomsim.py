@@ -47,7 +47,8 @@ class AmbiRoomSimWeights(NamedTuple):
 
 def design(cfg: AmbiRoomSimConfig, src_positions: np.ndarray,
            rec_positions: np.ndarray,
-           abs_wall: np.ndarray = DEFAULT_ABS_WALL) -> AmbiRoomSimWeights:
+           abs_wall: np.ndarray = DEFAULT_ABS_WALL,
+           _split_ri: bool = False) -> AmbiRoomSimWeights:
     """src_positions: (nSrc, 3); rec_positions: (nRec, 3) in room coords."""
     room = reverb.ShoeboxRoom(np.asarray(cfg.room_dims), abs_wall[None, :],
                               fs=cfg.fs)
@@ -63,7 +64,27 @@ def design(cfg: AmbiRoomSimConfig, src_positions: np.ndarray,
     for (rid, sid), r in rirs.items():
         H[rid * cfg.nsh:(rid + 1) * cfg.nsh, sid, : r.shape[-1]] = r
     conv = MatrixConv(hop=cfg.hop, length_h=L, n_in=cfg.n_sources, n_out=n_out)
+    if _split_ri:
+        return AmbiRoomSimWeights(Hf=conv.design_ri(H), conv=conv)
     return AmbiRoomSimWeights(Hf=conv.design(H), conv=conv)
+
+
+def design_ri(cfg: AmbiRoomSimConfig, src_positions, rec_positions,
+              abs_wall: np.ndarray = DEFAULT_ABS_WALL) -> AmbiRoomSimWeights:
+    """design() for the complex-free path: RIR partition spectra as an
+    (re, im) float32 pair; use with init_state_ri/process_ri."""
+    return design(cfg, src_positions, rec_positions, abs_wall, _split_ri=True)
+
+
+def init_state_ri(cfg: AmbiRoomSimConfig,
+                  w: AmbiRoomSimWeights) -> MatrixConvState:
+    return w.conv.init_state_ri()
+
+
+def process_ri(cfg: AmbiRoomSimConfig, w: AmbiRoomSimWeights,
+               state: MatrixConvState, x: jax.Array):
+    """process() on the split real/imaginary partitioned convolver."""
+    return w.conv.apply_block_ri(w.Hf, state, x)
 
 
 def init_state(cfg: AmbiRoomSimConfig, w: AmbiRoomSimWeights) -> MatrixConvState:

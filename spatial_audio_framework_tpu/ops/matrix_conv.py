@@ -128,6 +128,62 @@ class MatrixConv:
         return out, MatrixConvState(X_hist=state.X_hist, ola=ola)
 
 
+    # -- split real/imaginary variant (no complex64 in the graph; see
+    #    ops.afstft_ri for the rationale) — partitioned mode only ----------
+
+    def design_ri(self, H: np.ndarray):
+        """H: (n_out, n_in, length_h) → (Hre, Him) each (P, n_out, n_in,
+        hop+1) float32 (host split — no complex device arrays)."""
+        assert self.partitioned, "RI path implements the partitioned mode"
+        assert H.shape == (self.n_out, self.n_in, self.length_h)
+        Hp = partition_filters(H, self.hop).transpose(2, 0, 1, 3)
+        return (jnp.asarray(Hp.real.astype(np.float32)),
+                jnp.asarray(Hp.imag.astype(np.float32)))
+
+    def init_state_ri(self, batch: tuple = ()) -> "MatrixConvState":
+        assert self.partitioned
+        X = jnp.zeros(batch + (self.n_part - 1, self.n_in,
+                               2 * (self.hop + 1)), jnp.float32)
+        ola = jnp.zeros(batch + (self.n_out, self.hop), jnp.float32)
+        return MatrixConvState(X_hist=X, ola=ola)
+
+    def apply_block_ri(self, H_ri, state: "MatrixConvState", x: jax.Array):
+        """apply_block on packed [re | im] float32 spectra: H_ri = (Hre, Him)
+        from design_ri; X_hist carries (P-1, n_in, 2·(hop+1))."""
+        from spatial_audio_framework_tpu.ops.fft import _rdft_mats
+
+        assert self.partitioned
+        hop = self.hop
+        hp = jax.lax.Precision.HIGHEST
+        Hre, Him = H_ri
+        T = x.shape[-1]
+        nh = T // hop
+        nb = hop + 1
+        C, Sm, A, B = _rdft_mats(2 * hop)
+        seg = x.reshape(self.n_in, nh, hop).transpose(1, 0, 2)
+        segp = jnp.concatenate([seg, jnp.zeros_like(seg)], axis=-1)
+        S_p = jnp.concatenate(
+            [jnp.matmul(segp, jnp.asarray(C), precision=hp),
+             jnp.matmul(segp, jnp.asarray(Sm), precision=hp)], axis=-1)
+        full = jnp.concatenate([state.X_hist, S_p], axis=0)
+        P = self.n_part
+        win = jnp.stack([full[P - 1 - k: P - 1 - k + nh] for k in range(P)],
+                        axis=1)                       # (nh, P, n_in, 2·nb)
+        wre, wim = win[..., :nb], win[..., nb:]
+        Yre = (jnp.einsum("tpib,poib->tob", wre, Hre, precision=hp)
+               - jnp.einsum("tpib,poib->tob", wim, Him, precision=hp))
+        Yim = (jnp.einsum("tpib,poib->tob", wre, Him, precision=hp)
+               + jnp.einsum("tpib,poib->tob", wim, Hre, precision=hp))
+        z = (jnp.matmul(Yre, jnp.asarray(A), precision=hp)
+             + jnp.matmul(Yim, jnp.asarray(B), precision=hp))
+        heads = z[..., :hop]
+        tails = z[..., hop:]
+        prev_tails = jnp.concatenate([state.ola[None], tails[:-1]], axis=0)
+        out = heads + prev_tails
+        new_state = MatrixConvState(X_hist=full[nh:], ola=tails[-1])
+        return out.transpose(1, 0, 2).reshape(self.n_out, T), new_state
+
+
 class MatrixConvState(NamedTuple):
     X_hist: jax.Array  # (P-1, n_in, bins) past input spectra (oldest first)
     ola: jax.Array     # overlap tail

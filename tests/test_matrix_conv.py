@@ -103,3 +103,49 @@ def test_tvconv_position_change_crossfades():
     np.testing.assert_allclose(y[:, : 6 * HOP], ref0[:, : 6 * HOP], atol=2e-4)
     # well after the switch (one hop of crossfade + tail): filter set 1
     np.testing.assert_allclose(y[:, 9 * HOP:], ref1[:, 9 * HOP:], atol=2e-3)
+
+
+def test_matrix_conv_ri_equivalence():
+    """Split real/imaginary partitioned convolution equals the complex path
+    and direct convolution (complex-free graph for runtimes without complex
+    transfer support)."""
+    import jax
+
+    from spatial_audio_framework_tpu.ops.matrix_conv import MatrixConv
+
+    rng = np.random.default_rng(11)
+    hop, L, n_in, n_out = 128, 700, 3, 2
+    H = rng.standard_normal((n_out, n_in, L)).astype(np.float32) * 0.2
+    conv = MatrixConv(hop=hop, length_h=L, n_in=n_in, n_out=n_out)
+    Hf = conv.design(H)
+    Hri = conv.design_ri(H)
+    x = rng.uniform(-1, 1, (n_in, hop * 16)).astype(np.float32)
+
+    st_c = conv.init_state()
+    y_c, st_c = jax.jit(conv.apply_block)(Hf, st_c, jnp.asarray(x))
+    st_r = conv.init_state_ri()
+    y_r, st_r = jax.jit(conv.apply_block_ri)(Hri, st_r, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_c), atol=1e-4)
+    # second block: state carry equivalence
+    y_c2, _ = jax.jit(conv.apply_block)(Hf, st_c, jnp.asarray(x))
+    y_r2, _ = jax.jit(conv.apply_block_ri)(Hri, st_r, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_r2), np.asarray(y_c2), atol=1e-4)
+
+
+def test_ambi_roomsim_ri_equivalence():
+    from spatial_audio_framework_tpu.models import ambi_roomsim as RS
+
+    cfg = RS.AmbiRoomSimConfig(sh_order=1, n_sources=2, refl_order=1,
+                               room_dims=(5.0, 4.0, 3.0))
+    src = np.array([[1.0, 1.0, 1.0], [3.5, 2.5, 1.5]])
+    rec = np.array([[2.5, 2.0, 1.5]])
+    w = RS.design(cfg, src, rec)
+    wri = RS.design_ri(cfg, src, rec)
+    rng = np.random.default_rng(12)
+    x = rng.uniform(-1, 1, (2, 8 * 128)).astype(np.float32)
+    import jax
+    y_c, _ = jax.jit(lambda s, xx: RS.process(cfg, w, s, xx))(
+        RS.init_state(cfg, w), jnp.asarray(x))
+    y_r, _ = jax.jit(lambda s, xx: RS.process_ri(cfg, wri, s, xx))(
+        RS.init_state_ri(cfg, wri), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_c), atol=1e-4)
