@@ -258,6 +258,54 @@ class MultiConv:
         return (outs.transpose(1, 0, 2).reshape(self.n_ch, T),
                 MatrixConvState(X_hist=state.X_hist, ola=ola))
 
+    # -- split real/imaginary variant (partitioned mode) ---------------------
+
+    def design_ri(self, H: np.ndarray):
+        assert self.partitioned and H.shape == (self.n_ch, self.length_h)
+        Hp = partition_filters(H, self.hop).transpose(1, 0, 2)
+        return (jnp.asarray(Hp.real.astype(np.float32)),
+                jnp.asarray(Hp.imag.astype(np.float32)))
+
+    def init_state_ri(self, batch: tuple = ()) -> MatrixConvState:
+        assert self.partitioned
+        return MatrixConvState(
+            X_hist=jnp.zeros(batch + (self.n_part - 1, self.n_ch,
+                                      2 * (self.hop + 1)), jnp.float32),
+            ola=jnp.zeros(batch + (self.n_ch, self.hop), jnp.float32))
+
+    def apply_block_ri(self, H_ri, state: MatrixConvState, x: jax.Array):
+        from spatial_audio_framework_tpu.ops.fft import _rdft_mats
+
+        assert self.partitioned
+        hop = self.hop
+        hp = jax.lax.Precision.HIGHEST
+        Hre, Him = H_ri
+        T = x.shape[-1]
+        nh = T // hop
+        nb = hop + 1
+        C, Sm, A, B = _rdft_mats(2 * hop)
+        seg = x.reshape(self.n_ch, nh, hop).transpose(1, 0, 2)
+        segp = jnp.concatenate([seg, jnp.zeros_like(seg)], axis=-1)
+        S_p = jnp.concatenate(
+            [jnp.matmul(segp, jnp.asarray(C), precision=hp),
+             jnp.matmul(segp, jnp.asarray(Sm), precision=hp)], axis=-1)
+        full = jnp.concatenate([state.X_hist, S_p], axis=0)
+        P = self.n_part
+        win = jnp.stack([full[P - 1 - k: P - 1 - k + nh] for k in range(P)],
+                        axis=1)
+        wre, wim = win[..., :nb], win[..., nb:]
+        Yre = (jnp.einsum("tpcb,pcb->tcb", wre, Hre, precision=hp)
+               - jnp.einsum("tpcb,pcb->tcb", wim, Him, precision=hp))
+        Yim = (jnp.einsum("tpcb,pcb->tcb", wre, Him, precision=hp)
+               + jnp.einsum("tpcb,pcb->tcb", wim, Hre, precision=hp))
+        z = (jnp.matmul(Yre, jnp.asarray(A), precision=hp)
+             + jnp.matmul(Yim, jnp.asarray(B), precision=hp))
+        heads, tails = z[..., :hop], z[..., hop:]
+        prev_tails = jnp.concatenate([state.ola[None], tails[:-1]], axis=0)
+        out = heads + prev_tails
+        return (out.transpose(1, 0, 2).reshape(self.n_ch, T),
+                MatrixConvState(X_hist=full[nh:], ola=tails[-1]))
+
 
 # ---------------------------------------------------------------------------
 # TVConv — time-varying partitioned convolution with crossfade
@@ -337,6 +385,83 @@ class TVConv:
         def step(st, inp):
             xh, idx = inp
             out, st = self.apply_hop(Hf, st, xh, idx)
+            return st, out
+
+        state, outs = jax.lax.scan(step, state,
+                                   (x.reshape(nh, hop), ir_idx))
+        return outs.transpose(1, 0, 2).reshape(self.n_out, nh * hop), state
+
+    # -- split real/imaginary variant -----------------------------------------
+
+    def design_ri(self, H: np.ndarray):
+        assert H.shape == (self.n_irs, self.n_out, self.length_h)
+        Hp = partition_filters(H, self.hop).transpose(0, 2, 1, 3)
+        return (jnp.asarray(Hp.real.astype(np.float32)),
+                jnp.asarray(Hp.imag.astype(np.float32)))
+
+    def init_state_ri(self, init_idx: int = 0,
+                      batch: tuple = ()) -> TVConvState:
+        idx = init_idx if init_idx < self.n_irs else 0
+        return TVConvState(
+            X_hist=jnp.zeros(batch + (self.n_part - 1, 2 * (self.hop + 1)),
+                             jnp.float32),
+            ola=jnp.zeros(batch + (self.n_out, self.hop), jnp.float32),
+            ola_last=jnp.zeros(batch + (self.n_out, self.hop), jnp.float32),
+            pos_last=jnp.full(batch, idx, jnp.int32),
+            pos_last2=jnp.full(batch, idx, jnp.int32))
+
+    def apply_hop_ri(self, H_ri, state: TVConvState, x: jax.Array,
+                     ir_idx: jax.Array):
+        """apply_hop on packed [re | im] spectra (complex-free graph)."""
+        from spatial_audio_framework_tpu.ops.fft import _rdft_mats
+
+        hop = self.hop
+        nb = hop + 1
+        hp = jax.lax.Precision.HIGHEST
+        Hre, Him = H_ri
+        C, Sm, A, B = _rdft_mats(2 * hop)
+        xp = jnp.concatenate([x, jnp.zeros_like(x)], axis=-1)
+        Xp = jnp.concatenate(
+            [jnp.matmul(xp, jnp.asarray(C), precision=hp),
+             jnp.matmul(xp, jnp.asarray(Sm), precision=hp)], axis=-1)
+        full = jnp.concatenate([state.X_hist, Xp[None]], axis=0)
+        win = full[::-1]
+        wre, wim = win[..., :nb], win[..., nb:]
+
+        def conv_with(idx):
+            hre = jnp.take(Hre, idx, axis=0)
+            him = jnp.take(Him, idx, axis=0)
+            Yre = (jnp.einsum("pob,pb->ob", hre, wre, precision=hp)
+                   - jnp.einsum("pob,pb->ob", him, wim, precision=hp))
+            Yim = (jnp.einsum("pob,pb->ob", him, wre, precision=hp)
+                   + jnp.einsum("pob,pb->ob", hre, wim, precision=hp))
+            return (jnp.matmul(Yre, jnp.asarray(A), precision=hp)
+                    + jnp.matmul(Yim, jnp.asarray(B), precision=hp))
+
+        z = conv_with(ir_idx)
+        z_last = jnp.where((ir_idx != state.pos_last)[..., None, None],
+                           conv_with(state.pos_last), z)
+        z_last2 = jnp.where((state.pos_last != state.pos_last2)[..., None, None],
+                            conv_with(state.pos_last2), z_last)
+        out1 = z_last[..., :hop] + state.ola
+        out2 = z_last2[..., :hop] + state.ola_last
+        n = jnp.arange(hop, dtype=x.dtype)
+        fade_in = n / (hop - 1.0)
+        out = out1 * fade_in + out2 * (1.0 - fade_in)
+        new_state = TVConvState(X_hist=full[1:], ola=z[..., hop:],
+                                ola_last=z_last[..., hop:],
+                                pos_last=jnp.asarray(ir_idx, jnp.int32),
+                                pos_last2=state.pos_last)
+        return out, new_state
+
+    def apply_block_ri(self, H_ri, state: TVConvState, x: jax.Array,
+                       ir_idx: jax.Array):
+        hop = self.hop
+        nh = x.shape[-1] // hop
+
+        def step(st, inp):
+            xh, idx = inp
+            out, st = self.apply_hop_ri(H_ri, st, xh, idx)
             return st, out
 
         state, outs = jax.lax.scan(step, state,

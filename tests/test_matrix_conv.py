@@ -149,3 +149,36 @@ def test_ambi_roomsim_ri_equivalence():
     y_r, _ = jax.jit(lambda s, xx: RS.process_ri(cfg, wri, s, xx))(
         RS.init_state_ri(cfg, wri), jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_c), atol=1e-4)
+
+
+def test_multi_conv_ri_equivalence():
+    import jax
+
+    rng = np.random.default_rng(13)
+    hop, L, n_ch = 128, 500, 3
+    H = (rng.standard_normal((n_ch, L)) * 0.2).astype(np.float32)
+    conv = MultiConv(hop=hop, length_h=L, n_ch=n_ch)
+    Hf, Hri = conv.design(H), conv.design_ri(H)
+    x = rng.uniform(-1, 1, (n_ch, hop * 12)).astype(np.float32)
+    y_c, st_c = jax.jit(conv.apply_block)(Hf, conv.init_state(),
+                                          jnp.asarray(x))
+    y_r, st_r = jax.jit(conv.apply_block_ri)(Hri, conv.init_state_ri(),
+                                             jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_c), atol=1e-4)
+
+
+def test_tvconv_ri_equivalence():
+    import jax
+
+    rng = np.random.default_rng(14)
+    hop, L, n_out, n_irs = 128, 400, 2, 3
+    H = (rng.standard_normal((n_irs, n_out, L)) * 0.3).astype(np.float32)
+    tv = TVConv(hop=hop, length_h=L, n_out=n_out, n_irs=n_irs)
+    Hf, Hri = tv.design(H), tv.design_ri(H)
+    nh = 12
+    x = rng.uniform(-1, 1, (nh * hop,)).astype(np.float32)
+    idx = jnp.asarray(np.array([0] * 4 + [2] * 4 + [1] * 4, np.int32))
+    y_c, _ = jax.jit(tv.apply_block)(Hf, tv.init_state(0), jnp.asarray(x), idx)
+    y_r, _ = jax.jit(tv.apply_block_ri)(Hri, tv.init_state_ri(0),
+                                        jnp.asarray(x), idx)
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_c), atol=1e-4)
