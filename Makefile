@@ -1,0 +1,24 @@
+# Convenience targets (no installation required; run from the repo root).
+
+.PHONY: test bench smoke demos native clean
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+smoke:
+	python scripts/tpu_smoke.py
+
+demos:
+	python examples/demo_binaural_rendering.py
+	python examples/demo_room_acoustics.py
+
+native:
+	g++ -O2 -std=c++17 -shared -fPIC -pthread native/saf_runtime.cpp \
+	    -o native/libsaf_runtime-linux.so
+
+clean:
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null; true
+	rm -f native/*.so
