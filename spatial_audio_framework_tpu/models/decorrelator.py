@@ -70,3 +70,62 @@ def process(cfg: DecorrelatorConfig, design_data: dict,
     out = cfg.decor_amount * wet + (1.0 - cfg.decor_amount) * frame + trans * 0
     y, bank_st = bank.synthesis(bank_st, out)
     return y, DecorrelatorState(bank=bank_st, lattice=lat_st, ducker=ducker_st)
+
+
+# -- stream-batched fast path (complex-free, fused pallas afSTFT kernels) ----
+
+class DecorrelatorStateBatched(NamedTuple):
+    bank: "object"                      # afstft_ri.AfSTFTStateBatched
+    lattice: decor.LatticeDecorStateRI  # leaves carry a leading (S,) axis
+    ducker: decor.TransientDuckerState  # leaves carry a leading (S,) axis
+
+
+def init_state_batched(cfg: DecorrelatorConfig, design_data: dict,
+                       n_streams: int) -> DecorrelatorStateBatched:
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    n_bands = cfg.afstft.n_bands
+    lat1 = decor.lattice_init_state_ri(cfg.lattice, design_data, n_bands)
+    duck1 = decor.transient_ducker_init(n_bands, cfg.n_channels)
+    bc = lambda a: jnp.broadcast_to(a, (n_streams,) + a.shape) + 0.0
+    return DecorrelatorStateBatched(
+        bank=ri.init_state_batched(cfg.afstft, n_streams, cfg.n_channels,
+                                   cfg.n_channels),
+        lattice=jax.tree.map(bc, lat1),
+        ducker=jax.tree.map(bc, duck1))
+
+
+def process_ri_batched(cfg: DecorrelatorConfig, design_data: dict,
+                       state: DecorrelatorStateBatched, x: jax.Array,
+                       use_pallas: bool = True, interpret: bool = False):
+    """Stream-batched process on the complex-free pipeline:
+    x (S, nCH, T) → ((S, nCH, T), state)."""
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    bank = cfg.afstft
+    (sre, sim), bank_st = ri.analysis_ri_batched(bank, state.bank, x,
+                                                 use_pallas=use_pallas,
+                                                 interpret=interpret)
+    # → per-stream (nBands, nCH, H) frames
+    fre = jnp.moveaxis(sre, -1, 1)       # (S, nBands, nCH, H)
+    fim = jnp.moveaxis(sim, -1, 1)
+    ducker_st = state.ducker
+    if cfg.enable_transient_ducker:
+        res, ducker_st = jax.vmap(
+            lambda st, a, b: (lambda r: (r[0], r[2]))(
+                decor.transient_ducker_apply_ri(st, a, b)))(
+            state.ducker, fre, fim)
+        fre, fim = res
+    (wre, wim), lat_st = jax.vmap(
+        lambda st, a, b: decor.lattice_apply_ri(cfg.lattice, design_data,
+                                                st, a, b))(
+        state.lattice, fre, fim)
+    out_re = cfg.decor_amount * wre + (1.0 - cfg.decor_amount) * fre
+    out_im = cfg.decor_amount * wim + (1.0 - cfg.decor_amount) * fim
+    Yre = jnp.moveaxis(out_re, 1, -1)    # (S, nCH, H, nBands)
+    Yim = jnp.moveaxis(out_im, 1, -1)
+    y, bank_st = ri.synthesis_ri_batched(bank, bank_st, (Yre, Yim),
+                                         use_pallas=use_pallas,
+                                         interpret=interpret)
+    return y, DecorrelatorStateBatched(bank=bank_st, lattice=lat_st,
+                                       ducker=ducker_st)

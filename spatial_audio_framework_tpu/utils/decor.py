@@ -225,3 +225,78 @@ def transient_ducker_apply(state: TransientDuckerState, frame: jax.Array,
     (d1, d2), eq = jax.lax.scan(step, (state.d1, state.d2), e)
     eq = jnp.moveaxis(eq, 0, -1)  # (nBands, nCH, T)
     return frame * eq, frame * (1.0 - eq), TransientDuckerState(d1=d1, d2=d2)
+
+
+# -- split real/imaginary variants (complex-free graphs; lattice/one-pole
+#    coefficients are real, so re and im filter identically while the energy
+#    terms couple them) --------------------------------------------------------
+
+class LatticeDecorStateRI(NamedTuple):
+    delay_buf: jax.Array   # (2, nBands, nCH, maxDelay) float32 [re; im]
+    iir_state: jax.Array   # (2, nBands, nCH, maxOrder) float32
+    in_energy: jax.Array   # (nBands, nCH)
+    out_energy: jax.Array  # (nBands, nCH)
+
+
+def lattice_init_state_ri(dec: "LatticeDecorrelator", design: dict,
+                          n_bands: int) -> LatticeDecorStateRI:
+    md = design["max_delay_slots"] + 1
+    mo = max(dec.orders) - 1
+    return LatticeDecorStateRI(
+        delay_buf=jnp.zeros((2, n_bands, dec.n_ch, md), jnp.float32),
+        iir_state=jnp.zeros((2, n_bands, dec.n_ch, mo), jnp.float32),
+        in_energy=jnp.zeros((n_bands, dec.n_ch), jnp.float32),
+        out_energy=jnp.zeros((n_bands, dec.n_ch), jnp.float32))
+
+
+def lattice_apply_ri(dec: "LatticeDecorrelator", design: dict,
+                     state: LatticeDecorStateRI, fre: jax.Array,
+                     fim: jax.Array):
+    """LatticeDecorrelator.apply on an (re, im) pair: (nBands, nCH, T) each
+    → ((yre, yim), state)."""
+    from spatial_audio_framework_tpu.ops.iir import iir_filter_batched
+
+    x2 = jnp.stack([fre, fim], axis=0)            # (2, nBands, nCH, T)
+    T = x2.shape[-1]
+    md = state.delay_buf.shape[-1]
+    full = jnp.concatenate([state.delay_buf, x2], axis=-1)
+    idx = md + np.arange(T)[None, None, :] - design["delays"][..., None]
+    delayed = jnp.take_along_axis(full, jnp.asarray(idx)[None], axis=-1)
+    new_delay_buf = full[..., -md:]
+    y2, new_iir = iir_filter_batched(design["b"], design["a"], delayed,
+                                     zi=state.iir_state)
+    lam = dec.en_comp_coeff
+    one_pole = np.array([1.0 - lam, 0.0])
+    den = np.array([1.0, -lam])
+    pin = fre * fre + fim * fim
+    pout = y2[0] ** 2 + y2[1] ** 2
+    ein, zin = iir_filter_batched(one_pole, den, pin,
+                                  zi=state.in_energy[..., None])
+    eout, zout = iir_filter_batched(one_pole, den, pout,
+                                    zi=state.out_energy[..., None])
+    comp = jnp.minimum(jnp.sqrt(ein / (eout + 2.23e-9)), 1.0)
+    y2 = y2 * comp[None]
+    return ((y2[0], y2[1]),
+            LatticeDecorStateRI(delay_buf=new_delay_buf, iir_state=new_iir,
+                                in_energy=zin[..., 0],
+                                out_energy=zout[..., 0]))
+
+
+def transient_ducker_apply_ri(state: TransientDuckerState, fre: jax.Array,
+                              fim: jax.Array, alpha: float = 0.95,
+                              beta: float = 0.995):
+    """transient_ducker_apply on an (re, im) pair → ((res_re, res_im),
+    (tr_re, tr_im), state)."""
+    e = jnp.moveaxis(fre * fre + fim * fim, -1, 0)
+
+    def step(carry, et):
+        d1, d2 = carry
+        d1 = jnp.maximum(d1 * alpha, et)
+        d2 = jnp.minimum(d2 * beta + (1.0 - beta) * d1, d1)
+        eq = jnp.minimum(1.0, 4.0 * d2 / (d1 + 2.23e-9))
+        return (d1, d2), eq
+
+    (d1, d2), eq = jax.lax.scan(step, (state.d1, state.d2), e)
+    eq = jnp.moveaxis(eq, 0, -1)
+    return ((fre * eq, fim * eq), (fre * (1 - eq), fim * (1 - eq)),
+            TransientDuckerState(d1=d1, d2=d2))

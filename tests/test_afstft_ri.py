@@ -297,3 +297,23 @@ def test_binauraliser_nf_batched_fast_path():
                                   jnp.asarray(dirs), jnp.asarray(dists),
                                   use_pallas=True, interpret=True)
     np.testing.assert_allclose(np.asarray(yb), ref, atol=1e-4)
+
+
+def test_decorrelator_batched_fast_path():
+    from spatial_audio_framework_tpu.models import decorrelator as DC
+
+    cfg = DC.DecorrelatorConfig(n_channels=2, decor_amount=1.0)
+    dd = DC.design(cfg)
+    rng = np.random.default_rng(15)
+    S = 2
+    x = rng.uniform(-1, 1, (S, 2, 16 * 128)).astype(np.float32)
+    ys = []
+    for s in range(S):
+        st = DC.init_state(cfg, dd)
+        y, _ = DC.process(cfg, dd, st, jnp.asarray(x[s]))
+        ys.append(np.asarray(y))
+    ref = np.stack(ys)
+    stb = DC.init_state_batched(cfg, dd, S)
+    yb, _ = DC.process_ri_batched(cfg, dd, stb, jnp.asarray(x),
+                                  use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(yb), ref, atol=2e-4)

@@ -82,3 +82,48 @@ def test_synthesise_noise_reverb():
     e0 = (rir[:, :2000] ** 2).sum()
     e1 = (rir[:, -2000:] ** 2).sum()
     assert e0 > 10 * e1
+
+
+def test_lattice_and_ducker_ri_equivalence():
+    """RI lattice decorrelator + ducker equal the complex implementations."""
+    import jax
+
+    from spatial_audio_framework_tpu.utils.decor import (
+        LatticeDecorrelator, lattice_apply_ri, lattice_init_state_ri,
+        transient_ducker_apply, transient_ducker_apply_ri,
+        transient_ducker_init)
+
+    fs, hop, n_ch, n_bands, T = 48000.0, 128, 3, 40, 16
+    freqs = np.linspace(0, fs / 2, n_bands)
+    dec = LatticeDecorrelator(fs=fs, hop_size=hop, n_ch=n_ch,
+                              orders=(6, 3), freq_cutoffs=(3e3, 12e3),
+                              max_delay=8)
+    design = dec.design(freqs, rng=np.random.default_rng(0))
+    rng = np.random.default_rng(1)
+    fr = rng.standard_normal((n_bands, n_ch, T)).astype(np.float32)
+    fi = rng.standard_normal((n_bands, n_ch, T)).astype(np.float32)
+    frame = (fr + 1j * fi).astype(np.complex64)
+
+    st_c = dec.init_state(design, n_bands)
+    y_c, st_c = jax.jit(lambda s, f: dec.apply(design, s, f))(st_c,
+                                                              jnp.asarray(frame))
+    st_r = lattice_init_state_ri(dec, design, n_bands)
+    (yre, yim), st_r = jax.jit(
+        lambda s, a, b: lattice_apply_ri(dec, design, s, a, b))(
+        st_r, jnp.asarray(fr), jnp.asarray(fi))
+    np.testing.assert_allclose(np.asarray(yre), np.real(y_c), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(yim), np.imag(y_c), atol=2e-5)
+    # second block state carry
+    y_c2, _ = jax.jit(lambda s, f: dec.apply(design, s, f))(st_c,
+                                                            jnp.asarray(frame))
+    (yre2, yim2), _ = jax.jit(
+        lambda s, a, b: lattice_apply_ri(dec, design, s, a, b))(
+        st_r, jnp.asarray(fr), jnp.asarray(fi))
+    np.testing.assert_allclose(np.asarray(yre2), np.real(y_c2), atol=2e-5)
+
+    dst = transient_ducker_init(n_bands, n_ch)
+    res_c, tr_c, _ = transient_ducker_apply(dst, jnp.asarray(frame))
+    (rre, rim), (tre, tim), _ = transient_ducker_apply_ri(
+        dst, jnp.asarray(fr), jnp.asarray(fi))
+    np.testing.assert_allclose(np.asarray(rre), np.real(res_c), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tim), np.imag(tr_c), atol=1e-5)
