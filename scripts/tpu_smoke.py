@@ -31,7 +31,8 @@ def main():
 
     from spatial_audio_framework_tpu.models import (ambi_bin, ambi_dec,
                                                     ambi_drc, binauraliser,
-                                                    panner, roombinauraliser)
+                                                    decorrelator, panner,
+                                                    roombinauraliser)
 
     # ambi_bin
     cfg = ambi_bin.AmbiBinConfig(order=3, method="magls")
@@ -96,6 +97,15 @@ def main():
     fc = jax.jit(lambda s, x: (jnp.max(jnp.abs(
         ambi_drc.process_ri_batched(ccfg, s, x)[0]))))
     results.append(("ambi_drc",) + fenced(fc, cst, cx))
+
+    # decorrelator
+    dcfg = decorrelator.DecorrelatorConfig(n_channels=2)
+    dd = decorrelator.design(dcfg)
+    dcst = decorrelator.init_state_batched(dcfg, dd, S)
+    dcx = jnp.asarray(rng.uniform(-1, 1, (S, 2, T)).astype(np.float32))
+    fdc = jax.jit(lambda s, x: (jnp.max(jnp.abs(
+        decorrelator.process_ri_batched(dcfg, dd, s, x)[0]))))
+    results.append(("decorrelator",) + fenced(fdc, dcst, dcx))
 
     dev = jax.devices()[0]
     print(f"device: {dev}")
