@@ -93,7 +93,8 @@ def _replicate_orders(vals_per_order: np.ndarray) -> np.ndarray:
     return vals_per_order[..., idx]
 
 
-def design(cfg: Array2SHConfig, sensor_dirs_deg: np.ndarray) -> Array2SHWeights:
+def design(cfg: Array2SHConfig, sensor_dirs_deg: np.ndarray,
+           _split_ri: bool = False) -> Array2SHWeights:
     sensor_dirs_deg = np.asarray(sensor_dirs_deg, np.float64)
     Q = sensor_dirs_deg.shape[0]
     order = cfg.order
@@ -166,7 +167,31 @@ def design(cfg: Array2SHConfig, sensor_dirs_deg: np.ndarray) -> Array2SHWeights:
     # output conventions + gain (applied in process in the reference; static)
     conv_out = C.output_conversion_mtx(order, cfg.ch_ordering, cfg.norm)
     W = np.einsum("st,btq->bsq", conv_out, W) * 10.0 ** (cfg.gain_db / 20.0)
+    if _split_ri:
+        return (jnp.asarray(W.real.astype(np.float32)),
+                jnp.asarray(W.imag.astype(np.float32)))
     return Array2SHWeights(W=jnp.asarray(W.astype(np.complex64)))
+
+
+def design_ri(cfg: Array2SHConfig, sensor_dirs_deg: np.ndarray):
+    """design() for the complex-free fast path: (W_re, W_im) float32."""
+    return design(cfg, sensor_dirs_deg, _split_ri=True)
+
+
+def init_state_batched(cfg: Array2SHConfig, n_streams: int, n_sensors: int):
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    return ri.init_state_batched(cfg.afstft, n_streams, n_sensors, cfg.nsh)
+
+
+def process_ri_batched(cfg: Array2SHConfig, w_ri, state, x: jax.Array,
+                       use_pallas: bool = True, interpret: bool = False):
+    """Stream-batched encoding on the complex-free fused-kernel pipeline:
+    x (S, Q, T) → ((S, nSH, T), state); w_ri from :func:`design_ri`."""
+    from spatial_audio_framework_tpu.ops import afstft_ri as ri
+
+    return ri.render_tf_matrix_ri(cfg.afstft, state, x, w_ri[0], w_ri[1],
+                                  use_pallas=use_pallas, interpret=interpret)
 
 
 def init_state(cfg: Array2SHConfig, n_sensors: int) -> AfSTFTState:

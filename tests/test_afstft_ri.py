@@ -317,3 +317,27 @@ def test_decorrelator_batched_fast_path():
     yb, _ = DC.process_ri_batched(cfg, dd, stb, jnp.asarray(x),
                                   use_pallas=True, interpret=True)
     np.testing.assert_allclose(np.asarray(yb), ref, atol=2e-4)
+
+
+def test_array2sh_batched_fast_path():
+    from spatial_audio_framework_tpu.models import array2sh as A2
+
+    # 8-sensor spherical array (two elevations x 4 azimuths)
+    dirs = np.array([[a, e] for e in (-30.0, 30.0)
+                     for a in (-135.0, -45.0, 45.0, 135.0)], np.float64)
+    cfg = A2.Array2SHConfig(order=1)
+    w = A2.design(cfg, dirs)
+    wri = A2.design_ri(cfg, dirs)
+    rng = np.random.default_rng(16)
+    S = 2
+    x = rng.uniform(-1, 1, (S, 8, 16 * 128)).astype(np.float32)
+    ys = []
+    for s in range(S):
+        st = A2.init_state(cfg, 8)
+        y, _ = A2.process(cfg, w, st, jnp.asarray(x[s]))
+        ys.append(np.asarray(y))
+    ref = np.stack(ys)
+    stb = A2.init_state_batched(cfg, S, 8)
+    yb, _ = A2.process_ri_batched(cfg, wri, stb, jnp.asarray(x),
+                                  use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(yb), ref, atol=2e-4)
