@@ -40,6 +40,18 @@ class MatrixConvExample:
     def process(self, conv: MatrixConv, Hf, state, x):
         return conv.apply_block(Hf, state, x)
 
+    # complex-free variant (partitioned mode; see ops.afstft_ri rationale)
+    def design_ri(self, H: np.ndarray):
+        n_out, n_in, L = H.shape
+        conv = MatrixConv(hop=self.hop, length_h=L, n_in=n_in, n_out=n_out)
+        return conv, conv.design_ri(H)
+
+    def init_state_ri(self, conv: MatrixConv) -> MatrixConvState:
+        return conv.init_state_ri()
+
+    def process_ri(self, conv: MatrixConv, H_ri, state, x):
+        return conv.apply_block_ri(H_ri, state, x)
+
 
 @dataclass(frozen=True)
 class MultiConvExample:
@@ -58,6 +70,18 @@ class MultiConvExample:
 
     def process(self, conv: MultiConv, Hf, state, x):
         return conv.apply_block(Hf, state, x)
+
+    # complex-free variant (partitioned mode)
+    def design_ri(self, H: np.ndarray):
+        n_ch, L = H.shape
+        conv = MultiConv(hop=self.hop, length_h=L, n_ch=n_ch)
+        return conv, conv.design_ri(H)
+
+    def init_state_ri(self, conv: MultiConv) -> MatrixConvState:
+        return conv.init_state_ri()
+
+    def process_ri(self, conv: MultiConv, H_ri, state, x):
+        return conv.apply_block_ri(H_ri, state, x)
 
 
 @dataclass(frozen=True)
@@ -92,3 +116,19 @@ class TVConvExample:
         n_hops = x.shape[-1] // self.hop
         return conv.apply_block(Hf, state, x,
                                 jnp.full((n_hops,), idx, jnp.int32))
+
+    # complex-free variant
+    def design_ri(self, irs: np.ndarray, positions: np.ndarray):
+        n_pos, n_ch, L = irs.shape
+        conv = TVConv(hop=self.hop, length_h=L, n_out=n_ch, n_irs=n_pos)
+        return conv, conv.design_ri(irs), jnp.asarray(positions, jnp.float32)
+
+    def init_state_ri(self, conv: TVConv, init_idx: int = 0) -> TVConvState:
+        return conv.init_state_ri(init_idx)
+
+    def process_ri(self, conv: TVConv, H_ri, state: TVConvState, x: jax.Array,
+                   listener_pos: jax.Array, positions: jax.Array):
+        idx = self.nearest_position(positions, listener_pos)
+        n_hops = x.shape[-1] // self.hop
+        return conv.apply_block_ri(H_ri, state, x,
+                                   jnp.full((n_hops,), idx, jnp.int32))

@@ -182,3 +182,52 @@ def test_tvconv_ri_equivalence():
     y_r, _ = jax.jit(tv.apply_block_ri)(Hri, tv.init_state_ri(0),
                                         jnp.asarray(x), idx)
     np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_c), atol=1e-4)
+
+
+def test_conv_examples_ri_paths():
+    """The three conv example wrappers expose RI variants equal to the
+    complex paths."""
+    import jax
+
+    from spatial_audio_framework_tpu.models.conv_examples import (
+        MatrixConvExample, MultiConvExample, TVConvExample)
+
+    rng = np.random.default_rng(17)
+    hop = 128
+    # matrixconv
+    ex = MatrixConvExample()
+    H = (rng.standard_normal((2, 3, 300)) * 0.2).astype(np.float32)
+    conv, Hf = ex.design(H)
+    _, Hri = ex.design_ri(H)
+    x = rng.uniform(-1, 1, (3, hop * 8)).astype(np.float32)
+    y_c, _ = jax.jit(ex.process, static_argnums=0)(conv, Hf,
+                                                   ex.init_state(conv),
+                                                   jnp.asarray(x))
+    y_r, _ = jax.jit(ex.process_ri, static_argnums=0)(conv, Hri,
+                                                      ex.init_state_ri(conv),
+                                                      jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_c), atol=1e-4)
+    # multiconv
+    ex2 = MultiConvExample()
+    H2 = (rng.standard_normal((3, 300)) * 0.2).astype(np.float32)
+    conv2, Hf2 = ex2.design(H2)
+    _, Hri2 = ex2.design_ri(H2)
+    y_c, _ = jax.jit(ex2.process, static_argnums=0)(conv2, Hf2,
+                                                    ex2.init_state(conv2),
+                                                    jnp.asarray(x))
+    y_r, _ = jax.jit(ex2.process_ri, static_argnums=0)(
+        conv2, Hri2, ex2.init_state_ri(conv2), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_c), atol=1e-4)
+    # tvconv
+    ex3 = TVConvExample()
+    irs = (rng.standard_normal((3, 2, 300)) * 0.2).astype(np.float32)
+    pos = rng.uniform(0, 5, (3, 3)).astype(np.float32)
+    conv3, Hf3, P = ex3.design(irs, pos)
+    _, Hri3, _ = ex3.design_ri(irs, pos)
+    lp = jnp.asarray(pos[1] + 0.05)
+    xt = rng.uniform(-1, 1, (hop * 8,)).astype(np.float32)
+    y_c, _ = jax.jit(ex3.process, static_argnums=0)(
+        conv3, Hf3, ex3.init_state(conv3, 1), jnp.asarray(xt), lp, P)
+    y_r, _ = jax.jit(ex3.process_ri, static_argnums=0)(
+        conv3, Hri3, ex3.init_state_ri(conv3, 1), jnp.asarray(xt), lp, P)
+    np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_c), atol=1e-4)
