@@ -1,0 +1,161 @@
+"""Parity vs goldens rendered by the ACTUAL compiled C reference.
+
+tests/goldens/c_goldens.npz is produced by tools/c_goldens/ (build_ref.sh +
+run_goldens.sh): the reference framework compiled with
+SAF_USE_OPEN_BLAS_AND_LAPACKE and driven on deterministic inputs following
+its own test recipes (test__resources.c:27-103, test__examples.c:29-107,
+ambi_bin.c:249-330).  The default-HRIR data (absent from the reference
+snapshot) is our synthesised set, injected into the C build, so both sides
+use identical HRIRs.  Budget: <=1e-4 absolute (BASELINE.md).
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens", "c_goldens.npz")
+TOL = 1e-4
+
+
+@pytest.fixture(scope="module")
+def g():
+    return np.load(GOLDENS)
+
+
+def test_get_sh_real_order7(g):
+    from spatial_audio_framework_tpu.modules import sh
+
+    Y = np.asarray(sh.get_sh_real(7, g["sh_dirs_rad"]))
+    assert np.abs(Y - g["sh_Y_o7"]).max() <= TOL
+
+
+def test_get_rsh_order4(g):
+    from spatial_audio_framework_tpu.modules import sh
+
+    Y = np.asarray(sh.get_rsh(4, g["sh_dirs_deg"]))
+    assert np.abs(Y - g["sh_RSH_o4"]).max() <= TOL
+
+
+def test_sh_rotation_matrix(g):
+    from spatial_audio_framework_tpu.modules import sh
+    from spatial_audio_framework_tpu.utils import geometry as geo
+
+    R = geo.yaw_pitch_roll2_rzyx(np.deg2rad(30.0), np.deg2rad(-10.0),
+                                 np.deg2rad(5.0))
+    assert np.abs(np.asarray(R) - g["sh_R3"]).max() <= TOL
+    M = np.asarray(sh.get_sh_rot_mtx_real(np.asarray(R, np.float32), 4))
+    assert np.abs(M - g["sh_rot_o4"]).max() <= TOL
+
+
+def test_afstft_forward_backward(g):
+    """Blockwise forward spectra AND round-trip output match the C afSTFT
+    (hybrid mode, hop 128, BANDS_CH_TIME)."""
+    from spatial_audio_framework_tpu.ops.afstft import AfSTFT
+
+    bank = AfSTFT(hop=128, hybrid=True, low_delay=False)
+    cf = bank.centre_freqs(48000.0)
+    assert np.abs(cf - g["afstft_centre_freqs"]).max() == 0.0
+
+    x = jnp.asarray(g["afstft_in"])
+    st = bank.init_state(4, 4)
+    specs, outs = [], []
+    for f in range(8):
+        S, st = bank.analysis(st, x[:, f * 512:(f + 1) * 512])
+        specs.append(np.asarray(S))
+        y, st = bank.synthesis(st, S)
+        outs.append(np.asarray(y))
+    spec_err = np.abs(np.stack(specs) - g["afstft_spec"]).max()
+    out_err = np.abs(np.concatenate(outs, -1) - g["afstft_out"]).max()
+    assert spec_err <= 2e-4 * np.abs(g["afstft_spec"]).max()  # rel, spec scale ~20
+    assert out_err <= TOL
+
+
+def test_hrir_design_chain(g):
+    """ITDs, afSTFT filterbank HRTFs, Voronoi weights, diffuse-field EQ."""
+    from spatial_audio_framework_tpu.modules import hrir as hrir_mod
+    from spatial_audio_framework_tpu.ops.afstft import AfSTFT
+    from spatial_audio_framework_tpu.utils import geometry as geo
+
+    hrirs, dirs_deg, fs = hrir_mod.default_hrirs()
+    itds = hrir_mod.estimate_itds(hrirs, fs)
+    assert np.abs(itds - g["dec_itds"]).max() <= 1e-6
+
+    fb = hrir_mod.hrirs_to_hrtfs_afstft(hrirs, 128)
+    assert np.abs(fb - g["dec_hrtf_fb_raw"]).max() <= TOL
+
+    w = geo.get_voronoi_weights(dirs_deg)
+    assert np.abs(w - g["dec_voronoi_w"]).max() <= 1e-5
+
+    cf = AfSTFT(hop=128, hybrid=True, low_delay=False).centre_freqs(48000.0)
+    fb_eq = hrir_mod.diffuse_field_equalise_hrtfs(
+        fb, itds, cf, w, apply_eq=True, apply_phase=False)
+    assert np.abs(fb_eq - g["dec_hrtf_fb_eq"]).max() <= TOL
+
+
+def test_binaural_decoder_mtx_ls_and_magls(g):
+    from spatial_audio_framework_tpu.modules import hoa, hrir as hrir_mod
+    from spatial_audio_framework_tpu.ops.afstft import AfSTFT
+    from spatial_audio_framework_tpu.utils import geometry as geo
+
+    hrirs, dirs_deg, fs = hrir_mod.default_hrirs()
+    itds = hrir_mod.estimate_itds(hrirs, fs)
+    fb = hrir_mod.hrirs_to_hrtfs_afstft(hrirs, 128)
+    w = geo.get_voronoi_weights(dirs_deg)
+    cf = AfSTFT(hop=128, hybrid=True, low_delay=False).centre_freqs(48000.0)
+    fb_eq = hrir_mod.diffuse_field_equalise_hrtfs(
+        fb, itds, cf, w, apply_eq=True, apply_phase=False)
+
+    for method, key in (("ls", "dec_ls_o3"), ("magls", "dec_magls_o3")):
+        dec = hoa.get_binaural_ambi_decoder_mtx(
+            fb_eq, dirs_deg, method, 3, freq_vector=cf, itds=itds, weights=w,
+            enable_diff_cov_matching=False, enable_max_re_weighting=True)
+        assert np.abs(dec - g[key]).max() <= TOL, method
+    # sanity: the two goldens genuinely differ (MagLS phase recursion active)
+    assert np.abs(g["dec_magls_o3"] - g["dec_ls_o3"]).max() > 0.1
+
+
+def test_ambi_bin_end_to_end(g):
+    """64 frames through the full ambi_bin pipeline (order 4, MagLS, N3D,
+    rotation yaw=180) match the compiled C example's output <=1e-4."""
+    from spatial_audio_framework_tpu.models import ambi_bin
+    from spatial_audio_framework_tpu.modules import sh
+
+    cfg = ambi_bin.AmbiBinConfig(order=4, method="magls", norm="n3d",
+                                 enable_rotation=True)
+    w = ambi_bin.design(cfg)
+    st = ambi_bin.init_state(cfg)
+
+    y_enc = np.asarray(sh.get_rsh(4, np.array([[-90.0, 0.0]], np.float32)))[:, 0]
+    assert np.abs(y_enc - g["ambi_bin_enc_y"]).max() <= TOL
+
+    x = jnp.asarray(y_enc[:, None] * g["ambi_bin_in_mono"][None, :])
+    ypr = jnp.array([np.pi, 0.0, 0.0], jnp.float32)
+    proc = jax.jit(lambda w, s, xx: ambi_bin.process(cfg, w, s, xx, ypr))
+    outs = []
+    for f in range(64):
+        y, st = proc(w, st, x[:, f * 128:(f + 1) * 128])
+        outs.append(np.asarray(y))
+    err = np.abs(np.concatenate(outs, -1) - g["ambi_bin_out"]).max()
+    assert err <= TOL, err
+
+
+def test_ambi_bin_end_to_end_ri_fast_path(g):
+    """The production complex-free RI fast path hits the same C golden."""
+    from spatial_audio_framework_tpu.models import ambi_bin
+
+    cfg = ambi_bin.AmbiBinConfig(order=4, method="magls", norm="n3d",
+                                 enable_rotation=True)
+    wri = ambi_bin.design_ri(cfg)
+    st = ambi_bin.init_state_ri(cfg)
+    x = jnp.asarray(g["ambi_bin_enc_y"][:, None]
+                    * g["ambi_bin_in_mono"][None, :])
+    ypr = jnp.array([np.pi, 0.0, 0.0], jnp.float32)
+    proc = jax.jit(lambda w, s, xx: ambi_bin.process_ri(cfg, w, s, xx, ypr))
+    outs = []
+    for f in range(16):
+        y, st = proc(wri, st, x[:, f * 512:(f + 1) * 512])
+        outs.append(np.asarray(y))
+    err = np.abs(np.concatenate(outs, -1) - g["ambi_bin_out"]).max()
+    assert err <= TOL, err

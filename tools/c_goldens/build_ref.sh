@@ -1,0 +1,42 @@
+#!/bin/bash
+# Build the reference SAF library (+ examples) as a golden-fixture generator.
+#
+# The reference tree is read-only and its snapshot is missing
+# saf_default_hrirs.c, so we build from a symlink shadow tree in /tmp with
+# that one file generated (from our own synthesised HRIR set).  BLAS/LAPACKE
+# come from the OpenBLAS .so bundled with the opencv wheel (exports the
+# standard symbols); headers are the minimal shims in ./shim plus the
+# standard lapacke.h vendored in the tensorflow/Eigen include tree.
+set -euo pipefail
+
+HERE="$(cd "$(dirname "$0")" && pwd)"
+SRC=/tmp/saf_ref_src
+BUILD=/tmp/saf_ref_build
+OB=/opt/venv/lib/python3.12/site-packages/opencv_python.libs/libopenblasp-r0-59ffcd50.3.15.so
+EIGEN_MISC=/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc
+
+if [ ! -d "$SRC" ]; then
+  cp -rs /root/reference "$SRC"
+fi
+python "$HERE/gen_default_hrirs_c.py" "$SRC/framework/modules/saf_hrir/saf_default_hrirs.c"
+# saf_brir is a byte-identical clone of saf_hrir declaring the SAME
+# __default_hrirs symbols; provide an empty TU so CMake finds the file
+# without duplicating the definitions.
+echo "/* symbols provided by saf_hrir/saf_default_hrirs.c */" \
+  > "$SRC/framework/modules/saf_brir/saf_default_brirs.c"
+# ...and the module source itself is a byte-identical clone of saf_hrir.c
+# (same function symbols, and its #include "saf_hrir.h" doesn't resolve in
+# saf_brir/).  saf_hrir provides every symbol; compile an empty TU instead.
+rm -f "$SRC/framework/modules/saf_brir/saf_brir.c"
+echo "/* duplicate of saf_hrir.c — symbols provided by saf_hrir */" \
+  > "$SRC/framework/modules/saf_brir/saf_brir.c"
+
+cmake -S "$SRC" -B "$BUILD" -G Ninja \
+  -DSAF_PERFORMANCE_LIB=SAF_USE_OPEN_BLAS_AND_LAPACKE \
+  -DOPENBLAS_LIBRARY="$OB" -DLAPACKE_LIBRARY="$OB" \
+  -DOPENBLAS_HEADER_PATH="$HERE/shim" \
+  -DLAPACKE_HEADER_PATH="$EIGEN_MISC" \
+  -DSAF_BUILD_TESTS=OFF -DSAF_BUILD_EXAMPLES=ON -DSAF_BUILD_EXTRAS=OFF \
+  -DSAF_ENABLE_NETCDF=OFF -DCMAKE_BUILD_TYPE=Release \
+  -DCMAKE_C_FLAGS="-DHAVE_LAPACK_CONFIG_H"
+cmake --build "$BUILD" -j"$(nproc)"

@@ -1,0 +1,23 @@
+#!/bin/bash
+# Compile + run the golden generator against the built reference, then pack
+# the outputs into tests/goldens/c_goldens.npz.  Requires build_ref.sh first.
+set -euo pipefail
+
+HERE="$(cd "$(dirname "$0")" && pwd)"
+SRC=/tmp/saf_ref_src
+BUILD=/tmp/saf_ref_build
+OUT=/tmp/saf_goldens
+OB=/opt/venv/lib/python3.12/site-packages/opencv_python.libs/libopenblasp-r0-59ffcd50.3.15.so
+
+mkdir -p "$OUT"
+cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
+  -I"$SRC/framework/include" -I"$SRC/examples/include" \
+  -I"$HERE/shim" \
+  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
+  "$HERE/gen_goldens.c" \
+  "$BUILD/examples/libsaf_example_ambi_bin.a" \
+  "$BUILD/framework/libsaf.a" \
+  "$OB" -lm -o "$OUT/gen_goldens"
+
+LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens" "$OUT"
+python "$HERE/pack_goldens.py" "$OUT" "$HERE/../../tests/goldens/c_goldens.npz"
