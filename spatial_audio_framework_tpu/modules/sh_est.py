@@ -103,6 +103,124 @@ def generate_minnorm_map(Cx, Y_grid, n_sources: int, log_scale: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Activity maps in split real/imaginary arithmetic (TPU-safe: no complex64).
+# Cx is an (A, B) = (re, im) pair; Y_grid is REAL SH steering (nSH, nGrid).
+# Same math as the complex versions above via the Hermitian real embedding
+# (ops.herm_ri); used by the powermap/sldoa/dirass device fast paths.
+# ---------------------------------------------------------------------------
+
+def generate_pwd_map_ri(Cx_ri, Y_grid):
+    """PWD map with real steering: only Re(Cx) contributes."""
+    from spatial_audio_framework_tpu.ops import herm_ri as H
+
+    return H.herm_quadform_real(Cx_ri, Y_grid)
+
+
+def generate_mvdr_map_ri(Cx_ri, Y_grid, reg_par: float = 8.0,
+                         return_weights=False):
+    """generate_mvdr_map on an (re, im) covariance pair."""
+    import jax.numpy as jnp
+
+    from spatial_audio_framework_tpu.ops import herm_ri as H
+
+    A, B = Cx_ri
+    nsh = Y_grid.shape[0]
+    tr = jnp.trace(A, axis1=-2, axis2=-1) / nsh
+    A_d = A + (reg_par * tr)[..., None, None] * jnp.eye(nsh, dtype=A.dtype)
+    Yb = jnp.broadcast_to(Y_grid, A.shape[:-2] + Y_grid.shape)
+    X = H.herm_solve((A_d, B), (Yb, jnp.zeros_like(Yb)))  # invCx_d @ Y
+    # denom = yᵀ conj(X) per column
+    den = (jnp.einsum("sg,...sg->...g", Y_grid, X[0]),
+           -jnp.einsum("sg,...sg->...g", Y_grid, X[1]))
+    w = H.cdiv((X[0], X[1]), (den[0][..., None, :], den[1][..., None, :]))
+    pmap = H.quadform_trans((A, B), w)
+    return (pmap, w) if return_weights else pmap
+
+
+def generate_music_map_ri(Cx_ri, Y_grid, n_sources: int,
+                          log_scale: bool = False):
+    """MUSIC pseudo-spectrum on an (re, im) covariance pair: the noise-
+    subspace quadratic form runs as one real eigh of the 2n×2n embedding."""
+    import jax.numpy as jnp
+
+    from spatial_audio_framework_tpu.ops import herm_ri as H
+
+    nsh = Cx_ri[0].shape[-1]
+    n_sources = min(n_sources, nsh // 2)
+    q = H.signal_subspace_quadform(Cx_ri, n_sources, Y_grid)
+    p = 1.0 / (q + 2.23e-10)
+    return jnp.log(p) if log_scale else p
+
+
+def generate_minnorm_map_ri(Cx_ri, Y_grid, n_sources: int,
+                            log_scale: bool = False):
+    """Minimum-norm pseudo-spectrum on an (re, im) pair.  The minimum-norm
+    vector is expressed through the noise projector: u_n = P_n e₁ / (e₁ᵀ P_n
+    e₁) (Hermitian normalisation; the reference's no-conj dot depends on
+    LAPACK eigenvector phases and only changes the map's global scale)."""
+    import jax.numpy as jnp
+
+    from spatial_audio_framework_tpu.ops import herm_ri as H
+
+    nsh = Cx_ri[0].shape[-1]
+    n_sources = min(n_sources, nsh // 2)
+    Pre, Pim = H.noise_projector(Cx_ri, n_sources)
+    scale = Pre[..., 0, 0][..., None] + 2.23e-9
+    un = (Pre[..., :, 0] / scale, Pim[..., :, 0] / scale)  # (..., nSH)
+    # |conj(un)ᵀ y|² = (un_reᵀ y)² + (un_imᵀ y)²
+    re = jnp.einsum("...s,sg->...g", un[0], Y_grid)
+    im = jnp.einsum("...s,sg->...g", un[1], Y_grid)
+    p = 1.0 / (re ** 2 + im ** 2 + 2.23e-9)
+    return jnp.log(p) if log_scale else p
+
+
+def generate_cropac_lcmv_map_ri(Cx_ri, Y_grid, reg_par: float = 8.0,
+                                lambda_floor: float = 0.0):
+    """Cross-pattern-coherence LCMV map on an (re, im) pair — fully batched
+    over the grid (the reference's per-direction loop, saf_sh.c
+    ``generateCroPaCLCMVmap``, becomes batched 2×2 solves)."""
+    import jax.numpy as jnp
+
+    from spatial_audio_framework_tpu.ops import herm_ri as H
+
+    A, B = Cx_ri
+    nsh, n_grid = Y_grid.shape
+    mvdr_map, w_mvdr = generate_mvdr_map_ri(Cx_ri, Y_grid, reg_par,
+                                            return_weights=True)
+    CxY = (A @ Y_grid, B @ Y_grid)                      # (..., nSH, g)
+    tr = jnp.trace(A, axis1=-2, axis2=-1) / nsh
+    A_d = A + (reg_par * tr)[..., None, None] * jnp.eye(nsh, dtype=A.dtype)
+    d = jnp.diagonal(A, axis1=-2, axis2=-1)             # real diag of Hermitian
+    # steering pair per grid dir: columns [y_g, y_g*d] — both REAL
+    Ag = jnp.stack([jnp.broadcast_to(Y_grid, A.shape[:-2] + Y_grid.shape),
+                    d[..., :, None] * Y_grid], axis=-1)  # (..., nSH, g, 2)
+    Af = Ag.reshape(*Ag.shape[:-2], n_grid * 2)
+    X = H.herm_solve((A_d, B), (Af, jnp.zeros_like(Af)))
+    Xre = X[0].reshape(*A.shape[:-1], n_grid, 2)
+    Xim = X[1].reshape(*A.shape[:-1], n_grid, 2)
+    # M2 = Aᴴ conj(invCxd_A): A real → M2 = Aᵀ conj(X)  (..., g, 2, 2)
+    M2 = (jnp.einsum("...sgi,...sgj->...gij", Ag, Xre),
+          -jnp.einsum("...sgi,...sgj->...gij", Ag, Xim))
+    # w_lcmv = M2⁻¹ Xᵀ, take the [1, 0] combination → first row of M2⁻¹ Xᵀ
+    e1 = jnp.zeros((2, 1), A.dtype).at[0, 0].set(1.0)
+    e1 = jnp.broadcast_to(e1, M2[0].shape[:-2] + (2, 1))
+    s = H.herm_solve(M2, (e1, jnp.zeros_like(e1)))      # (..., g, 2, 1)
+    # wo_j = Σ_i conj(s_i) X_{ji}  (the reference's w_lcmv.T @ [1,0] row)
+    wo = (jnp.einsum("...sgi,...gi->...sg", Xre, s[0][..., 0])
+          + jnp.einsum("...sgi,...gi->...sg", Xim, s[1][..., 0]),
+          jnp.einsum("...sgi,...gi->...sg", Xim, s[0][..., 0])
+          - jnp.einsum("...sgi,...gi->...sg", Xre, s[1][..., 0]))
+    # cross-spectrum: woᵀ (Cx y_g)
+    xs = H.ceinsum("...sg,...sg->...g", wo, CxY)
+    S = jnp.minimum(jnp.sqrt(H.cabs2(xs)), mvdr_map)
+    G = jnp.maximum(lambda_floor,
+                    jnp.sqrt(S / (mvdr_map + 2.23e-10)))
+    w_sc = (w_mvdr[0] * G[..., None, :], w_mvdr[1] * G[..., None, :])
+    # pwd with the scaled complex weights (reference NO_CONJ convention)
+    return H.quadform_trans(Cx_ri, w_sc)
+
+
+# ---------------------------------------------------------------------------
 # Grid-search DoA estimators with von-Mises peak masking (saf_sh.h:691-769)
 # ---------------------------------------------------------------------------
 

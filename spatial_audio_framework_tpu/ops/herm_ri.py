@@ -1,0 +1,168 @@
+"""Complex linear algebra in split real/imaginary arithmetic.
+
+The axon TPU runtime cannot read back any process that ever materialised a
+complex64 device array (docs/TPU_RUNTIME_NOTES.md), so every analyser
+(powermap, sldoa, dirass, spreader, hades, pitch_shifter) runs its
+covariance / subspace math here instead: a complex matrix C = A + iB is a
+pair ``(A, B)`` of real arrays, and a Hermitian C embeds isomorphically as
+the real-symmetric ``[[A, -B], [B, A]]`` (A symmetric, B antisymmetric).
+Solves and eigendecompositions of the embedding are real ops XLA runs
+natively on TPU; each complex eigenpair of C appears twice in the
+embedding with the same eigenvalue, so subspace projectors need no
+de-duplication — a complex d-dim subspace is exactly a real 2d-dim one.
+
+Counterpart of the complex half of the reference's veclib
+(saf_utility_veclib.h: utility_cseig/cpinv/cglslv/…) for the on-device
+paths; shapes are (..., n, n) batched throughout.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Cmplx = Tuple[jax.Array, jax.Array]  # (real, imag), same shapes
+
+
+# ---------------------------------------------------------------------------
+# elementwise complex arithmetic on (re, im) pairs
+# ---------------------------------------------------------------------------
+
+def cmul(a: Cmplx, b: Cmplx) -> Cmplx:
+    return a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0]
+
+
+def conj(a: Cmplx) -> Cmplx:
+    return a[0], -a[1]
+
+
+def cabs2(a: Cmplx) -> jax.Array:
+    return a[0] * a[0] + a[1] * a[1]
+
+
+def cdiv(a: Cmplx, b: Cmplx, eps: float = 0.0) -> Cmplx:
+    d = cabs2(b) + eps
+    return ((a[0] * b[0] + a[1] * b[1]) / d,
+            (a[1] * b[0] - a[0] * b[1]) / d)
+
+
+def cmatmul(a: Cmplx, b: Cmplx) -> Cmplx:
+    """(..., m, k) @ (..., k, n) complex matmul as four real matmuls."""
+    return (a[0] @ b[0] - a[1] @ b[1], a[0] @ b[1] + a[1] @ b[0])
+
+
+def ceinsum(subscripts: str, a: Cmplx, b: Cmplx, **kw) -> Cmplx:
+    e = jnp.einsum
+    return (e(subscripts, a[0], b[0], **kw) - e(subscripts, a[1], b[1], **kw),
+            e(subscripts, a[0], b[1], **kw) + e(subscripts, a[1], b[0], **kw))
+
+
+# ---------------------------------------------------------------------------
+# Hermitian embedding
+# ---------------------------------------------------------------------------
+
+def herm_embed(C: Cmplx) -> jax.Array:
+    """Hermitian (..., n, n) → real-symmetric (..., 2n, 2n)
+    [[A, -B], [B, A]]."""
+    A, B = C
+    top = jnp.concatenate([A, -B], axis=-1)
+    bot = jnp.concatenate([B, A], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def herm_solve(C: Cmplx, B: Cmplx) -> Cmplx:
+    """Solve C X = B for Hermitian C; B: (..., n, k) complex pair."""
+    M = herm_embed(C)
+    rhs = jnp.concatenate([B[0], B[1]], axis=-2)
+    X = jnp.linalg.solve(M, rhs)
+    n = B[0].shape[-2]
+    return X[..., :n, :], X[..., n:, :]
+
+
+def herm_inv(C: Cmplx) -> Cmplx:
+    n = C[0].shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=C[0].dtype),
+                           C[0].shape[:-2] + (n, n))
+    return herm_solve(C, (eye, jnp.zeros_like(eye)))
+
+
+def herm_eigh_embedded(C: Cmplx):
+    """eigh of the real embedding: (w, V) with w (..., 2n) ascending and V
+    (..., 2n, 2n) real.  Eigenvalues of C each appear twice (adjacent after
+    sorting); columns 2k/2k+1 span the embedded complex eigvector ray."""
+    return jnp.linalg.eigh(herm_embed(C))
+
+
+def noise_projector(C: Cmplx, n_sources: int) -> Cmplx:
+    """Projector onto the noise subspace (the n - n_sources smallest
+    eigenvalues) of Hermitian C, returned as a complex (re, im) pair.
+
+    P_emb = V_n V_nᵀ over the 2(n-K) smallest embedded eigenvectors equals
+    the embedding [[Re P, -Im P], [Im P, Re P]] of the complex projector.
+    """
+    n = C[0].shape[-1]
+    w, V = herm_eigh_embedded(C)
+    k2 = 2 * (n - n_sources)
+    Vn = V[..., :k2]  # ascending order → smallest first
+    P = Vn @ jnp.swapaxes(Vn, -1, -2)  # (..., 2n, 2n)
+    return P[..., :n, :n], P[..., n:, :n]  # (Re P, Im P)
+
+
+def signal_subspace_quadform(C: Cmplx, n_sources: int, Y: jax.Array):
+    """‖V_nᵀ [Y; 0]‖² per steering column for REAL steering Y (n, g):
+    the MUSIC denominator yᴴ P_n y without forming the projector."""
+    n = C[0].shape[-1]
+    _, V = herm_eigh_embedded(C)
+    k2 = 2 * (n - n_sources)
+    Vn = V[..., :k2]                       # (..., 2n, 2(n-K))
+    # [y; 0] only hits the top row-block of Vnᵀ
+    VnY = jnp.einsum("...sk,sg->...kg", Vn[..., :n, :], Y)
+    return jnp.sum(VnY ** 2, axis=-2)
+
+
+def herm_quadform_real(C: Cmplx, Y: jax.Array) -> jax.Array:
+    """real(yᵀ C y) per column of REAL Y (n, g): only Re C contributes
+    (Im C is antisymmetric)."""
+    return jnp.einsum("sg,...st,tg->...g", Y, C[0], Y)
+
+
+def herm_quadform(C: Cmplx, W: Cmplx) -> jax.Array:
+    """real(wᴴ C w) per column of complex W (..., n, g), Hermitian C."""
+    A, B = C
+    u, v = W
+
+    def t(M, x, y):
+        return jnp.einsum("...sg,...st,...tg->...g", x, M, y)
+
+    return t(A, u, u) + t(A, v, v) - t(B, u, v) + t(B, v, u)
+
+
+def quadform_trans(C: Cmplx, W: Cmplx) -> jax.Array:
+    """real(wᵀ C w) — NO conjugate on the first factor, matching the
+    reference's generatePWDmap NO_CONJ dot (saf_sh.c:1563-1578), which the
+    MVDR/CroPaC maps inherit when fed complex beamforming weights."""
+    A, B = C
+    u, v = W
+
+    def t(M, x, y):
+        return jnp.einsum("...sg,...st,...tg->...g", x, M, y)
+
+    return t(A, u, u) - t(A, v, v) - t(B, u, v) - t(B, v, u)
+
+
+def split(x) -> Cmplx:
+    """numpy/jnp complex array → (re, im) float pair (host-side helper)."""
+    import numpy as np
+
+    x = np.asarray(x)
+    return (jnp.asarray(x.real.astype(np.float32)),
+            jnp.asarray(x.imag.astype(np.float32)))
+
+
+def join(x: Cmplx):
+    """(re, im) pair → host numpy complex (d2h happens on the REAL parts,
+    so this is safe on runtimes that poison complex readback)."""
+    import numpy as np
+
+    return np.asarray(x[0]) + 1j * np.asarray(x[1])
