@@ -107,6 +107,58 @@ def main():
         decorrelator.process_ri_batched(dcfg, dd, s, x)[0]))))
     results.append(("decorrelator",) + fenced(fdc, dcst, dcx))
 
+    # --- analyser family (complex-free RI internals, readback-safe) ------
+    from spatial_audio_framework_tpu.models import (dirass, pitch_shifter,
+                                                    powermap, sldoa, spreader)
+    from spatial_audio_framework_tpu.modules import sh as sh_mod
+
+    Y3 = sh_mod.get_rsh(3, np.array([[40.0, 10.0]]))[:, 0:1]
+    ax = jnp.asarray((Y3 * rng.uniform(-1, 1, (1, T))).astype(np.float32))
+
+    # powermap (MUSIC mode exercises the embedded eigh)
+    pmc = powermap.PowermapConfig(master_order=3, mode=powermap.PM_MUSIC,
+                                  norm="n3d")
+    pmw = powermap.design(pmc)
+    pmst = powermap.init_state(pmc, pmw)
+    fpm = jax.jit(lambda s, x: jnp.max(powermap.analysis(pmc, pmw, s, x)[0]))
+    results.append(("powermap",) + fenced(fpm, pmst, ax))
+
+    # sldoa
+    slc = sldoa.SldoaConfig(master_order=3, norm="n3d")
+    slw = sldoa.design(slc)
+    slst = sldoa.init_state(slc)
+    fsl = jax.jit(lambda s, x: jnp.max(jnp.abs(
+        sldoa.analysis(slc, slw, s, x)[0].energy)) * 1e-9)
+    results.append(("sldoa",) + fenced(fsl, slst, ax))
+
+    # dirass
+    drc = dirass.DirassConfig(input_order=3, mode="upscale", norm="n3d")
+    drw = dirass.design(drc)
+    drst = dirass.init_state(drc, drw)
+    fdr = jax.jit(lambda s, x: jnp.max(dirass.analysis(drc, drw, s, x)[0]))
+    results.append(("dirass",) + fenced(fdr, drst, ax))
+
+    # spreader (OM mode: CDF4SAP solves via the real embedding)
+    spc = spreader.SpreaderConfig(n_sources=1, mode=spreader.MODE_OM)
+    spw = spreader.design(spc)
+    spst = spreader.init_state(spc, spw)
+    spx = jnp.asarray(rng.uniform(-1, 1, (1, T)).astype(np.float32))
+    spd = jnp.asarray(np.array([[60.0, 0.0]], np.float32))
+    sps = jnp.asarray(np.array([90.0], np.float32))
+    fsp = jax.jit(lambda s, x: jnp.max(jnp.abs(
+        spreader.process(spc, spw, s, x, spd, sps)[0])))
+    results.append(("spreader",) + fenced(fsp, spst, spx))
+
+    # pitch_shifter (full 8192 FFT; DFT operators as jit arguments)
+    psc = pitch_shifter.PitchShifterConfig(n_ch=1)
+    psm = pitch_shifter.design(psc)
+    psst = pitch_shifter.init_state(psc)
+    psx = jnp.asarray(rng.uniform(-1, 1, (1, T)).astype(np.float32))
+    fps = jax.jit(lambda s, x, m: jnp.max(jnp.abs(
+        pitch_shifter.process(psc, s, x, jnp.float32(1.5), mats=m)[0])))
+    results.append(("pitch_shifter",) + fenced(
+        lambda s, x: fps(s, x, psm), psst, psx))
+
     dev = jax.devices()[0]
     print(f"device: {dev}")
     ok = True

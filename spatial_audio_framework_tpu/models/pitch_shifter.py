@@ -34,8 +34,15 @@ def init_state(cfg: PitchShifterConfig) -> SmbPitchShiftState:
     return cfg.op.init_state()
 
 
+def design(cfg: PitchShifterConfig):
+    """Device DFT operators to pass through jit as arguments (required on
+    remote-compile backends at large fft_size; see SmbPitchShift.design)."""
+    return cfg.op.design()
+
+
 def process(cfg: PitchShifterConfig, state: SmbPitchShiftState, x: jax.Array,
-            shift_factor):
+            shift_factor, mats=None):
     """x: (nCH, T), T multiple of fft_size/osamp; shift_factor traced scalar
-    in [0.5, 2] → ((nCH, T), state)."""
-    return cfg.op.apply(state, x, shift_factor)
+    in [0.5, 2] → ((nCH, T), state).  Pass mats=design(cfg) through the jit
+    boundary for large fft_size."""
+    return cfg.op.apply(state, x, shift_factor, mats=mats)

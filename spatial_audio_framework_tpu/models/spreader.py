@@ -9,7 +9,10 @@ optimal-mixing of the prototype signals + decorrelated residual).
 TPU design: the spread-area selection is a traced mask over the IR grid
 (angles ≤ spread/2), so source directions/spreads stream per block; target
 covariances (Σ h hᴴ over the area), the CDF4SAP solves and the EVD run
-batched over all 133 bands at once.  Default IR set: the default HRIRs
+batched over all 133 bands at once.  The entire chain runs in split
+real/imaginary arithmetic (ops.afstft_ri, ops.herm_ri,
+cdf4sap.formulate_M_and_Cr_ri) — no complex64 reaches the device, so
+output reads back on the axon TPU.  Default IR set: the default HRIRs
 (Q = 2, binaural spreading), as in the reference.
 """
 from __future__ import annotations
@@ -22,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from spatial_audio_framework_tpu.modules import cdf4sap, hrir as hrir_mod
-from spatial_audio_framework_tpu.ops.afstft import AfSTFT, AfSTFTState
+from spatial_audio_framework_tpu.ops import afstft_ri as ri, herm_ri as H
+from spatial_audio_framework_tpu.ops.afstft import AfSTFT
 from spatial_audio_framework_tpu.utils import decor
 from spatial_audio_framework_tpu.utils.geometry import unit_sph2cart
 
@@ -46,20 +50,31 @@ class SpreaderConfig:
 
 
 class SpreaderWeights(NamedTuple):
-    H_grid: jax.Array    # (nBands, Q, nGrid) complex IR-set responses
-    HHH: jax.Array       # (nBands, nGrid, Q, Q) outer products
+    H_re: jax.Array      # (nBands, Q, nGrid) IR-set responses (re)
+    H_im: jax.Array
+    HHH_re: jax.Array    # (nBands, nGrid, Q, Q) outer products h hᴴ
+    HHH_im: jax.Array
     grid_u: jax.Array    # (nGrid, 3)
     freqs: jax.Array
     lattice: dict        # decorrelator design
 
 
 class SpreaderState(NamedTuple):
-    bank: AfSTFTState
-    lattice: tuple                 # per-source decorrelator states
-    Cproto: jax.Array              # (nSrc, nBands, Q, Q)
-    Cy: jax.Array
-    prev_M: jax.Array              # (nSrc, nBands, Q, Q) complex
+    bank: ri.AfSTFTStateRI
+    lattice: tuple                 # per-source decorrelator states (RI)
+    Cproto_re: jax.Array           # (nSrc, nBands, Q, Q)
+    Cproto_im: jax.Array
+    Cy_re: jax.Array
+    Cy_im: jax.Array
+    prev_M_re: jax.Array           # (nSrc, nBands, Q, Q)
+    prev_M_im: jax.Array
     prev_Mr: jax.Array             # (nSrc, nBands, Q, Q) real
+
+
+def _lat(cfg: SpreaderConfig, n_ch: int) -> decor.LatticeDecorrelator:
+    return decor.LatticeDecorrelator(
+        fs=cfg.fs, hop_size=cfg.hop, n_ch=n_ch,
+        orders=(20, 15, 6, 3), freq_cutoffs=(700.0, 2.4e3, 4e3, 12e3))
 
 
 def design(cfg: SpreaderConfig, irs: Optional[np.ndarray] = None,
@@ -69,135 +84,161 @@ def design(cfg: SpreaderConfig, irs: Optional[np.ndarray] = None,
         irs, ir_dirs_deg, ir_fs = hrir_mod.default_hrirs()
     if ir_fs != cfg.fs:
         irs, _ = hrir_mod.resample_hrirs(irs, ir_fs, int(cfg.fs))
-    H = hrir_mod.hrirs_to_hrtfs_afstft(irs, cfg.hop)  # (nBands, Q, nGrid)
-    HHH = np.einsum("bqg,brg->bgqr", H, H.conj())
+    Hf = hrir_mod.hrirs_to_hrtfs_afstft(irs, cfg.hop)  # (nBands, Q, nGrid)
+    HHH = np.einsum("bqg,brg->bgqr", Hf, Hf.conj())
     u = np.asarray(unit_sph2cart(np.asarray(ir_dirs_deg, np.float64),
                                  degrees=True), np.float32)
-    lat = decor.LatticeDecorrelator(
-        fs=cfg.fs, hop_size=cfg.hop, n_ch=irs.shape[1],
-        orders=(20, 15, 6, 3), freq_cutoffs=(700.0, 2.4e3, 4e3, 12e3))
     freqs = cfg.afstft.centre_freqs(cfg.fs)
-    return SpreaderWeights(H_grid=jnp.asarray(H), HHH=jnp.asarray(HHH),
-                           grid_u=jnp.asarray(u), freqs=jnp.asarray(freqs),
-                           lattice=lat.design(freqs))
+    return SpreaderWeights(
+        H_re=jnp.asarray(Hf.real.astype(np.float32)),
+        H_im=jnp.asarray(Hf.imag.astype(np.float32)),
+        HHH_re=jnp.asarray(HHH.real.astype(np.float32)),
+        HHH_im=jnp.asarray(HHH.imag.astype(np.float32)),
+        grid_u=jnp.asarray(u), freqs=jnp.asarray(freqs),
+        lattice=_lat(cfg, irs.shape[1]).design(freqs))
 
 
 def init_state(cfg: SpreaderConfig, w: SpreaderWeights) -> SpreaderState:
-    Q = w.H_grid.shape[1]
+    Q = w.H_re.shape[1]
     n_bands = cfg.afstft.n_bands
-    lat = decor.LatticeDecorrelator(
-        fs=cfg.fs, hop_size=cfg.hop, n_ch=Q,
-        orders=(20, 15, 6, 3), freq_cutoffs=(700.0, 2.4e3, 4e3, 12e3))
-    eye = jnp.broadcast_to(jnp.eye(Q, dtype=jnp.complex64),
+    lat = _lat(cfg, Q)
+    eye = jnp.broadcast_to(jnp.eye(Q, dtype=jnp.float32),
                            (cfg.n_sources, n_bands, Q, Q))
+    z = jnp.zeros((cfg.n_sources, n_bands, Q, Q), jnp.float32)
     return SpreaderState(
-        bank=cfg.afstft.init_state(cfg.n_sources, Q),
-        lattice=tuple(lat.init_state(w.lattice, n_bands)
+        bank=ri.init_state_ri(cfg.afstft, cfg.n_sources, Q),
+        lattice=tuple(decor.lattice_init_state_ri(lat, w.lattice, n_bands)
                       for _ in range(cfg.n_sources)),
-        Cproto=jnp.zeros((cfg.n_sources, n_bands, Q, Q), jnp.complex64),
-        Cy=jnp.zeros((cfg.n_sources, n_bands, Q, Q), jnp.complex64),
-        prev_M=eye, prev_Mr=jnp.zeros((cfg.n_sources, n_bands, Q, Q), jnp.float32))
+        Cproto_re=z, Cproto_im=z, Cy_re=z, Cy_im=z,
+        prev_M_re=eye, prev_M_im=z, prev_Mr=z)
 
 
 def process(cfg: SpreaderConfig, w: SpreaderWeights, state: SpreaderState,
             x: jax.Array, src_dirs_deg: jax.Array, src_spread_deg: jax.Array):
-    """x: (nSrc, T) → ((Q, T), state)."""
+    """x: (nSrc, T) → ((Q, T), state).  Complex-free throughout."""
     bank = cfg.afstft
-    Q = w.H_grid.shape[1]
-    spec, bank_st = bank.analysis(state.bank, x)   # (nBands, nSrc, H)
-    H_slots = spec.shape[-1]
+    Q = w.H_re.shape[1]
+    (sre, sim), bank_st = ri.analysis_ri(bank, state.bank, x)
+    H_slots = sre.shape[-1]
     lam = cfg.cov_avg_coeff
-    lat = decor.LatticeDecorrelator(
-        fs=cfg.fs, hop_size=cfg.hop, n_ch=Q,
-        orders=(20, 15, 6, 3), freq_cutoffs=(700.0, 2.4e3, 4e3, 12e3))
+    lat = _lat(cfg, Q)
+    Hg = (w.H_re, w.H_im)
+    HHH = (w.HHH_re, w.HHH_im)
 
-    out = jnp.zeros((bank.n_bands, Q, H_slots), spec.dtype)
+    out = (jnp.zeros((bank.n_bands, Q, H_slots), jnp.float32),
+           jnp.zeros((bank.n_bands, Q, H_slots), jnp.float32))
     new_lat, new_Cp, new_Cy, new_M, new_Mr = [], [], [], [], []
     fade_in = jnp.arange(1, H_slots + 1, dtype=jnp.float32) / H_slots
     below = (w.freqs < MAX_SPREAD_FREQ)
 
     for src in range(cfg.n_sources):
+        spec_s = (sre[:, src], sim[:, src])                # (nBands, H)
         u_src = jnp.asarray(unit_sph2cart(src_dirs_deg[src], degrees=True))
         cosang = jnp.clip(w.grid_u @ u_src, -1.0, 0.9999999)
         angles = jnp.degrees(jnp.arccos(cosang))
         centre = jnp.argmin(angles)
         in_area = (angles <= src_spread_deg[src] / 2.0)
-        n_spread = in_area.sum()
-        use_area = (n_spread > 0)
+        use_area = (in_area.sum() > 0)
         mask = jnp.where(use_area, in_area.astype(jnp.float32),
                          jax.nn.one_hot(centre, angles.shape[0]))
         mask = jnp.where(below[:, None], mask[None, :],
                          jax.nn.one_hot(centre, angles.shape[0])[None, :])
-        n_eff = jnp.maximum(mask.sum(-1), 1.0)  # (nBands,)
+        n_eff = jnp.maximum(mask.sum(-1), 1.0)             # (nBands,)
 
-        H_sum = jnp.einsum("bqg,bg->bq", w.H_grid, mask.astype(spec.dtype))
-        proto = (H_sum / n_eff[:, None].astype(spec.dtype))[:, :, None] \
-            * spec[:, src][:, None, :]   # (nBands, Q, H)
+        H_sum = (jnp.einsum("bqg,bg->bq", w.H_re, mask),
+                 jnp.einsum("bqg,bg->bq", w.H_im, mask))
+        h_avg = (H_sum[0] / n_eff[:, None], H_sum[1] / n_eff[:, None])
+        proto = (h_avg[0][:, :, None] * spec_s[0][:, None, :]
+                 - h_avg[1][:, :, None] * spec_s[1][:, None, :],
+                 h_avg[0][:, :, None] * spec_s[1][:, None, :]
+                 + h_avg[1][:, :, None] * spec_s[0][:, None, :])
 
         if cfg.mode == MODE_NAIVE:
-            out = out + proto
+            out = (out[0] + proto[0], out[1] + proto[1])
             new_lat.append(state.lattice[src])
-            new_Cp.append(state.Cproto[src]); new_Cy.append(state.Cy[src])
-            new_M.append(state.prev_M[src]); new_Mr.append(state.prev_Mr[src])
+            new_Cp.append((state.Cproto_re[src], state.Cproto_im[src]))
+            new_Cy.append((state.Cy_re[src], state.Cy_im[src]))
+            new_M.append((state.prev_M_re[src], state.prev_M_im[src]))
+            new_Mr.append(state.prev_Mr[src])
             continue
 
         if cfg.mode == MODE_EVD:
-            proto = jnp.broadcast_to(spec[:, src][:, None, :],
-                                     (bank.n_bands, Q, H_slots))
-        dec, lat_st = lat.apply(w.lattice, state.lattice[src], proto)
-        Cp = lam * state.Cproto[src] + (1 - lam) * jnp.einsum(
-            "bqh,brh->bqr", proto, jnp.conj(proto))
-        Cy_new = jnp.einsum("bgqr,bg->bqr", w.HHH, mask.astype(spec.dtype))
+            proto = (jnp.broadcast_to(spec_s[0][:, None, :],
+                                      (bank.n_bands, Q, H_slots)),
+                     jnp.broadcast_to(spec_s[1][:, None, :],
+                                      (bank.n_bands, Q, H_slots)))
+        dec, lat_st = decor.lattice_apply_ri(lat, w.lattice,
+                                             state.lattice[src],
+                                             proto[0], proto[1])
+        Cp_new = H.ceinsum("bqh,brh->bqr", proto, H.conj(proto))
+        Cp = (lam * state.Cproto_re[src] + (1 - lam) * Cp_new[0],
+              lam * state.Cproto_im[src] + (1 - lam) * Cp_new[1])
+        Cy_new = (jnp.einsum("bgqr,bg->bqr", w.HHH_re, mask),
+                  jnp.einsum("bgqr,bg->bqr", w.HHH_im, mask))
         if cfg.mode == MODE_OM:
             # impose target energies (spreader.c:#if 1 block)
-            tr_y = jnp.einsum("bqq->b", Cy_new).real
-            sig_c = jnp.einsum("bq,bh->bqh",
-                               jnp.take(w.H_grid, centre, axis=2), spec[:, src])
-            tr_e = jnp.einsum("bqh,bqh->b", sig_c, jnp.conj(sig_c)).real
+            tr_y = jnp.einsum("bqq->b", Cy_new[0])
+            h_c = (jnp.take(w.H_re, centre, axis=2),
+                   jnp.take(w.H_im, centre, axis=2))      # (nBands, Q)
+            sig_c = (h_c[0][:, :, None] * spec_s[0][:, None, :]
+                     - h_c[1][:, :, None] * spec_s[1][:, None, :],
+                     h_c[0][:, :, None] * spec_s[1][:, None, :]
+                     + h_c[1][:, :, None] * spec_s[0][:, None, :])
+            tr_e = jnp.einsum("bqh,bqh->b", sig_c[0], sig_c[0]) \
+                + jnp.einsum("bqh,bqh->b", sig_c[1], sig_c[1])
             scale = jnp.where(below, tr_e / (tr_y + 2.23e-9), 1.0)
-            Cy_new = Cy_new * scale[:, None, None].astype(Cy_new.dtype)
-        Cy = lam * state.Cy[src] + (1 - lam) * Cy_new
+            Cy_new = (Cy_new[0] * scale[:, None, None],
+                      Cy_new[1] * scale[:, None, None])
+        Cy = (lam * state.Cy_re[src] + (1 - lam) * Cy_new[0],
+              lam * state.Cy_im[src] + (1 - lam) * Cy_new[1])
 
         if cfg.mode == MODE_EVD:
-            e_y = jnp.einsum("bqq->", Cy).real
-            e_p = jnp.einsum("bqq->", Cp).real + 1e-6
-            Cy_n = Cy * (e_p / (e_y + 2.23e-9))
-            evals, V = jnp.linalg.eigh(Cy_n)
-            evals = evals[..., ::-1]
-            V = V[..., ::-1]
-            M = V * jnp.sqrt(jnp.maximum(evals, 0.0)
-                             ).astype(V.dtype)[..., None, :]
+            e_y = jnp.einsum("bqq->", Cy[0])
+            e_p = jnp.einsum("bqq->", Cp[0]) + 1e-6
+            s = e_p / (e_y + 2.23e-9)
+            lam_e, V = H.herm_eig_pairs((Cy[0] * s, Cy[1] * s))
+            root = jnp.sqrt(jnp.maximum(lam_e, 0.0))[..., None, :]
+            M = (V[0] * root, V[1] * root)
             Mr = jnp.zeros_like(state.prev_Mr[src])
             sig_in = dec
         else:  # OM
-            eyeQ = jnp.eye(Q, dtype=Cp.dtype)
-            Cp_l = Cp + 1e-5 * eyeQ
-            M, Cr = cdf4sap.formulate_M_and_Cr(Cp_l, Cy, eyeQ, False, 0.2)
-            Cp_diag = (jnp.einsum("bqq->bq", Cp).real)[..., None] * jnp.eye(Q)
-            Mr, _ = cdf4sap.formulate_M_and_Cr(Cp_diag, Cr.real,
-                                               jnp.eye(Q), False, 0.2)
-            M = jnp.where(below[:, None, None], M, eyeQ[None])
+            eyeQ = jnp.eye(Q, dtype=jnp.float32)
+            Cp_l = (Cp[0] + 1e-5 * eyeQ, Cp[1])
+            Qid = (jnp.broadcast_to(eyeQ, Cp[0].shape), jnp.zeros_like(Cp[0]))
+            M, Cr = cdf4sap.formulate_M_and_Cr_ri(Cp_l, Cy, Qid, False, 0.2)
+            Cp_diag = jnp.einsum("bqq->bq", Cp[0])[..., None] * eyeQ
+            Mr, _ = cdf4sap.formulate_M_and_Cr(Cp_diag, Cr[0], eyeQ,
+                                               False, 0.2)
+            M = (jnp.where(below[:, None, None], M[0], eyeQ[None]),
+                 jnp.where(below[:, None, None], M[1], 0.0))
             Mr = jnp.where(below[:, None, None], Mr, 0.0)
             sig_in = proto
 
         # crossfaded mixing-matrix application (spreader.c interpolator)
-        M_t = (fade_in[None, :, None, None] * M[:, None]
-               + (1 - fade_in)[None, :, None, None] * state.prev_M[src][:, None])
-        mixed = jnp.einsum("bhqr,brh->bqh", M_t, sig_in)
+        f = fade_in[None, :, None, None]
+        M_t = (f * M[0][:, None] + (1 - f) * state.prev_M_re[src][:, None],
+               f * M[1][:, None] + (1 - f) * state.prev_M_im[src][:, None])
+        mixed = (jnp.einsum("bhqr,brh->bqh", M_t[0], sig_in[0])
+                 - jnp.einsum("bhqr,brh->bqh", M_t[1], sig_in[1]),
+                 jnp.einsum("bhqr,brh->bqh", M_t[0], sig_in[1])
+                 + jnp.einsum("bhqr,brh->bqh", M_t[1], sig_in[0]))
         if cfg.mode == MODE_OM:
-            Mr_t = (fade_in[None, :, None, None] * Mr[:, None]
-                    + (1 - fade_in)[None, :, None, None]
-                    * state.prev_Mr[src][:, None])
-            mixed = mixed + jnp.einsum("bhqr,brh->bqh",
-                                       Mr_t.astype(dec.dtype), dec)
-        out = out + mixed
+            Mr_t = f * Mr[:, None] + (1 - f) * state.prev_Mr[src][:, None]
+            mixed = (mixed[0] + jnp.einsum("bhqr,brh->bqh", Mr_t, dec[0]),
+                     mixed[1] + jnp.einsum("bhqr,brh->bqh", Mr_t, dec[1]))
+        out = (out[0] + mixed[0], out[1] + mixed[1])
         new_lat.append(lat_st)
         new_Cp.append(Cp); new_Cy.append(Cy)
-        new_M.append(M); new_Mr.append(Mr.real if cfg.mode == MODE_OM else Mr)
+        new_M.append(M); new_Mr.append(Mr)
 
-    y, bank_st = bank.synthesis(bank_st, out)
+    y, bank_st = ri.synthesis_ri(bank, bank_st, out)
     new_state = SpreaderState(
         bank=bank_st, lattice=tuple(new_lat),
-        Cproto=jnp.stack(new_Cp), Cy=jnp.stack(new_Cy),
-        prev_M=jnp.stack(new_M), prev_Mr=jnp.stack(new_Mr))
+        Cproto_re=jnp.stack([c[0] for c in new_Cp]),
+        Cproto_im=jnp.stack([c[1] for c in new_Cp]),
+        Cy_re=jnp.stack([c[0] for c in new_Cy]),
+        Cy_im=jnp.stack([c[1] for c in new_Cy]),
+        prev_M_re=jnp.stack([m[0] for m in new_M]),
+        prev_M_im=jnp.stack([m[1] for m in new_M]),
+        prev_Mr=jnp.stack(new_Mr))
     return y, new_state

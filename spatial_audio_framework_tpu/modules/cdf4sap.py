@@ -84,6 +84,27 @@ def formulate_M_and_Cr(Cx, Cy, Q, use_energy: bool = False, reg: float = 1e-2):
     return M, Cr
 
 
+def formulate_M_and_Cr_ri(Cx_ri, Cy_ri, Q_ri, use_energy: bool = False,
+                          reg: float = 1e-2):
+    """Complex formulate_M_and_Cr in split real/imaginary arithmetic, for
+    TPU paths that must avoid complex64.
+
+    The [[A,-B],[B,A]] embedding is a *-ring homomorphism, and the CDF
+    construction is invariant to the (unitary) choice of the Cx/Cy square
+    roots and to orthogonal mixing inside the embedding's duplicated
+    singular pairs, so running the real implementation verbatim on the
+    embedded matrices yields exactly the embedding of the complex result
+    (the top-2k singular cut always lands on a pair boundary because the
+    embedded spectrum is doubled).
+    """
+    from spatial_audio_framework_tpu.ops import herm_ri as H
+
+    nY, nX = Q_ri[0].shape[-2:]
+    M_e, Cr_e = formulate_M_and_Cr(H.herm_embed(Cx_ri), H.herm_embed(Cy_ri),
+                                   H.embed_general(Q_ri), use_energy, reg)
+    return H.extract_embedded(M_e, nY, nX), H.extract_embedded(Cr_e, nY, nY)
+
+
 def formulate_M_and_Cr_cmplx(Cx, Cy, Q, use_energy: bool = False,
                              reg: float = 1e-2):
     """Complex variant (saf_cdf4sap.c:404) — same math via the shared

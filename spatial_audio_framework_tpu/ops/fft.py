@@ -96,6 +96,26 @@ def irfft_op(X, n: int):
             + jnp.matmul(jnp.imag(X), jnp.asarray(B), precision=hp))
 
 
+def rfft_op_ri(x, n: int):
+    """rfft_op returning an (re, im) float pair — for complex-free device
+    paths (some runtimes poison d2h readback after any complex64)."""
+    if x.shape[-1] != n:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    C, S, _, _ = _rdft_mats(n)
+    hp = jax.lax.Precision.HIGHEST
+    return (jnp.matmul(x, jnp.asarray(C), precision=hp),
+            jnp.matmul(x, jnp.asarray(S), precision=hp))
+
+
+def irfft_op_ri(Xre, Xim, n: int):
+    """irfft_op on an (re, im) float pair (1/n-scaled)."""
+    _, _, A, B = _rdft_mats(n)
+    hp = jax.lax.Precision.HIGHEST
+    return (jnp.matmul(Xre, jnp.asarray(A), precision=hp)
+            + jnp.matmul(Xim, jnp.asarray(B), precision=hp))
+
+
 def get_uniform_freq_vector(fft_size: int, fs: float) -> np.ndarray:
     """Centre frequencies of rFFT bins (saf_utility_fft.h:67)."""
     return np.arange(fft_size // 2 + 1, dtype=np.float64) * fs / float(fft_size)

@@ -71,6 +71,35 @@ def herm_embed(C: Cmplx) -> jax.Array:
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def embed_general(A: Cmplx) -> jax.Array:
+    """Any complex (..., m, n) → real (..., 2m, 2n) [[Ar, -Ai], [Ai, Ar]].
+    The embedding is a ring homomorphism: matmul/SVD/elementwise-real ops on
+    embeddings correspond exactly to the complex ops."""
+    Ar, Ai = A
+    top = jnp.concatenate([Ar, -Ai], axis=-1)
+    bot = jnp.concatenate([Ai, Ar], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def extract_embedded(E: jax.Array, m: int, n: int) -> Cmplx:
+    """Inverse of embed_general, averaging the two redundant blocks so f32
+    noise that breaks exact embedding structure is symmetrised away."""
+    re = 0.5 * (E[..., :m, :n] + E[..., m:, n:])
+    im = 0.5 * (E[..., m:, :n] - E[..., :m, n:])
+    return re, im
+
+
+def herm_eig_pairs(C: Cmplx):
+    """Eigendecomposition of Hermitian C via the embedding: returns
+    (λ (..., n) ascending, V (..., n, n) complex pair).  Column k of the
+    embedded eigenbasis at even index maps to the complex eigenvector up to
+    a phase (irrelevant for square roots / projectors / subspaces)."""
+    n = C[0].shape[-1]
+    w, V = herm_eigh_embedded(C)
+    lam = w[..., ::2]
+    return lam, (V[..., :n, ::2], V[..., n:, ::2])
+
+
 def herm_solve(C: Cmplx, B: Cmplx) -> Cmplx:
     """Solve C X = B for Hermitian C; B: (..., n, k) complex pair."""
     M = herm_embed(C)

@@ -25,10 +25,16 @@ def _affine_scan(A: jax.Array, bvec: jax.Array):
     T = bvec.shape[0]
     As = jnp.broadcast_to(A, (T,) + bvec.shape[1:] + (A.shape[-1],))
 
+    # The affine compositions MUST run in full f32: TPU matmuls default to
+    # bf16 inputs, and repeated composition of near-unit-circle pole
+    # matrices (e.g. a 100 Hz HPF at 48 kHz) then overflows to NaN.
+    hp = jax.lax.Precision.HIGHEST
+
     def combine(l, r):
         Al, bl = l
         Ar, br = r
-        return Ar @ Al, jnp.einsum("t...ij,t...j->t...i", Ar, bl) + br
+        return (jnp.matmul(Ar, Al, precision=hp),
+                jnp.einsum("t...ij,t...j->t...i", Ar, bl, precision=hp) + br)
 
     _, s = jax.lax.associative_scan(combine, (As, bvec))
     return s

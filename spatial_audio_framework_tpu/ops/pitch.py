@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spatial_audio_framework_tpu.ops.fft import irfft_op, rfft_op
 
 
 class SmbPitchShiftState(NamedTuple):
@@ -48,9 +47,22 @@ class SmbPitchShift:
             last_phase=jnp.zeros((self.n_ch, half), jnp.float32),
             sum_phase=jnp.zeros((self.n_ch, half), jnp.float32))
 
+    def design(self):
+        """Device copies of the DFT matmul operators, to pass into a jitted
+        apply() as ARGUMENTS.  At fft_size 8192 the four matrices are
+        ~0.5 GB of constants — baked into the traced graph they blow past
+        remote-compile payload limits (HTTP 413 on the axon tunnel), while
+        as runtime parameters they transfer once over h2d."""
+        from spatial_audio_framework_tpu.ops.fft import _rdft_mats
+
+        C, S, A, B = _rdft_mats(self.fft_size)
+        return (jnp.asarray(C), jnp.asarray(S), jnp.asarray(A), jnp.asarray(B))
+
     def apply(self, state: SmbPitchShiftState, x: jax.Array,
-              shift_factor: jax.Array):
-        """x: (nCH, T) with T a multiple of step → ((nCH, T), state)."""
+              shift_factor: jax.Array, mats=None):
+        """x: (nCH, T) with T a multiple of step → ((nCH, T), state).
+        mats: optional design() output; pass it through jit arguments when
+        compiling for a remote device (see design())."""
         N, step, osamp = self.fft_size, self.step, self.osamp
         half = N // 2 + 1
         n_frames = x.shape[-1] // step
@@ -59,13 +71,19 @@ class SmbPitchShift:
         k = jnp.arange(half, dtype=jnp.float32)
         freq_per_bin = self.fs / N
         expct = 2.0 * jnp.pi * step / N
+        if mats is None:
+            mats = self.design()
+        C_, S_, A_, B_ = mats
+        hp = jax.lax.Precision.HIGHEST
 
         def frame_step(carry, x_hop):
             fifo, accum, last_ph, sum_ph = carry
             buf = jnp.concatenate([fifo, x_hop], axis=-1)  # (nCH, N)
-            spec = rfft_op(buf * win, N)
-            magn = 2.0 * jnp.abs(spec)
-            phase = jnp.angle(spec)
+            xw = buf * win
+            spec_re = jnp.matmul(xw, C_, precision=hp)
+            spec_im = jnp.matmul(xw, S_, precision=hp)
+            magn = 2.0 * jnp.sqrt(spec_re ** 2 + spec_im ** 2)
+            phase = jnp.arctan2(spec_im, spec_re)
             # phase-difference → true frequency (smb analysis)
             tmp = phase - last_ph - k * expct
             tmp = tmp - 2.0 * jnp.pi * jnp.round(tmp / (2.0 * jnp.pi))
@@ -83,8 +101,10 @@ class SmbPitchShift:
             tmp2 = ((syn_freq - k * freq_per_bin) / freq_per_bin
                     ) * 2.0 * jnp.pi / osamp + k * expct
             sum_ph = sum_ph + tmp2
-            out_spec = syn_mag * jnp.exp(1j * sum_ph)
-            frame = irfft_op(out_spec, N) * N  # undo 1/N (smbFft is unscaled)
+            # undo the 1/N of the inverse operator (smbFft is unscaled)
+            frame = (jnp.matmul(syn_mag * jnp.cos(sum_ph), A_, precision=hp)
+                     + jnp.matmul(syn_mag * jnp.sin(sum_ph), B_,
+                                  precision=hp)) * N
             accum = accum + 2.0 * win * frame / (N / 2 * osamp)
             out_hop = accum[:, :step]
             accum = jnp.concatenate(
