@@ -159,6 +159,23 @@ def main():
     results.append(("pitch_shifter",) + fenced(
         lambda s, x: fps(s, x, psm), psst, psx))
 
+    # hades (analysis + BMVDR synthesis + covariance matching, all RI)
+    from spatial_audio_framework_tpu.modules import hades
+    hana = hades.HadesAnalysis()
+    hsyn = hades.HadesSynthesis(hana,
+                                beam_option=hades.HADES_BEAMFORMER_BMVDR)
+    hx = rng.uniform(-1, 1, (2, T)).astype(np.float32)
+
+    def hades_run(_s, _x):
+        p, sg = hana.apply(np.asarray(_x))
+        return float(np.abs(hsyn.apply(p, sg)).max())
+
+    t0 = time.perf_counter()
+    v = hades_run(None, hx)
+    t0 = time.perf_counter()
+    v = hades_run(None, hx)
+    results.append(("hades", v, time.perf_counter() - t0))
+
     dev = jax.devices()[0]
     print(f"device: {dev}")
     ok = True

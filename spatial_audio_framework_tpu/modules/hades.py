@@ -11,17 +11,24 @@
   sensors × diffuse EQ; stream-balance/EQ biasing; optional covariance
   matching via CDF4SAP (saf_hades_synthesis.c:308-470).
 
-All per-band ops are batched device-friendly math; the parameter containers
-mirror hades_param_container / hades_signal_container.
+TPU-native: the whole per-band chain — SCM, whitening, the eigh behind
+COMEDIE/sdMUSIC, the beamformer solves and the CDF4SAP covariance matching —
+runs as ONE jitted computation batched over all 133 bands, in split
+real/imaginary arithmetic (ops.herm_ri; the reference's band loop at
+saf_hades_analysis.c:284 becomes batched linear algebra).  Only the
+parameter containers stay on host, mirroring hades_param_container /
+hades_signal_container.
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple, Optional
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
 from spatial_audio_framework_tpu.modules import cdf4sap, hrir as hrir_mod
+from spatial_audio_framework_tpu.ops import afstft_ri as ri
 from spatial_audio_framework_tpu.ops.afstft import AfSTFT
 from spatial_audio_framework_tpu.utils import geometry as geo
 
@@ -46,6 +53,20 @@ def comedie(evals: np.ndarray) -> float:
     return float(max(1.0 - g / g0, 0.0))
 
 
+def comedie_batch(lam):
+    """comedie() vectorised over leading axes (traced jnp)."""
+    import jax.numpy as jnp
+
+    N = lam.shape[-1]
+    nord = np.sqrt(N) - 1.0
+    s = lam.sum(-1)
+    g0 = 2.0 * ((nord + 1.0) ** 2 - 1.0)
+    mean_ev = s / (nord + 1.0) ** 2
+    g = jnp.abs(lam - mean_ev[..., None]).sum(-1) / (mean_ev + 2.23e-13)
+    out = jnp.maximum(1.0 - g / g0, 0.0)
+    return jnp.where(s < 1e-4, 1.0, out)
+
+
 @dataclass
 class HadesParams:
     """hades_param_container (saf_hades_analysis.h:221-253)."""
@@ -58,9 +79,18 @@ class HadesParams:
 
 @dataclass
 class HadesSignals:
-    """hades_signal_container."""
-    inTF: np.ndarray   # (nBands, nMics, timeSlots) complex
-    Cx: np.ndarray     # (nBands, nMics, nMics) instantaneous SCMs
+    """hades_signal_container.  inTF/Cx are (re, im) float pairs — the
+    device pipeline is complex-free."""
+    inTF: tuple   # ((nBands, nMics, H), ×2)
+    Cx: tuple     # ((nBands, nMics, nMics), ×2) instantaneous SCMs
+
+
+def _split(a: np.ndarray):
+    import jax.numpy as jnp
+
+    a = np.asarray(a)
+    return (jnp.asarray(a.real.astype(np.float32)),
+            jnp.asarray(a.imag.astype(np.float32)))
 
 
 class HadesAnalysis:
@@ -71,6 +101,8 @@ class HadesAnalysis:
                  doa_opt: str = HADES_USE_MUSIC):
         """h_array: (nGrid, nMics, h_len) measured array IRs; defaults to the
         default HRIR set (binaural 2-mic array)."""
+        import jax.numpy as jnp
+
         if h_array is None:
             h_array, grid_dirs_deg, h_fs = hrir_mod.default_hrirs()
             h_array = h_array[::4]
@@ -86,7 +118,7 @@ class HadesAnalysis:
         h_array = h_array / np.abs(h_array).max()
         self.freq_vector = self.bank.centre_freqs(fs)
         self.n_bands = self.bank.n_bands
-        self.H_array = hrir_mod.hrirs_to_hrtfs_afstft(h_array, hop)  # (nB, nM, nG)
+        self.H_array = hrir_mod.hrirs_to_hrtfs_afstft(h_array, hop)  # (nB,nM,nG)
         w = geo.get_voronoi_weights(self.grid_dirs_deg)
         w = w / w.sum() * self.n_grid  # relative weights (reference: areas)
         # diffuse covariance + whitening matrices (hades_analysis_create)
@@ -102,44 +134,61 @@ class HadesAnalysis:
         self.H_array_w = np.einsum("bmn,bng->bmg", T, self.H_array)
         self.cov_avg_coeff = min(1.0 - 1.0 / (4096.0 / (8 * hop)), 0.99999)
         self.diff_opt, self.doa_opt = diff_opt, doa_opt
-        self.Cx_avg = np.zeros((self.n_bands, self.n_mics, self.n_mics),
-                               np.complex64)
-        self.bank_state = self.bank.init_state(self.n_mics, 2)
+        # device copies (RI)
+        self._T_d = _split(self.T)
+        self._Aw_d = _split(self.H_array_w)
+        self.Cx_avg = (jnp.zeros((self.n_bands, self.n_mics, self.n_mics)),
+                       jnp.zeros((self.n_bands, self.n_mics, self.n_mics)))
+        self.bank_state = ri.init_state_ri(self.bank, self.n_mics, 2)
 
     @property
     def proc_delay(self) -> int:
         return self.bank.proc_delay
+
+    def _step(self, bank_state, Cx_avg, x):
+        """Jitted analysis core: one block, batched over all bands."""
+        import jax
+        import jax.numpy as jnp
+
+        from spatial_audio_framework_tpu.ops import herm_ri as H
+
+        (sre, sim), bank_state = ri.analysis_ri(self.bank, bank_state, x)
+        hp = jax.lax.Precision.HIGHEST
+        Cx_new = (jnp.einsum("bmh,bnh->bmn", sre, sre, precision=hp)
+                  + jnp.einsum("bmh,bnh->bmn", sim, sim, precision=hp),
+                  jnp.einsum("bmh,bnh->bmn", sim, sre, precision=hp)
+                  - jnp.einsum("bmh,bnh->bmn", sre, sim, precision=hp))
+        lam = self.cov_avg_coeff
+        Cx_avg = (lam * Cx_avg[0] + (1 - lam) * Cx_new[0],
+                  lam * Cx_avg[1] + (1 - lam) * Cx_new[1])
+        # whiten: Cw = T Cx Tᴴ
+        TC = H.cmatmul(self._T_d, Cx_avg)
+        Th = (jnp.swapaxes(self._T_d[0], -1, -2),
+              -jnp.swapaxes(self._T_d[1], -1, -2))
+        Cw = H.cmatmul(TC, Th)
+        # eigenvalues (descending) → COMEDIE; noise projector → sdMUSIC
+        ev, _ = H.herm_eig_pairs(Cw)            # ascending (nBands, nMics)
+        ev = ev[..., ::-1]
+        diff = comedie_batch(jnp.maximum(ev, 0.0))
+        Pn = H.noise_projector(Cw, 1)
+        num = H.cabs2(self._Aw_d).sum(-2)       # (nBands, nGrid)
+        den = H.herm_quadform(Pn, self._Aw_d)
+        doa_idx = jnp.argmax(num / (den + 2.23e-10), axis=-1)
+        return bank_state, Cx_avg, (sre, sim), Cx_new, diff, doa_idx
 
     def apply(self, x: np.ndarray):
         """x: (nMics, T) → (HadesParams, HadesSignals)."""
         import jax
         import jax.numpy as jnp
 
-        spec, self.bank_state = jax.jit(self.bank.analysis)(
-            self.bank_state, jnp.asarray(x))
-        inTF = np.asarray(spec)  # (nBands, nMics, H)
-        H = inTF.shape[-1]
-        Cx_new = np.einsum("bmh,bnh->bmn", inTF, inTF.conj())
-        lam = self.cov_avg_coeff
-        self.Cx_avg = lam * self.Cx_avg + (1 - lam) * Cx_new
-        diff = np.zeros(self.n_bands, np.float32)
-        doa_idx = np.zeros(self.n_bands, int)
-        for b in range(self.n_bands):
-            Tb = self.T[b]
-            Cw = Tb @ self.Cx_avg[b] @ Tb.conj().T
-            e, V = np.linalg.eigh(Cw)
-            e = e[::-1].real
-            V = V[:, ::-1]
-            diff[b] = comedie(e)
-            # sdMUSIC on the noise subspace over whitened steering vectors
-            Vn = V[:, 1:]
-            A = self.H_array_w[b]  # (nMics, nGrid)
-            num = np.einsum("mg,mg->g", A.conj(), A).real
-            VnA = Vn.conj().T @ A
-            den = np.einsum("kg,kg->g", VnA.conj(), VnA).real
-            doa_idx[b] = int(np.argmax(num / (den + 2.23e-10)))
-        params = HadesParams(diffuseness=diff, doa_idx=doa_idx,
-                             gains_idx=doa_idx.copy(),
+        if not hasattr(self, "_jit_step"):
+            self._jit_step = jax.jit(self._step)
+        bank_state, Cx_avg, inTF, Cx_new, diff, doa_idx = self._jit_step(
+            self.bank_state, self.Cx_avg, jnp.asarray(x))
+        self.bank_state, self.Cx_avg = bank_state, Cx_avg
+        doa_idx = np.asarray(doa_idx)
+        params = HadesParams(diffuseness=np.asarray(diff),
+                             doa_idx=doa_idx, gains_idx=doa_idx.copy(),
                              gains_dir=np.ones(self.n_bands, np.float32),
                              gains_diff=np.ones(self.n_bands, np.float32))
         return params, HadesSignals(inTF=inTF, Cx=Cx_new)
@@ -154,7 +203,8 @@ class HadesRadialEditor:
 
     def apply(self, params: HadesParams, dir_gains_db: np.ndarray):
         """dir_gains_db: (360,) azimuth-dependent gains in dB."""
-        azi = np.mod(np.round(self.grid_dirs_deg[params.doa_idx, 0]), 360).astype(int)
+        azi = np.mod(np.round(self.grid_dirs_deg[params.doa_idx, 0]),
+                     360).astype(int)
         params.gains_dir = (10.0 ** (np.asarray(dir_gains_db)[azi] / 20.0)
                             ).astype(np.float32)
         return params
@@ -166,6 +216,8 @@ class HadesSynthesis:
                  hrir_dirs_deg: Optional[np.ndarray] = None,
                  beam_option: str = HADES_BEAMFORMER_FILTER_AND_SUM,
                  ref_indices=(0, 1), enable_cm: bool = True):
+        import jax.numpy as jnp
+
         self.ana = ana
         self.beam_option = beam_option
         self.ref = ref_indices
@@ -192,72 +244,142 @@ class HadesSynthesis:
         self.eq = np.ones(ana.n_bands, np.float32)
         self.stream_balance = np.ones(ana.n_bands, np.float32)
         self.syn_avg_coeff = 0.5
-        self.M = np.zeros((ana.n_bands, 2, ana.n_mics), np.complex64)
-        self.bank_state = ana.bank.init_state(ana.n_mics, 2)
+        # device copies (RI)
+        self._Hb_d = _split(self.H_bin)
+        self._Ha_d = _split(ana.H_array)
+        self._DCMn_d = _split(self.DCM_bin_norm)
+        self._diff_eq_d = jnp.asarray(self.diff_eq.astype(np.float32))
+        self.M = (jnp.zeros((ana.n_bands, 2, ana.n_mics)),
+                  jnp.zeros((ana.n_bands, 2, ana.n_mics)))
+        self.bank_state = ri.init_state_ri(ana.bank, ana.n_mics, 2)
+
+    def _step(self, M, bank_state, inTF, Cx, diffuseness, doa_idx, gains_idx,
+              gains_dir, gains_diff, eq, stream_balance):
+        """Jitted synthesis core, batched over all bands
+        (saf_hades_synthesis.c:308-470)."""
+        import jax
+        import jax.numpy as jnp
+
+        from spatial_audio_framework_tpu.ops import herm_ri as H
+
+        ana = self.ana
+        n_mics, n_bands = ana.n_mics, ana.n_bands
+        r0, r1 = self.ref
+        psi = jnp.clip(diffuseness, 0.0, 1.0)
+        bal = jnp.clip(stream_balance, 0.0, 2.0)
+        a = jnp.minimum(bal, 1.0) * gains_dir
+        bb = jnp.minimum(2.0 - bal, 1.0) * gains_diff
+
+        # steering at the estimated DoA + HRTF at the (editable) gain index
+        def take_g(A, idx):
+            return (jnp.take_along_axis(A[0], idx[:, None, None], 2)[..., 0],
+                    jnp.take_along_axis(A[1], idx[:, None, None], 2)[..., 0])
+
+        As = take_g(self._Ha_d, doa_idx)         # (nBands, nMics)
+        h_dir = take_g(self._Hb_d, gains_idx)    # (nBands, 2)
+        eps = (jnp.full_like(As[0][:, :1], 1e-12), jnp.zeros_like(As[0][:, :1]))
+        As_r0 = (As[0][:, r0:r0 + 1] + 1e-12, As[1][:, r0:r0 + 1])
+        As_r1 = (As[0][:, r1:r1 + 1] + 1e-12, As[1][:, r1:r1 + 1])
+        del eps
+        As_l = H.cdiv(As, As_r0)
+        As_r = H.cdiv(As, As_r1)
+        g_l = H.cdiv((h_dir[0][:, 0], h_dir[1][:, 0]),
+                     (As_r0[0][:, 0], As_r0[1][:, 0]))
+        g_r = H.cdiv((h_dir[0][:, 1], h_dir[1][:, 1]),
+                     (As_r1[0][:, 0], As_r1[1][:, 0]))
+        # |g|>4 guard (hades_synthesis.c): both fall back to 1
+        bad = ((H.cabs2(g_l) > 16.0) | (H.cabs2(g_r) > 16.0))
+        g_l = (jnp.where(bad, 1.0, g_l[0]), jnp.where(bad, 0.0, g_l[1]))
+        g_r = (jnp.where(bad, 1.0, g_r[0]), jnp.where(bad, 0.0, g_r[1]))
+
+        onehot0 = jax.nn.one_hot(r0, n_mics)
+        onehot1 = jax.nn.one_hot(r1, n_mics)
+        Q_diff = (jnp.stack([onehot0, onehot1])[None]
+                  * self._diff_eq_d[:, None, None],
+                  jnp.zeros((n_bands, 2, n_mics)))
+
+        if self.beam_option == HADES_BEAMFORMER_NONE:
+            Q = (jnp.broadcast_to(jnp.stack([onehot0, onehot1]),
+                                  (n_bands, 2, n_mics)),
+                 jnp.zeros((n_bands, 2, n_mics)))
+        else:
+            if self.beam_option == HADES_BEAMFORMER_FILTER_AND_SUM:
+                # pinv of a column vector: conj(v)/‖v‖²
+                def fas_row(Asx, g):
+                    n2 = H.cabs2(Asx).sum(-1, keepdims=True) + 1e-12
+                    row = (Asx[0] / n2, -Asx[1] / n2)
+                    return H.cmul(row, (g[0][:, None], g[1][:, None]))
+
+                rl = fas_row(As_l, g_l)
+                rr = fas_row(As_r, g_r)
+                Q_dir = (jnp.stack([rl[0], rr[0]], 1),
+                         jnp.stack([rl[1], rr[1]], 1))
+            else:  # BMVDR
+                tr = jnp.einsum("bmm->b", Cx[0])
+                load = (tr / n_mics * 10.0 + 1e-4)[:, None, None] \
+                    * jnp.eye(n_mics)
+                Cx_l = (Cx[0] + load, Cx[1])
+
+                def bmvdr_row(Asx, g):
+                    rhs = (Asx[0][..., None], -Asx[1][..., None])  # conj
+                    wv = H.herm_solve(Cx_l, rhs)
+                    wv = (wv[0][..., 0], wv[1][..., 0])
+                    den = (jnp.einsum("bm,bm->b", wv[0], Asx[0])
+                           - jnp.einsum("bm,bm->b", wv[1], Asx[1]) + 1e-5,
+                           jnp.einsum("bm,bm->b", wv[0], Asx[1])
+                           + jnp.einsum("bm,bm->b", wv[1], Asx[0]))
+                    row = H.cdiv(wv, (den[0][:, None], den[1][:, None]))
+                    return H.cmul(row, (g[0][:, None], g[1][:, None]))
+
+                rl = bmvdr_row(As_l, g_l)
+                rr = bmvdr_row(As_r, g_r)
+                Q_dir = (jnp.stack([rl[0], rr[0]], 1),
+                         jnp.stack([rl[1], rr[1]], 1))
+                dead = ((tr < 1e-4)
+                        | (jnp.sqrt(H.cabs2(As)).sum(-1) < 1e-4))
+                Q_dir = (jnp.where(dead[:, None, None], 0.0, Q_dir[0]),
+                         jnp.where(dead[:, None, None], 0.0, Q_dir[1]))
+            wd = (eq * a * (1.0 - psi))[:, None, None]
+            wf = (eq * bb * psi)[:, None, None]
+            Q = (wd * Q_dir[0] + wf * Q_diff[0],
+                 wd * Q_dir[1] + wf * Q_diff[1])
+
+        # covariance matching (saf_hades_synthesis.c:430-460)
+        target_e = eq * 0.25 * jnp.einsum("bmm->b", Cx[0]) * self._diff_eq_d
+        if self.enable_cm:
+            wdir = (eq * a * (1 - psi) * target_e)[:, None, None]
+            wdif = (eq * bb * psi * target_e)[:, None, None]
+            hh = (jnp.einsum("be,bf->bef", h_dir[0], h_dir[0])
+                  + jnp.einsum("be,bf->bef", h_dir[1], h_dir[1]),
+                  jnp.einsum("be,bf->bef", h_dir[1], h_dir[0])
+                  - jnp.einsum("be,bf->bef", h_dir[0], h_dir[1]))
+            Cy = (wdir * hh[0] + wdif * self._DCMn_d[0],
+                  wdir * hh[1] + wdif * self._DCMn_d[1])
+            Mb = cdf4sap.formulate_M_and_Cr_ri(Cx, Cy, Q, True, 0.1)[0]
+            use = (target_e > 1e-4)[:, None, None]
+            Mb = (jnp.where(use, Mb[0], Q[0]), jnp.where(use, Mb[1], Q[1]))
+        else:
+            Mb = Q
+        c = self.syn_avg_coeff
+        M = (c * M[0] + (1 - c) * eq[:, None, None] * Mb[0],
+             c * M[1] + (1 - c) * eq[:, None, None] * Mb[1])
+        out = H.ceinsum("bem,bmh->beh", M, inTF)
+        y, bank_state = ri.synthesis_ri(ana.bank, bank_state, out)
+        return M, bank_state, y
 
     def apply(self, params: HadesParams, sigs: HadesSignals) -> np.ndarray:
         """→ binaural output block (2, T)."""
         import jax
         import jax.numpy as jnp
 
-        ana = self.ana
-        n_mics = ana.n_mics
-        r0, r1 = self.ref
-        new_M = np.zeros_like(self.M)
-        for b in range(ana.n_bands):
-            psi = float(np.clip(params.diffuseness[b], 0.0, 1.0))
-            bal = float(np.clip(self.stream_balance[b], 0.0, 2.0))
-            a, bb = (bal, 1.0) if bal < 1.0 else (1.0, 2.0 - bal)
-            a *= params.gains_dir[b]
-            bb *= params.gains_diff[b]
-            eq = self.eq[b]
-            As = ana.H_array[b, :, params.doa_idx[b]]
-            As_l = As / (As[r0] + 1e-12)
-            As_r = As / (As[r1] + 1e-12)
-            h_dir = self.H_bin[b, :, params.gains_idx[b]]
-            g_l = h_dir[0] / (As[r0] + 1e-12)
-            g_r = h_dir[1] / (As[r1] + 1e-12)
-            if abs(g_l) > 4.0 or abs(g_r) > 4.0:
-                g_l = g_r = 1.0
-            Q_diff = np.zeros((2, n_mics), np.complex64)
-            Q_diff[0, r0] = self.diff_eq[b]
-            Q_diff[1, r1] = self.diff_eq[b]
-            if self.beam_option == HADES_BEAMFORMER_NONE:
-                Q = np.zeros((2, n_mics), np.complex64)
-                Q[0, r0] = Q[1, r1] = 1.0
-            else:
-                if self.beam_option == HADES_BEAMFORMER_FILTER_AND_SUM:
-                    Q_dir = np.stack([np.linalg.pinv(As_l[:, None])[0] * g_l,
-                                      np.linalg.pinv(As_r[:, None])[0] * g_r])
-                else:  # BMVDR
-                    Cx = np.array(sigs.Cx[b], np.complex128)
-                    tr = np.trace(Cx).real
-                    if tr < 1e-4 or np.abs(As).sum() < 1e-4:
-                        Q_dir = np.zeros((2, n_mics), np.complex64)
-                    else:
-                        Cx += np.eye(n_mics) * (tr / n_mics * 10.0 + 1e-4)
-                        rows = []
-                        for Asx, g in [(As_l, g_l), (As_r, g_r)]:
-                            w = np.linalg.solve(Cx, Asx.conj())
-                            denom = w @ Asx + 1e-5
-                            rows.append(w / denom * g)
-                        Q_dir = np.stack(rows)
-                Q = (eq * a * (1.0 - psi)) * Q_dir + (eq * bb * psi) * Q_diff
-            target_e = eq * 0.25 * np.trace(sigs.Cx[b]).real * self.diff_eq[b]
-            if self.enable_cm and target_e > 1e-4:
-                Cy = (eq * a * (1 - psi) * target_e) * np.outer(h_dir,
-                                                                h_dir.conj())
-                Cy = Cy + (eq * bb * psi * target_e) * self.DCM_bin_norm[b]
-                Mb, _ = cdf4sap.formulate_M_and_Cr(
-                    np.asarray(sigs.Cx[b], np.complex128), Cy,
-                    Q.astype(np.complex128), True, 0.1)
-            else:
-                Mb = Q
-            new_M[b] = eq * Mb
-        self.M = self.syn_avg_coeff * self.M + (1 - self.syn_avg_coeff) * new_M
-        out = np.einsum("bem,bmh->beh", self.M, sigs.inTF)
-        import jax.numpy as jnp
-
-        y, self.bank_state = jax.jit(ana.bank.synthesis)(
-            self.bank_state, jnp.asarray(out))
+        if not hasattr(self, "_jit_step"):
+            self._jit_step = jax.jit(self._step)
+        M, bank_state, y = self._jit_step(
+            self.M, self.bank_state, sigs.inTF, sigs.Cx,
+            jnp.asarray(params.diffuseness),
+            jnp.asarray(params.doa_idx), jnp.asarray(params.gains_idx),
+            jnp.asarray(params.gains_dir), jnp.asarray(params.gains_diff),
+            jnp.asarray(self.eq.astype(np.float32)),
+            jnp.asarray(self.stream_balance.astype(np.float32)))
+        self.M, self.bank_state = M, bank_state
         return np.asarray(y)
