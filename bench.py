@@ -160,6 +160,186 @@ def main():
     except Exception:
         pass
 
+    # -- accuracy vs the COMPILED C REFERENCE (tests/goldens, on this chip) --
+    # The golden is rendered by the reference C framework itself
+    # (tools/c_goldens); the RI fast path must hit it within 1e-4.
+    max_err_vs_c = None
+    try:
+        import os
+        g = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "tests", "goldens", "c_goldens.npz"))
+        gcfg = ambi_bin.AmbiBinConfig(order=4, method="magls", norm="n3d",
+                                      enable_rotation=True)
+        gw = ambi_bin.design_ri(gcfg)
+        gst = ambi_bin.init_state_ri(gcfg)
+        gx = jnp.asarray(g["ambi_bin_enc_y"][:, None]
+                         * g["ambi_bin_in_mono"][None, :])
+        gypr = jnp.asarray(np.array([np.pi, 0.0, 0.0], np.float32))
+        gproc = jax.jit(lambda w, s, xx: ambi_bin.process_ri(gcfg, w, s, xx,
+                                                             gypr))
+        outs = []
+        for f in range(16):
+            gy, gst = gproc(gw, gst, gx[:, f * 512:(f + 1) * 512])
+            outs.append(np.asarray(gy))
+        max_err_vs_c = float(np.abs(np.concatenate(outs, -1)
+                                    - g["ambi_bin_out"]).max())
+    except Exception:
+        pass
+
+    # -- remaining BASELINE.json configs: one fenced RTF each ----------------
+    def fenced_rtf(step, state, xs, audio_sec, n_rep=3):
+        """step(state, xs) -> (energy_scalar, state); median fenced time."""
+        p = jax.jit(step)
+        e, state = p(state, xs)
+        float(e)
+        ts = []
+        for _ in range(n_rep):
+            t0 = time.perf_counter()
+            e, state = p(state, xs)
+            float(e)
+            ts.append(time.perf_counter() - t0)
+        return round(audio_sec / float(np.median(ts)), 1)
+
+    def scan_chunks(body):
+        def step(st, xs):
+            st, e = jax.lax.scan(body, st, xs)
+            return jnp.sum(e), st
+        return step
+
+    config_rtfs = {}
+
+    # ambi_enc: order-1 SH encoding, 64 mono sources w/ streaming directions
+    try:
+        from spatial_audio_framework_tpu.models import ambi_enc as ENC
+        ecfg = ENC.AmbiEncConfig(order=1, n_sources=64)
+        eout = ENC.design(ecfg)
+        edirs = jnp.asarray(rng.uniform(-180, 180, (64, 2)).astype(
+            np.float32) * np.array([1.0, 0.45], np.float32))
+        ex = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
+            jnp.arange(K)))(jnp.asarray(rng.uniform(
+                -1, 1, (64, Tc)).astype(np.float32)))
+
+        FR = ecfg.frame_size
+
+        def ebody(st, xk):
+            # ambi_enc crossfades per fixed-size frame: scan frames in-chunk
+            frames = jnp.moveaxis(xk.reshape(64, Tc // FR, FR), 1, 0)
+
+            def fstep(st, xf):
+                y, st = ENC.process(ecfg, eout, st, xf, edirs)
+                return st, jnp.sum(y * y)
+
+            st, es = jax.lax.scan(fstep, st, frames)
+            return st, jnp.sum(es)
+
+        config_rtfs["ambi_enc_o1_64src"] = fenced_rtf(
+            scan_chunks(ebody), ENC.init_state(ecfg, np.asarray(edirs)), ex,
+            64 * K * Tc / FS)
+    except Exception:
+        pass
+
+    # panner: VBAP to 5.1 and 7.1.4, 64 streams x 4 sources
+    try:
+        from spatial_audio_framework_tpu.models import panner as PAN
+        layouts = {
+            "5_1": np.array([[30, 0], [-30, 0], [0, 0], [110, 0], [-110, 0]],
+                            np.float64),
+            "7_1_4": np.array(
+                [[30, 0], [-30, 0], [0, 0], [90, 0], [-90, 0], [135, 0],
+                 [-135, 0], [45, 45], [-45, 45], [135, 45], [-135, 45]],
+                np.float64),
+        }
+        px = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
+            jnp.arange(K)))(jnp.asarray(rng.uniform(
+                -1, 1, (64, 4, Tc)).astype(np.float32)))
+        pdirs = jnp.asarray(rng.uniform(-180, 180, (64, 4, 2)).astype(
+            np.float32) * np.array([1.0, 0.45], np.float32))
+        for name, ls in layouts.items():
+            pcfg = PAN.PannerConfig(n_sources=4, n_loudspeakers=len(ls))
+            pw = PAN.design(pcfg, ls)
+
+            def pbody(st, xk, pw=pw, pcfg=pcfg):
+                y, st = PAN.process_ri_batched(pcfg, pw, st, xk, pdirs)
+                return st, jnp.sum(y * y)
+
+            config_rtfs[f"panner_{name}_64streams"] = fenced_rtf(
+                scan_chunks(pbody),
+                PAN.init_state_batched(pcfg, 64, len(ls)), px,
+                64 * K * Tc / FS)
+    except Exception:
+        pass
+
+    # tvconv: time-varying partitioned convolution, streaming listener pos
+    try:
+        from spatial_audio_framework_tpu.models import conv_examples as CE
+        tv = CE.TVConvExample()
+        irs = 0.1 * rng.standard_normal((64, 2, 2048)).astype(np.float32)
+        irs[:, :, 0] += 1.0
+        pos = rng.uniform(0, 5, (64, 3)).astype(np.float32)
+        conv, Hri, posd = tv.design_ri(irs, pos)
+        lpos = jnp.asarray(pos[3])
+        tx = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
+            jnp.arange(K)))(jnp.asarray(rng.uniform(
+                -1, 1, (Tc,)).astype(np.float32)))
+
+        def tbody(st, xk):
+            y, st = tv.process_ri(conv, Hri, st, xk, lpos, posd)
+            return st, jnp.sum(y * y)
+
+        config_rtfs["tvconv_64pos_2ch"] = fenced_rtf(
+            scan_chunks(tbody), tv.init_state_ri(conv), tx, K * Tc / FS)
+    except Exception:
+        pass
+
+    # powermap + sldoa: SH-domain analysers (complex-free RI chain)
+    try:
+        from spatial_audio_framework_tpu.models import powermap as PM
+        pmc = PM.PowermapConfig(master_order=3, mode=PM.PM_MUSIC, norm="n3d")
+        pmw = PM.design(pmc)
+        ax = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
+            jnp.arange(K)))(jnp.asarray(rng.uniform(
+                -1, 1, (pmc.nsh, Tc)).astype(np.float32)))
+
+        def mbody(st, xk):
+            p, st = PM.analysis(pmc, pmw, st, xk)
+            return st, jnp.sum(p)
+
+        config_rtfs["powermap_o3_music"] = fenced_rtf(
+            scan_chunks(mbody), PM.init_state(pmc, pmw), ax, K * Tc / FS)
+
+        from spatial_audio_framework_tpu.models import sldoa as SL
+        slc = SL.SldoaConfig(master_order=3, norm="n3d")
+        slw = SL.design(slc)
+
+        def sbody(st, xk):
+            out, st = SL.analysis(slc, slw, st, xk)
+            return st, jnp.sum(out.energy)
+
+        config_rtfs["sldoa_o3"] = fenced_rtf(
+            scan_chunks(sbody), SL.init_state(slc), ax, K * Tc / FS)
+    except Exception:
+        pass
+
+    # ambi_roomsim: shoebox image-source reverb -> partitioned MatrixConv
+    try:
+        from spatial_audio_framework_tpu.models import ambi_roomsim as RS
+        rcfg = RS.AmbiRoomSimConfig(n_sources=2, n_receivers=1, sh_order=2,
+                                    refl_order=2)
+        rw = RS.design_ri(rcfg, np.array([[2.0, 3.0, 1.5], [4.0, 2.0, 1.7]]),
+                          np.array([[3.0, 2.5, 1.6]]))
+        rx = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
+            jnp.arange(K)))(jnp.asarray(rng.uniform(
+                -1, 1, (2, Tc)).astype(np.float32)))
+
+        def rbody(st, xk):
+            y, st = RS.process_ri(rcfg, rw, st, xk)
+            return st, jnp.sum(y * y)
+
+        config_rtfs["ambi_roomsim_o2_2src"] = fenced_rtf(
+            scan_chunks(rbody), RS.init_state_ri(rcfg, rw), rx, K * Tc / FS)
+    except Exception:
+        pass
+
     result = {
         "metric": "ambi_bin_order3_magls_64streams_rtf",
         "value": round(rtf, 2),
@@ -172,7 +352,9 @@ def main():
             "chunk_samples": Tc,
             "n_streams": N_STREAMS,
             "max_abs_err_vs_cpu_f32": max_err,
+            "max_abs_err_vs_c_reference": max_err_vs_c,
             "binauraliser_64streams_4src_rtf": bin_rtf,
+            "config_rtfs": config_rtfs,
             "device": str(jax.devices()[0]),
         },
     }

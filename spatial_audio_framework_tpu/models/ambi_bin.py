@@ -146,7 +146,8 @@ def process(cfg: AmbiBinConfig, weights: AmbiBinWeights, state: AfSTFTState,
         assert ypr is not None
         R = geo.yaw_pitch_roll2_rzyx(ypr[0], ypr[1], ypr[2])
         M_rot = sh.get_sh_rot_mtx_real(R.astype(jnp.float32), cfg.order)
-        M = jnp.einsum("bes,st->bet", M, M_rot.astype(M.dtype))
+        M = jnp.einsum("bes,st->bet", M, M_rot.astype(M.dtype),
+                       precision=jax.lax.Precision.HIGHEST)
     spec, state = bank.analysis(state, x)           # (nBands, nSH, H)
     out = jnp.einsum("bes,bsh->beh", M, spec, precision=jax.lax.Precision.HIGHEST)       # batched over 133 bands
     y, state = bank.synthesis(state, out)           # (2, T)
@@ -183,8 +184,9 @@ def process_ri(cfg: AmbiBinConfig, w_ri, state, x: jax.Array,
         assert ypr is not None
         R = geo.yaw_pitch_roll2_rzyx(ypr[0], ypr[1], ypr[2])
         M_rot = sh.get_sh_rot_mtx_real(R.astype(jnp.float32), cfg.order)
-        Mre = jnp.einsum("bes,st->bet", Mre, M_rot)
-        Mim = jnp.einsum("bes,st->bet", Mim, M_rot)
+        hp_rot = jax.lax.Precision.HIGHEST
+        Mre = jnp.einsum("bes,st->bet", Mre, M_rot, precision=hp_rot)
+        Mim = jnp.einsum("bes,st->bet", Mim, M_rot, precision=hp_rot)
     (sre, sim), state = ri.analysis_ri(bank, state, x)
     hp = jax.lax.Precision.HIGHEST
     out_re = (jnp.einsum("bes,bsh->beh", Mre, sre, precision=hp)
