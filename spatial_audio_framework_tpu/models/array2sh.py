@@ -95,7 +95,17 @@ def _replicate_orders(vals_per_order: np.ndarray) -> np.ndarray:
 
 def design(cfg: Array2SHConfig, sensor_dirs_deg: np.ndarray,
            _split_ri: bool = False) -> Array2SHWeights:
+    """sensor_dirs_deg: (Q, 2) [azi, elev] in DEGREES.  Note the sensor
+    presets (utils.presets.mic_preset) are stored in radians, matching the
+    reference's __*_coords_rad tables — convert with np.degrees first."""
     sensor_dirs_deg = np.asarray(sensor_dirs_deg, np.float64)
+    if sensor_dirs_deg.shape[0] > 4 and np.abs(sensor_dirs_deg).max() < 7.0:
+        from spatial_audio_framework_tpu.utils.misc import saf_print_warning
+
+        saf_print_warning(
+            "array2sh.design: sensor directions all within ±7 — these look "
+            "like RADIANS; pass degrees (np.degrees(mic_preset(...))) or the "
+            "SH matrix will be near-singular and the filters will explode")
     Q = sensor_dirs_deg.shape[0]
     order = cfg.order
     bank = cfg.afstft

@@ -14,7 +14,23 @@ from scipy import special as sp
 
 def _all_orders(fn, N: int, z: np.ndarray, **kw) -> np.ndarray:
     z = np.asarray(z, np.float64)
-    return np.stack([fn(n, z, **kw) for n in range(N + 1)], axis=-1)  # (..., N+1)
+    # z=0 legitimately yields ±inf for the Y/K families (and scipy's
+    # derivative formulas then warn on inf-inf); the limits are correct and
+    # DC is handled by the callers, so keep the edge silent.
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.stack([fn(n, z, **kw) for n in range(N + 1)],
+                        axis=-1)  # (..., N+1)
+
+
+def _cplx(re: np.ndarray, im: np.ndarray) -> np.ndarray:
+    """re + i*im built WITHOUT multiplying by 1j: y_n(0) = -inf, and
+    1j*(-inf) would poison the real part with 0*inf = NaN (the source of
+    RuntimeWarnings at the z=0 / DC-band edge).  The limit (re, ±inf·i) is
+    the mathematically right value and what the C reference produces."""
+    out = np.empty(np.broadcast(re, im).shape, np.complex128)
+    out.real = re
+    out.imag = im
+    return out
 
 
 # -- cylindrical -------------------------------------------------------------
@@ -32,13 +48,13 @@ def bessel_Yn_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
 def hankel_Hn1_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
     J, Jp = bessel_Jn_all(N, z)
     Y, Yp = bessel_Yn_all(N, z)
-    return J + 1j * Y, Jp + 1j * Yp
+    return _cplx(J, Y), _cplx(Jp, Yp)
 
 
 def hankel_Hn2_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
     J, Jp = bessel_Jn_all(N, z)
     Y, Yp = bessel_Yn_all(N, z)
-    return J - 1j * Y, Jp - 1j * Yp
+    return _cplx(J, -Y), _cplx(Jp, -Yp)
 
 
 # -- spherical ---------------------------------------------------------------
@@ -69,11 +85,11 @@ def bessel_kn_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
 def hankel_hn1_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
     j, jp = bessel_jn_all(N, z)
     y, yp = bessel_yn_all(N, z)
-    return j + 1j * y, jp + 1j * yp
+    return _cplx(j, y), _cplx(jp, yp)
 
 
 def hankel_hn2_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
     """Spherical Hankel of the second kind h2_n = j_n - i·y_n (hankel_hn2_ALL)."""
     j, jp = bessel_jn_all(N, z)
     y, yp = bessel_yn_all(N, z)
-    return j - 1j * y, jp - 1j * yp
+    return _cplx(j, -y), _cplx(jp, -yp)

@@ -128,3 +128,45 @@ def test_grid_weights_vs_voronoi():
     w = geo.get_voronoi_weights(dirs)
     np.testing.assert_allclose(w.sum(), 4 * np.pi, rtol=1e-6)
     assert w.std() / w.mean() < 0.15
+
+
+def test_preset_handle_tables_fully_covered():
+    """The reference's __HANDLES_* pointer tables (loudspeaker_presets.c)
+    index per-size data arrays; the presets API must resolve every index
+    they span: t-designs 1..21, sphere coverings 4..64, geospheres 0..16
+    (ico + oct)."""
+    from spatial_audio_framework_tpu.utils import presets
+
+    for deg in range(1, 22):
+        d = presets.tdesign(deg)
+        assert d.shape == (presets.tdesign_n_points(deg), 2)
+    for n in range(4, 65):
+        assert presets.sphere_covering(n).shape == (n, 2)
+    for lev in range(0, 17):
+        for ico in (True, False):
+            g = presets.geosphere(lev, icosahedral=ico)
+            assert g.ndim == 2 and g.shape[1] == 2 and g.shape[0] >= 4
+
+
+def test_bessel_hankel_z0_edge_is_silent_and_correct():
+    """hankel at z=0: imaginary part hits the -inf limit WITHOUT poisoning
+    the real part (previously 1j*(-inf) produced NaN + RuntimeWarnings)."""
+    import warnings
+
+    import numpy as np
+
+    from spatial_audio_framework_tpu.utils import bessel as B
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        h1, h1p = B.hankel_hn1_all(4, np.array([0.0, 1.0]))
+        h2, _ = B.hankel_hn2_all(4, np.array([0.0, 1.0]))
+        H1, _ = B.hankel_Hn1_all(4, np.array([0.0, 2.0]))
+        H2, _ = B.hankel_Hn2_all(4, np.array([0.0, 2.0]))
+    # real parts at z=0 are the j_n limits (finite); imag parts diverge
+    assert np.isfinite(h1[0].real).all() and np.isinf(h1[0, 1:].imag).all()
+    assert np.isfinite(H2[0].real).all()
+    # away from the edge the values match j ± i*y
+    from scipy import special as sp
+    ref = sp.spherical_jn(1, 1.0) + 1j * sp.spherical_yn(1, 1.0)
+    assert abs(h1[1, 1] - ref) < 1e-12
