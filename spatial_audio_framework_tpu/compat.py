@@ -575,3 +575,86 @@ from spatial_audio_framework_tpu.utils.sort import (  # noqa: E402
 
 # veclib: utility_?xxx → ops.veclib (dtype prefix dropped; see its docstring)
 from spatial_audio_framework_tpu.ops import veclib as utility  # noqa: E402
+
+
+# -- utility_?xxx: the complete 114-symbol C-named surface --------------------
+# (saf_utility_veclib.h:112-1836).  Dtype prefixes map s/d/c/z →
+# float32/float64/complex64/complex128; array arguments are cast to the
+# variant's dtype, exactly as the C signatures constrain them.  The
+# _create/_destroy pairs pre-allocate per-thread LAPACK workspaces in the
+# reference; XLA owns scratch allocation, so they are documented no-ops
+# (accept and return a None handle, and every utility_?xxx ignores a
+# leading ``hWork=None``-style handle being absent — call without one).
+
+_VECLIB_DTYPES = {"s": "float32", "d": "float64",
+                  "c": "complex64", "z": "complex128"}
+# generic op name -> (C base name, dtype prefixes with a C variant)
+_VECLIB_SURFACE = {
+    "iminv": ("iminv", "sdcz"), "imaxv": ("imaxv", "sdcz"),
+    "vabs": ("vabs", "sc"), "vmod": ("vmod", "s"), "vrecip": ("vrecip", "s"),
+    "vconj": ("vconj", "cz"), "vvcopy": ("vvcopy", "sdcz"),
+    "vvadd": ("vvadd", "sdcz"), "vvsub": ("vvsub", "sdcz"),
+    "vvmul": ("vvmul", "sc"), "vvdot": ("vvdot", "sc"),
+    "svsmul": ("vsmul", "sdcz"), "svsdiv": ("vsdiv", "s"),
+    "svsadd": ("vsadd", "s"), "svssub": ("vssub", "s"),
+    "sv2cv_inds": ("sv2cv_inds", "s"),
+    "svd": ("svd", "sc"), "seig": ("seig", "sc"),
+    "eig": ("eig", "cz"), "eigmp": ("eigmp", "cz"),
+    "glslv": ("glslv", "sdcz"), "glslvt": ("glslvt", "s"),
+    "slslv": ("slslv", "sc"), "pinv": ("pinv", "sdcz"),
+    "chol": ("chol", "sc"), "det": ("det", "sd"), "inv": ("inv", "sdc"),
+}
+_VECLIB_HAS_HANDLE = {  # ops with _create/_destroy in the reference
+    "svd", "seig", "eig", "eigmp", "glslv", "glslvt", "slslv", "pinv",
+    "chol", "det", "inv",
+}
+
+
+def _make_veclib_variant(generic_name: str, c_name: str, dtype_name: str):
+    base = getattr(utility, generic_name)
+
+    def f(*args, **kw):
+        import numpy as _np
+
+        dt = getattr(_np, dtype_name)
+        cast = []
+        for a in args:
+            if hasattr(a, "ndim"):  # numpy or jax array
+                # integer arrays are index arguments (e.g. sv2cv_inds)
+                cast.append(a if _np.issubdtype(a.dtype, _np.integer)
+                            else a.astype(dt))
+            elif isinstance(a, (list, tuple)):
+                arr = _np.asarray(a)
+                cast.append(arr if _np.issubdtype(arr.dtype, _np.integer)
+                            else arr.astype(dt))
+            else:
+                cast.append(a)
+        return base(*cast, **kw)
+
+    f.__name__ = c_name
+    f.__qualname__ = c_name
+    f.__doc__ = (f"saf_utility_veclib.h ``{c_name}`` — {dtype_name} variant "
+                 f"of :func:`ops.veclib.{generic_name}`.")
+    return f
+
+
+def _veclib_noop(c_name: str):
+    def f(*_args, **_kw):
+        return None
+
+    f.__name__ = c_name
+    f.__doc__ = (f"saf_utility_veclib.h ``{c_name}``: per-thread LAPACK "
+                 "workspace pre-allocation in the reference; XLA owns "
+                 "scratch memory, so this is a documented no-op.")
+    return f
+
+
+for _gname, (_cbase, _prefixes) in _VECLIB_SURFACE.items():
+    for _p in _prefixes:
+        _cn = f"utility_{_p}{_cbase}"
+        globals()[_cn] = _make_veclib_variant(_gname, _cn,
+                                              _VECLIB_DTYPES[_p])
+        if _gname in _VECLIB_HAS_HANDLE:
+            globals()[_cn + "_create"] = _veclib_noop(_cn + "_create")
+            globals()[_cn + "_destroy"] = _veclib_noop(_cn + "_destroy")
+del _gname, _cbase, _prefixes, _p, _cn

@@ -192,3 +192,10 @@ def svssub(x, s):
 def vsadd(x, s):
     """In the reference vsadd == svsadd with accumulate variants; alias."""
     return x + s
+
+
+def sv2cv_inds(sv, inds):
+    """Gather: cv[i] = sv[inds[i]] (utility_ssv2cv_inds; the MKL path uses
+    cblas_sgthr, the portable path an unrolled copy loop)."""
+    xp = _xp(sv)
+    return xp.take(sv, inds, axis=-1)

@@ -117,3 +117,48 @@ def test_estimators_and_sofa(tmp_path):
     sofa_save(p, irs, 48000.0, dirs)
     c = saf.saf_sofa_open(p, "hrir")
     assert c.n_sources == 4 and c.data_length_ir == 32
+
+
+def test_veclib_full_c_surface():
+    """Every utility_?xxx symbol declared in the reference's
+    saf_utility_veclib.h (116 symbols: 66 callables + 50 workspace
+    create/destroy pairs)
+    resolves in compat with the right dtype behavior."""
+    import numpy as np
+
+    from spatial_audio_framework_tpu import compat
+
+    # the full surface, spelled out (mirrors saf_utility_veclib.h)
+    surface = {
+        "iminv": "sdcz", "imaxv": "sdcz", "vabs": "sc", "vmod": "s",
+        "vrecip": "s", "vconj": "cz", "vvcopy": "sdcz", "vvadd": "sdcz",
+        "vvsub": "sdcz", "vvmul": "sc", "vvdot": "sc", "vsmul": "sdcz",
+        "vsdiv": "s", "vsadd": "s", "vssub": "s", "sv2cv_inds": "s",
+        "svd": "sc", "seig": "sc", "eig": "cz", "eigmp": "cz",
+        "glslv": "sdcz", "glslvt": "s", "slslv": "sc", "pinv": "sdcz",
+        "chol": "sc", "det": "sd", "inv": "sdc",
+    }
+    handled = {"svd", "seig", "eig", "eigmp", "glslv", "glslvt", "slslv",
+               "pinv", "chol", "det", "inv"}
+    n = 0
+    for base, prefixes in surface.items():
+        for p in prefixes:
+            name = f"utility_{p}{base}"
+            assert hasattr(compat, name), name
+            n += 1
+            if base in handled:
+                assert compat.__dict__[name + "_create"]() is None
+                assert compat.__dict__[name + "_destroy"]() is None
+                n += 2
+    assert n == 116, n  # 66 callables + 50 create/destroy pairs
+
+    # dtype casting follows the prefix
+    A = np.eye(3) * 2.0
+    assert compat.utility_sinv(A).dtype == np.float32
+    assert compat.utility_dinv(A).dtype == np.float64
+    assert compat.utility_cinv(A).dtype == np.complex64
+    U, s, V = compat.utility_csvd(A + 1j * np.eye(3))
+    assert U.dtype == np.complex64
+    # integer index args are NOT cast (utility_ssv2cv_inds)
+    out = compat.utility_ssv2cv_inds(np.arange(6.0), np.array([5, 1]))
+    assert out.tolist() == [5.0, 1.0]
