@@ -10,6 +10,14 @@ Measurement notes (this runtime):
   (calibration: a 1.1-TFLOP matmul "completes" in 0.07 ms ⇒ >15 PFLOP/s,
   impossible), so every timing here is fenced by a device→host scalar
   transfer of a reduction of the output — a true execution fence.
+* the d2h scalar fence costs a fixed ~30 ms tunnel round-trip regardless of
+  compute (measured: a trivial jitted reduction and a 1k×1k matmul both fence
+  in ~30 ms).  Throughput is therefore timed over a CHAIN of state-carrying
+  dispatches with ONE fence after the last — the chain serialises on device
+  through the carried filterbank state, so the fenced wall time covers every
+  dispatch, while the tunnel RTT (which a production stream never pays
+  per-block) is amortised.  The measured RTT and the per-dispatch fenced RTF
+  are both reported in ``extra`` for transparency.
 * complex64 anywhere in the graph permanently breaks the d2h path on this
   runtime, so the benchmark runs the split real/imaginary pipeline
   (models.ambi_bin.process_ri_batched → ops.afstft_ri + the fused pallas
@@ -62,15 +70,39 @@ def main():
     e, states = proc(wri, states, xs)
     fence = float(e)  # true execution fence (d2h scalar)
 
+    # measure the fixed dispatch+fence tunnel round-trip (for reporting)
+    triv = jax.jit(lambda v: jnp.sum(v * 2.0))
+    tv = jnp.ones((8, 128), jnp.float32)
+    float(triv(tv))
+    rtts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(triv(tv))
+        rtts.append(time.perf_counter() - t0)
+    rtt_ms = 1000.0 * float(np.median(rtts))
+
+    # per-dispatch fenced RTF (lower bound: pays the RTT every dispatch)
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         e, states = proc(wri, states, xs)
         fence = float(e)
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
     audio_sec = N_STREAMS * K * Tc / FS
-    rtf = audio_sec / dt
+    rtf_per_dispatch = audio_sec / float(np.median(times))
+
+    # throughput: CHAIN dispatches (serialised on device via the carried
+    # state), one fence at the end — amortises the tunnel RTT
+    CHAIN = 16
+    chain_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(CHAIN):
+            e, states = proc(wri, states, xs)
+        fence = float(e)
+        chain_times.append(time.perf_counter() - t0)
+    dt = float(np.median(chain_times))
+    rtf = CHAIN * audio_sec / dt
 
     # -- streaming latency: one 85 ms block per dispatch, fenced -------------
     T = 32 * HOP
@@ -151,12 +183,13 @@ def main():
         e2, bst = bproc(bst, xs2)
         float(e2)
         bt = []
-        for _ in range(3):
+        for _ in range(2):
             t0 = time.perf_counter()
-            e2, bst = bproc(bst, xs2)
+            for _ in range(8):
+                e2, bst = bproc(bst, xs2)
             float(e2)
             bt.append(time.perf_counter() - t0)
-        bin_rtf = round(S2 * K2 * Tc / FS / float(np.median(bt)), 1)
+        bin_rtf = round(8 * S2 * K2 * Tc / FS / float(np.median(bt)), 1)
     except Exception:
         pass
 
@@ -187,18 +220,20 @@ def main():
         pass
 
     # -- remaining BASELINE.json configs: one fenced RTF each ----------------
-    def fenced_rtf(step, state, xs, audio_sec, n_rep=3):
-        """step(state, xs) -> (energy_scalar, state); median fenced time."""
+    def fenced_rtf(step, state, xs, audio_sec, n_rep=2, chain=16):
+        """step(state, xs) -> (energy_scalar, state); median time of a
+        state-chained run of ``chain`` dispatches fenced once at the end."""
         p = jax.jit(step)
         e, state = p(state, xs)
         float(e)
         ts = []
         for _ in range(n_rep):
             t0 = time.perf_counter()
-            e, state = p(state, xs)
+            for _ in range(chain):
+                e, state = p(state, xs)
             float(e)
             ts.append(time.perf_counter() - t0)
-        return round(audio_sec / float(np.median(ts)), 1)
+        return round(chain * audio_sec / float(np.median(ts)), 1)
 
     def scan_chunks(body):
         def step(st, xs):
@@ -346,7 +381,10 @@ def main():
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtf / 100.0, 3),
         "extra": {
-            "fence": "d2h_scalar (true execution fence)",
+            "fence": ("d2h_scalar after a %d-dispatch state-carrying chain "
+                      "(true execution fence; tunnel RTT amortised)" % CHAIN),
+            "dispatch_fence_rtt_ms": round(rtt_ms, 2),
+            "rtf_per_dispatch_fenced": round(rtf_per_dispatch, 1),
             "p50_block_latency_ms_85ms_block": round(p50_block_ms, 3),
             "chunks_per_dispatch": K,
             "chunk_samples": Tc,
