@@ -216,6 +216,12 @@ def process_ri_batched(cfg: AmbiBinConfig, w_ri, state, x: jax.Array,
 
     bank = cfg.afstft
     Mre, Mim = w_ri
+    if use_pallas:
+        # fully-fused path: hybrid + decode + synthesis in one kernel (the
+        # per-band mixing collapses into uniform-band taps; see
+        # ops.pallas_afstft.render_decode_synthesis_ri)
+        return ri.render_tf_matrix_fused(bank, state, x, Mre, Mim,
+                                         interpret=interpret)
     spec_p, state = ri.analysis_ri_batched(bank, state, x,
                                            use_pallas=use_pallas,
                                            interpret=interpret, packed=True)

@@ -263,7 +263,18 @@ def render_tf_matrix_ri(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
     x: (S, Cin, T); M: (B, Cout, Cin) shared across streams or
     (S, B, Cout, Cin) per-stream (e.g. per-stream interpolated HRTFs);
     Mim None ⇒ real mixing matrix.  → ((S, Cout, T), state).
+
+    When the channel product is small (Cout·Cin ≤ 128, i.e. the binaural /
+    few-speaker renderers) the call is served by the fully-fused kernel
+    path (:func:`render_tf_matrix_fused`) — identical numerics, no packed
+    spectrum in HBM and no per-band einsum.  Larger mixing matrices (where
+    the per-band contraction belongs on the MXU) keep the einsum path.
     """
+    cout, cin = Mre.shape[-2], Mre.shape[-1]
+    if use_pallas and cout * cin <= 128:
+        return render_tf_matrix_fused(bank, state, x, Mre, Mim,
+                                      use_pallas=use_pallas,
+                                      interpret=interpret)
     spec_p, state = analysis_ri_batched(bank, state, x, use_pallas=use_pallas,
                                         interpret=interpret, packed=True)
     S, cin, H, nb2 = spec_p.shape
@@ -284,6 +295,53 @@ def render_tf_matrix_ri(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
         out_p = out.reshape(S, cout, H, nb2)
     return synthesis_ri_batched(bank, state, out_p, use_pallas=use_pallas,
                                 interpret=interpret, packed=True)
+
+
+def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
+                           x: jax.Array, Mre: jax.Array,
+                           Mim: Optional[jax.Array] = None,
+                           use_pallas: bool = True, interpret: bool = False):
+    """Fully-fused TF-domain matrix renderer: one pallas kernel for the
+    analysis front (framing⊗window⊗fold⊗rDFT) and one for everything after
+    it (hybrid⊗decode⊗hybrid-inverse⊗irDFT⊗overlap-add, see
+    ops.pallas_afstft.render_decode_synthesis_ri) — the hybrid stage and the
+    per-band mixing matrix collapse into uniform-band decode taps, so the
+    packed spectrum never round-trips HBM and no XLA einsum runs per block.
+
+    Same contract as :func:`render_tf_matrix_ri`; numerically equivalent
+    (tests/test_afstft_ri.py).  With ``use_pallas=False`` it simply calls
+    the XLA reference path.
+    """
+    if not use_pallas:
+        return render_tf_matrix_ri(bank, state, x, Mre, Mim,
+                                   use_pallas=False, interpret=interpret)
+    from spatial_audio_framework_tpu.ops.pallas_afstft import (
+        analysis_front_ri, decode_taps, render_decode_synthesis_ri)
+
+    hop = bank.hop
+    S, cin = x.shape[:2]
+    H = x.shape[2] // hop
+    sre, sim = analysis_front_ri(
+        state.in_tail.reshape(S * cin, -1), x.reshape(S * cin, -1),
+        low_delay=bank.low_delay, interpret=interpret)
+    if H >= _TAIL_HOPS:
+        new_in_tail = x[..., (H - _TAIL_HOPS) * hop:]
+    else:
+        new_in_tail = jnp.concatenate(
+            [state.in_tail[..., H * hop:], x], axis=-1)
+    sre = sre.reshape(S, cin, H + 6, hop + 1)
+    sim = sim.reshape(S, cin, H + 6, hop + 1)
+    if Mim is None:
+        Mim = jnp.zeros_like(Mre)
+    taps = decode_taps(Mre, Mim, hybrid=bank.hybrid)
+    cout = Mre.shape[-2]
+    tail = state.ola_tail.reshape(S, cout, _TOTAL_HOPS - 1, hop)
+    y, new_tail = render_decode_synthesis_ri(
+        sre, sim, tail, taps, low_delay=bank.low_delay, hybrid=bank.hybrid,
+        per_stream=(Mre.ndim == 4), interpret=interpret)
+    return y, AfSTFTStateBatched(
+        in_tail=new_in_tail,
+        ola_tail=new_tail.reshape(S, cout, -1))
 
 
 def analysis_ri(bank: AfSTFT, state: AfSTFTStateRI, x: jax.Array

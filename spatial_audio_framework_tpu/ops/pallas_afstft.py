@@ -26,13 +26,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from spatial_audio_framework_tpu.ops.afstft import _TOTAL_HOPS, _windows
+from spatial_audio_framework_tpu.ops.afstft import (_COEFF1, _COEFF2,
+                                                    _TOTAL_HOPS, _windows)
 from spatial_audio_framework_tpu.ops.fft import _rdft_mats
 
 BLK_B = 8       # batch rows per grid step (f32 sublane)
 
 
-def _kernel(H: int, tail_ref, x_ref, w_ref, cs_ref, out_ref):
+def _kernel(H: int, tail_ref, x_ref, w_ref, c_ref, s_ref, re_ref, im_ref):
     hop = 128
     # VMEM concat of the carried tail and the new block (both offset-0 on
     # the sublane axis, which Mosaic supports) — avoids materialising the
@@ -45,16 +46,22 @@ def _kernel(H: int, tail_ref, x_ref, w_ref, cs_ref, out_ref):
     for m in range(_TOTAL_HOPS // 2):
         acc0 = acc0 + x[:, 2 * m: 2 * m + H, :] * w[2 * m]
         acc1 = acc1 + x[:, 2 * m + 1: 2 * m + 1 + H, :] * w[2 * m + 1]
-    # spec = [acc0 | acc1] @ CS as two half-K matmuls (a lane concat of the
-    # parity accumulators trips Mosaic's layout rules)
-    nb2 = cs_ref.shape[1]
-    spec = (jnp.dot(acc0.reshape(BLK_B * H, hop), cs_ref[:hop],
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-            + jnp.dot(acc1.reshape(BLK_B * H, hop), cs_ref[hop:],
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST))
-    out_ref[:] = spec.reshape(BLK_B, H, nb2)
+    # spec = [acc0 | acc1] @ [C; S] as two half-K matmuls per part (a lane
+    # concat of the parity accumulators trips Mosaic's layout rules).  The
+    # re/im parts go to separate outputs so no consumer ever needs a
+    # misaligned lane slice at column hop+1.
+    nb = c_ref.shape[1]
+    a = acc0.reshape(BLK_B * H, hop)
+    b = acc1.reshape(BLK_B * H, hop)
+    hp = jax.lax.Precision.HIGHEST
+    re_ref[:] = (jnp.dot(a, c_ref[:hop], preferred_element_type=jnp.float32,
+                         precision=hp)
+                 + jnp.dot(b, c_ref[hop:], preferred_element_type=jnp.float32,
+                           precision=hp)).reshape(BLK_B, H, nb)
+    im_ref[:] = (jnp.dot(a, s_ref[:hop], preferred_element_type=jnp.float32,
+                         precision=hp)
+                 + jnp.dot(b, s_ref[hop:], preferred_element_type=jnp.float32,
+                           precision=hp)).reshape(BLK_B, H, nb)
 
 
 @partial(jax.jit, static_argnames=("low_delay", "interpret"))
@@ -78,7 +85,6 @@ def analysis_front_ri(tail: jax.Array, x: jax.Array, low_delay: bool = False,
     H = n_hops - (_TOTAL_HOPS - 1)
     w_ana, _ = _windows(hop, low_delay)
     C, S, _, _ = _rdft_mats(2 * hop)
-    CS = np.concatenate([C, S], axis=1)             # (256, 258)
     # pad batch to a multiple of BLK_B
     Bp = -(-B // BLK_B) * BLK_B
     if Bp != B:
@@ -88,7 +94,7 @@ def analysis_front_ri(tail: jax.Array, x: jax.Array, low_delay: bool = False,
             [tail, jnp.zeros((Bp - B, tail.shape[1]), tail.dtype)], axis=0)
     x3 = x.reshape(Bp, n_hops - t_hops, hop)
     tail3 = tail.reshape(Bp, t_hops, hop)
-    out = pl.pallas_call(
+    sre, sim = pl.pallas_call(
         partial(_kernel, H),
         grid=(Bp // BLK_B,),
         in_specs=[
@@ -98,18 +104,220 @@ def analysis_front_ri(tail: jax.Array, x: jax.Array, low_delay: bool = False,
                          lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_TOTAL_HOPS, hop),             # window (10, 128)
                          lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * hop, 2 * (hop + 1)),       # CS (256, 258)
+            pl.BlockSpec((2 * hop, hop + 1),             # C (256, 129)
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * hop, hop + 1),             # S (256, 129)
                          lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (BLK_B, H, 2 * (hop + 1)),
-            lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, H, 2 * (hop + 1)), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((BLK_B, H, hop + 1),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK_B, H, hop + 1),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, H, hop + 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H, hop + 1), jnp.float32),
+        ),
         interpret=interpret,
     )(tail3, x3, jnp.asarray(w_ana.reshape(_TOTAL_HOPS, hop)),
-      jnp.asarray(CS))
-    out = out[:B]
-    return out[..., : hop + 1], out[..., hop + 1:]
+      jnp.asarray(C), jnp.asarray(S))
+    return sre[:B], sim[:B]
+
+
+# ---------------------------------------------------------------------------
+# fused renderer back-end: hybrid ⊗ decode ⊗ hybrid-inverse ⊗ irDFT ⊗ OLA
+# ---------------------------------------------------------------------------
+#
+# For a per-band mixing (decode) matrix M over the 133 HYBRID bands, the
+# chain  hybrid-forward → per-band M → hybrid-inverse  collapses into a
+# 7-tap FIR along the hop axis applied in the 129 UNIFORM bands:
+#
+#   y_u[h] = A_u · spec_u[h+3]  +  B_u · (j·(c1·(spec_u[h+6] − spec_u[h])
+#                                          + c2·(spec_u[h+4] − spec_u[h+2])))
+#
+# with A_u = ½(M_lo + M_hi), B_u = s_u (M_lo − M_hi) for the four split
+# uniform bands u∈{1..4} (lo/hi are the hybrid sub-band rows of M,
+# s = [−1,1,−1,1]; afSTFT_internal.c:523-641), A_u = M for all other bands
+# and B_u = 0.  This removes the hybrid stage, the packed-spectrum HBM
+# round-trip and the per-band decode einsum from the XLA graph entirely —
+# the decode runs as broadcast multiply-accumulates on the VPU while the
+# spectra are already resident in VMEM.
+
+BLK_S = 2       # streams per grid step in the fused renderer
+
+
+def decode_taps(Mre, Mim, hybrid: bool = True):
+    """(..., n_bands, Cout, Cin) hybrid-band decode matrices → uniform-band
+    taps tensor (..., Cin, Cout, 4, 129) packing [A_re, A_im, B_re, B_im]."""
+    xp = jnp if isinstance(Mre, jax.Array) else np
+    if not hybrid:
+        A_re, A_im = Mre, Mim
+        B_re = xp.zeros_like(Mre)
+        B_im = xp.zeros_like(Mim)
+    else:
+        s = np.array([-1.0, 1.0, -1.0, 1.0], np.float32)
+
+        def collapse(M):
+            lo = M[..., 1:9:2, :, :]
+            hi = M[..., 2:10:2, :, :]
+            A = xp.concatenate([M[..., :1, :, :], 0.5 * (lo + hi),
+                                M[..., 9:, :, :]], axis=-3)
+            B_mid = s[:, None, None] * (lo - hi)
+            zpad1 = xp.zeros_like(M[..., :1, :, :])
+            zpadr = xp.zeros_like(M[..., 9:, :, :])
+            B = xp.concatenate([zpad1, B_mid, zpadr], axis=-3)
+            return A, B
+
+        A_re, B_re = collapse(Mre)
+        A_im, B_im = collapse(Mim)
+    # (..., nb, Cout, Cin) → (..., Cin, Cout, nb); stack the 4 parts
+    def r(T):
+        return xp.moveaxis(T, (-3, -2, -1), (-1, -2, -3))
+    return xp.stack([r(A_re), r(A_im), r(B_re), r(B_im)], axis=-2)
+
+
+def _render_kernel(H: int, cin: int, cout: int, hybrid: bool,
+                   per_stream: bool, sre_ref, sim_ref, taps_ref, am_ref,
+                   bm_ref, w_ref, tail_ref, y_ref, tail_out_ref, acc):
+    hop = 128
+    nb = am_ref.shape[0]
+    d_off = 3 if hybrid else 6
+    hp = jax.lax.Precision.HIGHEST
+
+    def tap(s, e, k):
+        if per_stream:
+            return taps_ref[:, s, e, k][:, None, :]     # (BLK_S, 1, nb)
+        return taps_ref[s, e, k]                        # (nb,)
+
+    out_re = [None] * cout
+    out_im = [None] * cout
+    for s in range(cin):
+        d_re = sre_ref[:, s, d_off:d_off + H, :]
+        d_im = sim_ref[:, s, d_off:d_off + H, :]
+        if hybrid:
+            g_re = (_COEFF1 * (sre_ref[:, s, 6:6 + H, :]
+                               - sre_ref[:, s, 0:H, :])
+                    + _COEFF2 * (sre_ref[:, s, 4:4 + H, :]
+                                 - sre_ref[:, s, 2:2 + H, :]))
+            g_im = (_COEFF1 * (sim_ref[:, s, 6:6 + H, :]
+                               - sim_ref[:, s, 0:H, :])
+                    + _COEFF2 * (sim_ref[:, s, 4:4 + H, :]
+                                 - sim_ref[:, s, 2:2 + H, :]))
+            w_re, w_im = -g_im, g_re                    # j · g
+        for e in range(cout):
+            are, aim = tap(s, e, 0), tap(s, e, 1)
+            t_re = are * d_re - aim * d_im
+            t_im = are * d_im + aim * d_re
+            if hybrid:
+                bre, bim = tap(s, e, 2), tap(s, e, 3)
+                t_re = t_re + bre * w_re - bim * w_im
+                t_im = t_im + bre * w_im + bim * w_re
+            out_re[e] = t_re if s == 0 else out_re[e] + t_re
+            out_im[e] = t_im if s == 0 else out_im[e] + t_im
+
+    w = w_ref[:]
+    nt = _TOTAL_HOPS - 1
+    for e in range(cout):
+        fr = (jnp.dot(out_re[e].reshape(BLK_S * H, nb), am_ref[:],
+                      preferred_element_type=jnp.float32, precision=hp)
+              + jnp.dot(out_im[e].reshape(BLK_S * H, nb), bm_ref[:],
+                        preferred_element_type=jnp.float32, precision=hp))
+        fr = fr.reshape(BLK_S, H, 2 * hop)
+        f0 = fr[..., :hop]
+        f1 = fr[..., hop:]
+        acc[:, e] = jnp.zeros((BLK_S, H + nt, hop), jnp.float32)
+        for k in range(_TOTAL_HOPS):
+            fk = f0 if k % 2 == 0 else f1
+            acc[:, e, k:k + H, :] += fk * w[k]
+        if H >= nt:
+            y_ref[:, e] = acc[:, e, :H, :]
+            y_ref[:, e, :nt, :] += tail_ref[:, e]
+            tail_out_ref[:, e] = acc[:, e, H:, :]
+        else:
+            y_ref[:, e] = acc[:, e, :H, :] + tail_ref[:, e, :H, :]
+            tail_out_ref[:, e] = acc[:, e, H:, :]
+            tail_out_ref[:, e, :nt - H, :] += tail_ref[:, e, H:, :]
+
+
+@partial(jax.jit, static_argnames=("low_delay", "hybrid", "per_stream",
+                                   "interpret"))
+def render_decode_synthesis_ri(sre: jax.Array, sim: jax.Array,
+                               tail: jax.Array, taps: jax.Array,
+                               low_delay: bool = False, hybrid: bool = True,
+                               per_stream: bool = False,
+                               interpret: bool = False):
+    """Fused decode ⊗ irDFT ⊗ window ⊗ overlap-add.
+
+    sre/sim: (S, Cin, H+6, 129) uniform-band spectra from
+    :func:`analysis_front_ri` (6 leading warm-up hops);
+    tail: (S, Cout, 9, hop) OLA carry; taps: (Cin, Cout, 4, 129) shared or
+    (S, Cin, Cout, 4, 129) per-stream, from :func:`decode_taps`.
+    Returns (y (S, Cout, H·hop), new_tail).
+    """
+    hop = 128
+    interpret = interpret or jax.default_backend() != "tpu"
+    S, cin, Hp6, nb = sre.shape
+    H = Hp6 - 6
+    cout = taps.shape[-3]
+    _, w_syn = _windows(hop, low_delay)
+    _, _, A, Bm = _rdft_mats(2 * hop)
+    if low_delay:
+        sign = np.where(np.arange(hop + 1) % 2, -1.0, 1.0)[:, None]
+        A = A * sign
+        Bm = Bm * sign
+    Sp = -(-S // BLK_S) * BLK_S
+    if Sp != S:
+        pad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((Sp - S,) + a.shape[1:], a.dtype)], axis=0)
+        sre, sim, tail = pad(sre), pad(sim), pad(tail)
+        if per_stream:
+            taps = pad(taps)
+    nt = _TOTAL_HOPS - 1
+    if per_stream:
+        taps_spec = pl.BlockSpec((BLK_S, cin, cout, 4, nb),
+                                 lambda i: (i, 0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        taps_spec = pl.BlockSpec((cin, cout, 4, nb),
+                                 lambda i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    y, new_tail = pl.pallas_call(
+        partial(_render_kernel, H, cin, cout, hybrid, per_stream),
+        grid=(Sp // BLK_S,),
+        in_specs=[
+            pl.BlockSpec((BLK_S, cin, Hp6, nb),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK_S, cin, Hp6, nb),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            taps_spec,
+            pl.BlockSpec((nb, 2 * hop),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 2 * hop),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TOTAL_HOPS, hop),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK_S, cout, nt, hop),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((BLK_S, cout, H, hop),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK_S, cout, nt, hop),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Sp, cout, H, hop), jnp.float32),
+            jax.ShapeDtypeStruct((Sp, cout, nt, hop), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BLK_S, cout, H + nt, hop), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sre, sim, taps, jnp.asarray(A.astype(np.float32)),
+      jnp.asarray(Bm.astype(np.float32)),
+      jnp.asarray(w_syn.reshape(_TOTAL_HOPS, hop)), tail)
+    return (y[:S].reshape(S, cout, H * hop), new_tail[:S])
 
 
 # ---------------------------------------------------------------------------

@@ -341,3 +341,58 @@ def test_array2sh_batched_fast_path():
     yb, _ = A2.process_ri_batched(cfg, wri, stb, jnp.asarray(x),
                                   use_pallas=True, interpret=True)
     np.testing.assert_allclose(np.asarray(yb), ref, atol=2e-4)
+
+
+def test_render_tf_matrix_fused_matches_einsum_path():
+    """The fully-fused renderer (hybrid⊗decode⊗inverse collapsed into
+    uniform-band taps; ops.pallas_afstft.render_decode_synthesis_ri) equals
+    the packed-spectrum einsum path bit-for-nearly (≤1e-5), for shared and
+    per-stream complex M, hybrid and non-hybrid banks, with state carry."""
+    rng = np.random.default_rng(5)
+    S, cin, cout, H = 3, 5, 2, 4
+    for hybrid in (True, False):
+        bank = AfSTFT(hop=128, hybrid=hybrid)
+        nb = 133 if hybrid else 129
+        for per_stream in (False, True):
+            mshape = (S, nb, cout, cin) if per_stream else (nb, cout, cin)
+            Mre = jnp.asarray(rng.standard_normal(mshape).astype(np.float32))
+            Mim = jnp.asarray(rng.standard_normal(mshape).astype(np.float32))
+            x1 = jnp.asarray(rng.uniform(
+                -1, 1, (S, cin, H * 128)).astype(np.float32))
+            x2 = jnp.asarray(rng.uniform(
+                -1, 1, (S, cin, H * 128)).astype(np.float32))
+
+            st = ri.init_state_batched(bank, S, cin, cout)
+            ya1, st1 = ri.render_tf_matrix_fused(
+                bank, st, x1, Mre, Mim, use_pallas=False)
+            ya2, _ = ri.render_tf_matrix_fused(
+                bank, st1, x2, Mre, Mim, use_pallas=False)
+
+            st = ri.init_state_batched(bank, S, cin, cout)
+            yb1, st1 = ri.render_tf_matrix_fused(
+                bank, st, x1, Mre, Mim, interpret=True)
+            yb2, _ = ri.render_tf_matrix_fused(
+                bank, st1, x2, Mre, Mim, interpret=True)
+            np.testing.assert_allclose(np.asarray(yb1), np.asarray(ya1),
+                                       atol=1e-5)
+            np.testing.assert_allclose(np.asarray(yb2), np.asarray(ya2),
+                                       atol=1e-5)
+
+
+def test_render_fused_real_matrix_and_short_block():
+    """Mim=None (real mixing) and H<9 blocks exercise the zero-imag taps and
+    the OLA tail-carry branch of the fused kernel."""
+    rng = np.random.default_rng(6)
+    bank = AfSTFT(hop=128, hybrid=True)
+    S, cin, cout = 2, 3, 2
+    Mre = jnp.asarray(rng.standard_normal((133, cout, cin)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-1, 1, (S, cin, 128)).astype(np.float32))
+
+    st = ri.init_state_batched(bank, S, cin, cout)
+    ya, sta = ri.render_tf_matrix_fused(bank, st, x, Mre, use_pallas=False)
+    ya2, _ = ri.render_tf_matrix_fused(bank, sta, x, Mre, use_pallas=False)
+    st = ri.init_state_batched(bank, S, cin, cout)
+    yb, stb = ri.render_tf_matrix_fused(bank, st, x, Mre, interpret=True)
+    yb2, _ = ri.render_tf_matrix_fused(bank, stb, x, Mre, interpret=True)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(yb2), np.asarray(ya2), atol=1e-5)
