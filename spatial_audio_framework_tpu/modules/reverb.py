@@ -149,7 +149,16 @@ def render_rir(echograms: list[Echogram], fs: float,
     """Accumulate per-band echograms into a broadband RIR
     (``ims_shoebox_renderRIR``): round taps to samples (or Lagrange
     fractional delays), band-filter with the FIR filterbank, sum.
-    → (nCh, rir_len)."""
+    → (nCh, rir_len).
+
+    Reference-parity note: the reference computes the per-band FIR
+    filtering into a scratch buffer but then sums the UNFILTERED band
+    echograms (``saf_reverb_internal.c:697-707`` — the ``fftconv`` output
+    ``temp`` is never read back), so its multi-band RIR is the plain sum
+    of the absorption-scaled band taps.  Pass ``H_filt=None`` (what
+    :meth:`ShoeboxRoom.render_rirs` does by default) to match that
+    behaviour bit-for-bit; pass the FIR bank explicitly to get the
+    physically-intended band-limited render."""
     n_ch = echograms[0].value.shape[0]
     endtime = max(ec.time[-1] for ec in echograms)
     rir_len = int(endtime * fs + 1.0) + 1
@@ -367,9 +376,15 @@ class ShoeboxRoom:
                 ec = apply_sh_directivity(ec, rec["sh_order"])
                 self.echograms[(rid, sid)] = apply_wall_absorption(ec, self.abs_wall)
 
-    def render_rirs(self, fractional_delays: bool = False):
+    def render_rirs(self, fractional_delays: bool = False,
+                    band_filter: bool = False):
+        """``ims_shoebox_renderRIRs``.  band_filter=False (default) matches
+        the reference exactly: it sums the absorption-scaled band echograms
+        without FIR band-filtering (the reference discards its own filtered
+        buffer — see :func:`render_rir`'s parity note).  band_filter=True
+        applies the FIR filterbank as physically intended."""
         H_filt = None
-        if self.n_bands > 1:
+        if band_filter and self.n_bands > 1:
             H_filt = _filters.fir_filterbank(IMS_FIR_FILTERBANK_ORDER,
                                              self.band_cutoffs, self.fs)
         for key, ecs in self.echograms.items():

@@ -159,3 +159,104 @@ def test_ambi_bin_end_to_end_ri_fast_path(g):
         outs.append(np.asarray(y))
     err = np.abs(np.concatenate(outs, -1) - g["ambi_bin_out"]).max()
     assert err <= TOL, err
+
+
+# -- round-2 extension: VBAP / matrixConv / QMF / IMS reverb / binauraliser --
+# (generated by tools/c_goldens/gen_goldens2.c against the same compiled
+#  reference build; recipes cited there)
+
+def test_vbap_gain_table_3d(g):
+    from spatial_audio_framework_tpu.modules import vbap
+
+    ls = np.asarray(g["vbap_ls_dirs"], np.float64)
+    gt = np.asarray(vbap.generate_vbap_gain_table_3d(ls, 15, 15))
+    assert gt.shape == tuple(g["vbap_gtable_15deg"].shape)
+    assert np.abs(gt - g["vbap_gtable_15deg"]).max() <= TOL
+
+    gt_sp = np.asarray(vbap.generate_vbap_gain_table_3d(ls, 15, 15,
+                                                        spread=30.0))
+    assert np.abs(gt_sp - g["vbap_gtable_15deg_spread30"]).max() <= TOL
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_matrix_conv_vs_c(g, partitioned):
+    from spatial_audio_framework_tpu.ops.matrix_conv import MatrixConv
+
+    H = np.asarray(g["mc_H"])                       # (3, 2, 1024)
+    x = np.asarray(g["mc_in"])                      # (2, 1024)
+    ref = np.asarray(g["mc_out_part" if partitioned else "mc_out_nonpart"])
+    mc = MatrixConv(hop=128, length_h=1024, n_in=2, n_out=3,
+                    partitioned=partitioned)
+    Hd = mc.design(H)
+    st = mc.init_state()
+    outs = []
+    for b in range(8):
+        y, st = jax.jit(mc.apply_block)(Hd, st,
+                                        jnp.asarray(x[:, b*128:(b+1)*128]))
+        outs.append(np.asarray(y))
+    out = np.concatenate(outs, axis=-1)
+    assert np.abs(out - ref).max() <= TOL
+
+
+def test_qmf_vs_c(g):
+    """Blockwise hybrid-QMF analysis spectra and round-trip output match the
+    C qmf (hop 128, hybrid on, BANDS_CH_TIME)."""
+    from spatial_audio_framework_tpu.ops.qmf import QMF
+
+    bank = QMF(hop=128, hybrid=True)
+    x = np.asarray(g["qmf_in"])                     # (4, 4096)
+    ref_spec = np.asarray(g["qmf_spec"])            # (8, nB, 4, 4)
+    ref_out = np.asarray(g["qmf_out"])
+    st = bank.init_state(4, 4)
+    outs, specs = [], []
+    for f in range(8):
+        blk = jnp.asarray(x[:, f*512:(f+1)*512])
+        spec, st = jax.jit(bank.analysis)(st, blk)
+        specs.append(np.asarray(spec))
+        y, st = jax.jit(bank.synthesis)(st, spec)
+        outs.append(np.asarray(y))
+    spec = np.stack(specs)                          # (8, nB, 4, 4)
+    out = np.concatenate(outs, axis=-1)
+    assert spec.shape == ref_spec.shape
+    assert np.abs(spec - ref_spec).max() <= 1e-3    # |spec| ~ O(10)
+    assert np.abs(out - ref_out).max() <= TOL
+
+
+def test_ims_shoebox_rir_vs_c(g):
+    """Order-3 image-source RIR for an SH order-1 receiver with 4 octave-band
+    wall absorption matches the C renderer (no fractional delays)."""
+    from spatial_audio_framework_tpu.modules import reverb
+
+    base = np.array([0.30, 0.24, 0.12, 0.06])
+    abs_wall = base[:, None] + 0.02 * np.arange(6)[None, :]
+    room = reverb.ShoeboxRoom(room_dims=[10.0, 7.0, 4.0], abs_wall=abs_wall,
+                              lowest_octave_band=250.0, fs=48000.0)
+    sid = room.add_source([6.2, 5.1, 1.2])
+    rid = room.add_receiver_sh(1, [2.1, 3.3, 1.6])
+    room.compute_echograms(max_order=3)
+    rirs = room.render_rirs(fractional_delays=False)
+    rir = np.asarray(rirs[(rid, sid)])              # (4, L)
+    ref = np.asarray(g["ims_rir_o3_sh1"])
+    assert rir.shape == ref.shape
+    assert np.abs(rir - ref).max() <= TOL
+
+
+def test_binauraliser_end_to_end_vs_c(g):
+    """64 frames of the binauraliser example (2 sources, default HRIRs,
+    triplet interpolation, diffuse-field EQ) within the 1e-4 budget."""
+    from spatial_audio_framework_tpu.models import binauraliser as BIN
+
+    x = np.asarray(g["binaur_in"])                  # (2, 8192)
+    ref = np.asarray(g["binaur_out"])               # (2, 8192)
+    fsz = int(g["binaur_frame_size"][0])
+    cfg = BIN.BinauraliserConfig(n_sources=2)
+    w = BIN.design(cfg)
+    dirs = jnp.asarray(np.array([[30.0, 0.0], [-45.0, 10.0]], np.float32))
+    st = BIN.init_state(cfg)
+    proc = jax.jit(lambda s, blk: BIN.process(cfg, w, s, blk, dirs))
+    outs = []
+    for f in range(x.shape[1] // fsz):
+        y, st = proc(st, jnp.asarray(x[:, f*fsz:(f+1)*fsz]))
+        outs.append(np.asarray(y))
+    out = np.concatenate(outs, axis=-1)
+    assert np.abs(out - ref).max() <= TOL

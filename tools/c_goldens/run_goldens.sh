@@ -19,5 +19,16 @@ cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
   "$BUILD/framework/libsaf.a" \
   "$OB" -lm -o "$OUT/gen_goldens"
 
+cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
+  -I"$SRC/framework/include" -I"$SRC/examples/include" \
+  -I"$SRC/framework/modules/saf_reverb" \
+  -I"$HERE/shim" \
+  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
+  "$HERE/gen_goldens2.c" \
+  "$BUILD/examples/libsaf_example_binauraliser.a" \
+  "$BUILD/framework/libsaf.a" \
+  "$OB" -lm -o "$OUT/gen_goldens2"
+
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens" "$OUT"
+LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens2" "$OUT"
 python "$HERE/pack_goldens.py" "$OUT" "$HERE/../../tests/goldens/c_goldens.npz"
