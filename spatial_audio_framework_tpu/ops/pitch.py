@@ -22,6 +22,9 @@ class SmbPitchShiftState(NamedTuple):
     out_accum: jax.Array   # (nCH, N) overlap-add accumulator
     last_phase: jax.Array  # (nCH, N//2+1)
     sum_phase: jax.Array   # (nCH, N//2+1)
+    out_fifo: jax.Array    # (nCH, step) pending output (one-hop latency,
+    #                        gOutFIFO in saf_utility_pitch.c:245 — hop j's
+    #                        synthesis is emitted while hop j+1 is collected)
 
 
 @dataclass(frozen=True)
@@ -45,7 +48,8 @@ class SmbPitchShift:
             in_fifo=jnp.zeros((self.n_ch, N - self.step), jnp.float32),
             out_accum=jnp.zeros((self.n_ch, N), jnp.float32),
             last_phase=jnp.zeros((self.n_ch, half), jnp.float32),
-            sum_phase=jnp.zeros((self.n_ch, half), jnp.float32))
+            sum_phase=jnp.zeros((self.n_ch, half), jnp.float32),
+            out_fifo=jnp.zeros((self.n_ch, self.step), jnp.float32))
 
     def design(self):
         """Device copies of the DFT matmul operators, to pass into a jitted
@@ -76,8 +80,13 @@ class SmbPitchShift:
         C_, S_, A_, B_ = mats
         hp = jax.lax.Precision.HIGHEST
 
+        sgn = jnp.asarray((-1.0) ** np.arange(N), jnp.float32)
+
         def frame_step(carry, x_hop):
-            fifo, accum, last_ph, sum_ph = carry
+            fifo, accum, last_ph, sum_ph, out_fifo = carry
+            # emit the PREVIOUS frame's synthesis while collecting this hop
+            # (the gOutFIFO one-hop latency, saf_utility_pitch.c:245)
+            out_hop = out_fifo
             buf = jnp.concatenate([fifo, x_hop], axis=-1)  # (nCH, N)
             xw = buf * win
             spec_re = jnp.matmul(xw, C_, precision=hp)
@@ -101,18 +110,26 @@ class SmbPitchShift:
             tmp2 = ((syn_freq - k * freq_per_bin) / freq_per_bin
                     ) * 2.0 * jnp.pi / osamp + k * expct
             sum_ph = sum_ph + tmp2
-            # undo the 1/N of the inverse operator (smbFft is unscaled)
-            frame = (jnp.matmul(syn_mag * jnp.cos(sum_ph), A_, precision=hp)
-                     + jnp.matmul(syn_mag * jnp.sin(sum_ph), B_,
-                                  precision=hp)) * N
-            accum = accum + 2.0 * win * frame / (N / 2 * osamp)
-            out_hop = accum[:, :step]
+            # The C synthesis (saf_utility_pitch.c:352-357) zeroes the
+            # negative-frequency bins WITHOUT conjugate symmetrisation and
+            # takes the real part of the unscaled complex inverse:
+            #   U(n) = Re Σ_{k=0}^{N/2} S_k e^{+i2πkn/N}
+            #        = (N·irfft(S) + Re S_0 + Re S_{N/2}·(−1)^n) / 2
+            # with accumulation 2·win·U/(N·osamp) (kissFFT backward is 1/N).
+            re = syn_mag * jnp.cos(sum_ph)
+            im = syn_mag * jnp.sin(sum_ph)
+            V = (jnp.matmul(re, A_, precision=hp)
+                 + jnp.matmul(im, B_, precision=hp)) * N
+            U = 0.5 * (V + re[:, :1] + re[:, -1:] * sgn)
+            accum = accum + 2.0 * win * U / (N * osamp)
+            out_fifo = accum[:, :step]
             accum = jnp.concatenate(
                 [accum[:, step:], jnp.zeros((x.shape[0], step), accum.dtype)], -1)
-            return (buf[:, step:], accum, phase, sum_ph), out_hop
+            return (buf[:, step:], accum, phase, sum_ph, out_fifo), out_hop
 
         hops = jnp.moveaxis(x.reshape(x.shape[0], n_frames, step), 1, 0)
-        carry = (state.in_fifo, state.out_accum, state.last_phase, state.sum_phase)
+        carry = (state.in_fifo, state.out_accum, state.last_phase,
+                 state.sum_phase, state.out_fifo)
         carry, outs = jax.lax.scan(frame_step, carry, hops)
         y = jnp.moveaxis(outs, 0, 1).reshape(x.shape[0], -1)
         return y, SmbPitchShiftState(*carry)
