@@ -376,20 +376,62 @@ class TVConv:
                                 pos_last2=state.pos_last)
         return out, new_state
 
+    @staticmethod
+    def _idx_streams(state: TVConvState, ir_idx: jax.Array):
+        """Vectorised crossfade index recurrences: the sequential carry
+        pos_last/pos_last2 are pure shifts of the per-hop index stream."""
+        idx0 = jnp.asarray(ir_idx, jnp.int32)
+        idx1 = jnp.concatenate([state.pos_last[None], idx0[:-1]])
+        idx2 = jnp.concatenate([state.pos_last2[None], idx1[:-1]])
+        return idx0, idx1, idx2
+
+    def _xfade_combine(self, state: TVConvState, z0, z_last, z_last2,
+                      idx0, idx1, x_dtype):
+        """Shared OLA + crossfade tail of both block paths.  z*: (nh, n_out,
+        2·hop); the per-hop OLA carries are shifts of the batched tails."""
+        hop = self.hop
+        prev0 = jnp.concatenate([state.ola[None], z0[:-1, ..., hop:]], axis=0)
+        prev_l = jnp.concatenate([state.ola_last[None],
+                                  z_last[:-1, ..., hop:]], axis=0)
+        out1 = z_last[..., :hop] + prev0
+        out2 = z_last2[..., :hop] + prev_l
+        n = jnp.arange(hop, dtype=x_dtype)
+        fade_in = n / (hop - 1.0)
+        out = out1 * fade_in + out2 * (1.0 - fade_in)
+        new_state_tail = dict(ola=z0[-1, ..., hop:],
+                              ola_last=z_last[-1, ..., hop:],
+                              pos_last=idx0[-1], pos_last2=idx1[-1])
+        return out, new_state_tail
+
     def apply_block(self, Hf: jax.Array, state: TVConvState, x: jax.Array,
                     ir_idx: jax.Array):
-        """x: (T,) with one position index per hop: ir_idx (T//hop,) int32."""
+        """x: (T,) with one position index per hop: ir_idx (T//hop,) int32.
+
+        Batched (no scan): all hop spectra at once, sliding spectral windows,
+        and the three crossfade conv streams as gathered einsums — the
+        sequential pos_last/ola carries are shifts of batched arrays."""
         hop = self.hop
         nh = x.shape[-1] // hop
+        P = self.n_part
+        S = rfft_op(x.reshape(nh, hop), 2 * hop)       # (nh, bins)
+        full = jnp.concatenate([state.X_hist, S], axis=0)
+        # win[t, k] = spectrum of hop (t - k)
+        win = jnp.stack([full[P - 1 - k: P - 1 - k + nh] for k in range(P)],
+                        axis=1)                        # (nh, P, bins)
+        idx0, idx1, idx2 = self._idx_streams(state, ir_idx)
 
-        def step(st, inp):
-            xh, idx = inp
-            out, st = self.apply_hop(Hf, st, xh, idx)
-            return st, out
+        def conv_all(idx):
+            Y = jnp.einsum("tpob,tpb->tob", jnp.take(Hf, idx, axis=0), win)
+            return irfft_op(Y, 2 * hop)                # (nh, n_out, 2*hop)
 
-        state, outs = jax.lax.scan(step, state,
-                                   (x.reshape(nh, hop), ir_idx))
-        return outs.transpose(1, 0, 2).reshape(self.n_out, nh * hop), state
+        z0 = conv_all(idx0)
+        z_last = jnp.where((idx0 != idx1)[:, None, None], conv_all(idx1), z0)
+        z_last2 = jnp.where((idx1 != idx2)[:, None, None], conv_all(idx2),
+                            z_last)
+        out, tail = self._xfade_combine(state, z0, z_last, z_last2,
+                                        idx0, idx1, x.dtype)
+        state = TVConvState(X_hist=full[nh:], **tail)
+        return out.transpose(1, 0, 2).reshape(self.n_out, nh * hop), state
 
     # -- split real/imaginary variant -----------------------------------------
 
@@ -456,14 +498,42 @@ class TVConv:
 
     def apply_block_ri(self, H_ri, state: TVConvState, x: jax.Array,
                        ir_idx: jax.Array):
+        """Batched complex-free block path (see apply_block)."""
+        from spatial_audio_framework_tpu.ops.fft import _rdft_mats
+
         hop = self.hop
+        nb = hop + 1
+        hp = jax.lax.Precision.HIGHEST
+        Hre, Him = H_ri
         nh = x.shape[-1] // hop
+        P = self.n_part
+        C, Sm, A, B = _rdft_mats(2 * hop)
+        seg = x.reshape(nh, hop)
+        segp = jnp.concatenate([seg, jnp.zeros_like(seg)], axis=-1)
+        S_p = jnp.concatenate(
+            [jnp.matmul(segp, jnp.asarray(C), precision=hp),
+             jnp.matmul(segp, jnp.asarray(Sm), precision=hp)], axis=-1)
+        full = jnp.concatenate([state.X_hist, S_p], axis=0)
+        win = jnp.stack([full[P - 1 - k: P - 1 - k + nh] for k in range(P)],
+                        axis=1)                        # (nh, P, 2·nb)
+        wre, wim = win[..., :nb], win[..., nb:]
+        idx0, idx1, idx2 = self._idx_streams(state, ir_idx)
 
-        def step(st, inp):
-            xh, idx = inp
-            out, st = self.apply_hop_ri(H_ri, st, xh, idx)
-            return st, out
+        def conv_all(idx):
+            hre = jnp.take(Hre, idx, axis=0)           # (nh, P, n_out, nb)
+            him = jnp.take(Him, idx, axis=0)
+            Yre = (jnp.einsum("tpob,tpb->tob", hre, wre, precision=hp)
+                   - jnp.einsum("tpob,tpb->tob", him, wim, precision=hp))
+            Yim = (jnp.einsum("tpob,tpb->tob", him, wre, precision=hp)
+                   + jnp.einsum("tpob,tpb->tob", hre, wim, precision=hp))
+            return (jnp.matmul(Yre, jnp.asarray(A), precision=hp)
+                    + jnp.matmul(Yim, jnp.asarray(B), precision=hp))
 
-        state, outs = jax.lax.scan(step, state,
-                                   (x.reshape(nh, hop), ir_idx))
-        return outs.transpose(1, 0, 2).reshape(self.n_out, nh * hop), state
+        z0 = conv_all(idx0)
+        z_last = jnp.where((idx0 != idx1)[:, None, None], conv_all(idx1), z0)
+        z_last2 = jnp.where((idx1 != idx2)[:, None, None], conv_all(idx2),
+                            z_last)
+        out, tail = self._xfade_combine(state, z0, z_last, z_last2,
+                                        idx0, idx1, x.dtype)
+        state = TVConvState(X_hist=full[nh:], **tail)
+        return out.transpose(1, 0, 2).reshape(self.n_out, nh * hop), state

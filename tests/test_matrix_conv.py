@@ -167,6 +167,39 @@ def test_multi_conv_ri_equivalence():
     np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_c), atol=1e-4)
 
 
+def test_tvconv_block_matches_sequential_hops():
+    """The batched (scan-free) block path reproduces the per-hop recurrence
+    exactly: random position stream, state carried across two blocks."""
+    import jax
+
+    rng = np.random.default_rng(21)
+    hop, L, n_out, n_irs = 128, 300, 2, 4
+    H = (rng.standard_normal((n_irs, n_out, L)) * 0.3).astype(np.float32)
+    tv = TVConv(hop=hop, length_h=L, n_out=n_out, n_irs=n_irs)
+    Hf = tv.design(H)
+    nh = 9
+    idx = rng.integers(0, n_irs, 2 * nh).astype(np.int32)
+    x = rng.uniform(-1, 1, (2 * nh * hop,)).astype(np.float32)
+
+    st_b = tv.init_state(0)
+    outs_b = []
+    for blk in range(2):
+        y, st_b = jax.jit(tv.apply_block)(
+            Hf, st_b, jnp.asarray(x[blk * nh * hop:(blk + 1) * nh * hop]),
+            jnp.asarray(idx[blk * nh:(blk + 1) * nh]))
+        outs_b.append(np.asarray(y))
+    y_block = np.concatenate(outs_b, axis=-1)
+
+    st_s = tv.init_state(0)
+    hops = []
+    for t in range(2 * nh):
+        yh, st_s = tv.apply_hop(Hf, st_s, jnp.asarray(x[t * hop:(t + 1) * hop]),
+                                jnp.int32(idx[t]))
+        hops.append(np.asarray(yh))
+    y_seq = np.concatenate(hops, axis=-1)
+    np.testing.assert_allclose(y_block, y_seq, atol=1e-5)
+
+
 def test_tvconv_ri_equivalence():
     import jax
 
