@@ -231,6 +231,9 @@ def evaluate_filters(cfg: Array2SHConfig, w: Array2SHWeights,
     H_array = AP.simulate_sph_array(
         cfg.order + 1, kr, sensor_rad, grid,
         AP.ARRAY_OPEN if kind == "open" else AP.ARRAY_RIGID, dir_coeff)
-    Y_grid = sh.get_rsh(cfg.order, grid) / np.sqrt(4.0 * np.pi)
+    # getRSH scaling (√4π-inclusive), as array2sh_internal.c:593 passes it —
+    # evaluate_sht_filters' C-exact correlation then peaks at 1 for a
+    # perfect reconstruction
+    Y_grid = sh.get_rsh(cfg.order, grid)
     M = np.asarray(w.W)
     return AP.evaluate_sht_filters(M, H_array, Y_grid)

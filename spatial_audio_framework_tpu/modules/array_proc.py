@@ -194,21 +194,35 @@ def simulate_cyl_array(order: int, kr, sensor_dirs_rad: np.ndarray,
 
 def evaluate_sht_filters(M: np.ndarray, H_array: np.ndarray,
                          Y_grid: np.ndarray, w_grid=None):
-    """Objective evaluation of SHT filters (saf_sh.c ``evaluateSHTfilters``):
-    per-band spatial correlation and level difference between the synthesised
-    patterns (M H) and the ideal SH patterns.
+    """Objective evaluation of SHT filters (saf_sh.c:2375
+    ``evaluateSHTfilters``): per-band, PER-ORDER spatial correlation and
+    level difference between the synthesised patterns (M H) and the ideal SH
+    patterns.
 
     M: (nBands, nSH, nSensors); H_array: (nBands, nSensors, nGrid);
-    Y_grid: (nSH, nGrid).  Returns (cSH, lSH): (nBands,) each.
+    Y_grid: (nSH, nGrid).  Returns (cSH, lSH): (nBands, order+1) each.
+
+    Matches the C per-(n,m) recipe exactly: the correlation normalises by the
+    reconstructed pattern's norm only (the ideal pattern's uniform-grid norm
+    Σ|Y|²/nDirs = 1/4π is left implicit, as in the C), complex per-m
+    correlations are summed before taking the magnitude, and levels are
+    per-order means of w·‖y_rec‖².
     """
-    n_grid = Y_grid.shape[1]
-    w = np.asarray(w_grid, np.float64) if w_grid is not None else np.full(n_grid, 1.0 / n_grid)
-    y_mod = np.einsum("bsm,bmg->bsg", M, H_array)  # (nBands, nSH, nGrid)
-    num = np.abs(np.einsum("bsg,g,sg->bs", y_mod, w, Y_grid.conj()))
-    den = np.sqrt(np.einsum("bsg,g->bs", np.abs(y_mod) ** 2, w)
-                  * np.einsum("sg,g->s", np.abs(Y_grid) ** 2, w)[None])
-    cSH = (num / np.maximum(den, 1e-20)).mean(-1)
-    lvl = (np.einsum("bsg,g->bs", np.abs(y_mod) ** 2, w)
-           / np.maximum(np.einsum("sg,g->s", np.abs(Y_grid) ** 2, w)[None], 1e-20))
-    lSH = 10.0 * np.log10(np.maximum(lvl.mean(-1), 1e-20))
+    nsh, n_grid = Y_grid.shape
+    order = int(round(np.sqrt(nsh))) - 1
+    w = (np.asarray(w_grid, np.float64) if w_grid is not None
+         else np.full(n_grid, 1.0 / n_grid))
+    y_rec = np.einsum("bsm,bmg->bsg", M, H_array)  # (nBands, nSH, nGrid)
+    yy = np.einsum("bsg,g->bs", np.abs(y_rec) ** 2, w)           # w·‖y_rec‖²
+    yid = np.einsum("bsg,g,sg->bs", y_rec, w, np.conj(Y_grid))
+    c_nm = yid / (np.sqrt(yy.astype(complex)) + 2.23e-9)
+    n_bands = M.shape[0]
+    cSH = np.zeros((n_bands, order + 1))
+    lSH = np.zeros((n_bands, order + 1))
+    for n in range(order + 1):
+        sl = slice(n * n, (n + 1) * (n + 1))
+        cSH[:, n] = np.clip(np.abs(c_nm[:, sl].sum(-1)) / (2.0 * n + 1.0),
+                            0.0, 1.0)
+        lSH[:, n] = 10.0 * np.log10(yy[:, sl].sum(-1) / (2.0 * n + 1.0)
+                                    + 2.23e-9)
     return cSH, lSH

@@ -16,6 +16,7 @@ from typing import List, Optional
 
 import numpy as np
 from scipy.linalg import expm
+from scipy.special import gamma as sps_gamma
 from scipy.special import gammainc
 
 TRACKER3D_MAX_NUM_PARTICLES = 100
@@ -76,8 +77,19 @@ def kf_update6(M, P, y, H, R):
 
 
 def gamma_cdf(x, alpha, beta, mu=0.0):
-    """saf_tracker_internal.c:740 ``gamma_cdf``."""
-    return float(gammainc(alpha, max(x - mu, 0.0) / beta))
+    """saf_tracker_internal.c:740-753 ``gamma_cdf``.
+
+    Mirrors the reference EXACTLY, including its extra division by Γ(x'):
+    the C evaluates P(alpha, x') / Γ(x'), where P is the already-regularised
+    lower incomplete gamma (cephes igam).  A true gamma CDF would be just
+    P(alpha, x') — the reference's expression is not monotonic in x — but
+    the death-probability dynamics of the tracker depend on the C's actual
+    values, so behavioural parity requires reproducing them (pinned by the
+    trk_gamma_cdf golden in tests/test_c_goldens.py)."""
+    xs = (x - mu) / beta
+    if xs <= 0.0:
+        return 0.0
+    return float(gammainc(alpha, xs) / sps_gamma(xs))
 
 
 @dataclass

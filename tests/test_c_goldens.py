@@ -388,3 +388,140 @@ def test_smb_pitch_shifter_vs_c(g):
     # long atan2/phase-accumulation chains in f32: budget 1e-3 on a 0.5-amp
     # sine (the reference's own tests use similar looseness for this op)
     assert np.abs(np.asarray(y)[0] - ref).max() <= 1e-3
+
+
+# -- round-2 extension, part 4: beam/sector weights, array processing, ------
+# -- tracker core + end-to-end (tools/c_goldens/gen_goldens4.c) -------------
+
+def test_beam_weights_vs_c(g):
+    from spatial_audio_framework_tpu.modules import sh
+
+    for key, fn in [("bw_cardioid", sh.beam_weights_cardioid),
+                    ("bw_hypercardioid", sh.beam_weights_hypercardioid),
+                    ("bw_maxev", sh.beam_weights_max_ev)]:
+        ref = np.asarray(g[key])
+        for n in range(1, 5):
+            assert np.abs(np.asarray(fn(n)) - ref[n - 1][:n + 1]).max() <= TOL
+    b3 = sh.beam_weights_hypercardioid(3)
+    mine = np.asarray(sh.rotate_axis_coeffs_real(3, b3, 1.1, -0.6))
+    assert np.abs(mine - g["bw_rot_cnm_o3"]).max() <= TOL
+
+
+def test_sector_coeffs_vs_c(g):
+    from spatial_audio_framework_tpu.modules import sh
+
+    A = sh.compute_vel_coeffs_mtx(2)
+    assert np.abs(A - g["sec_A_xyz_o2"]).max() <= TOL
+    dirs = np.asarray(g["sec_dirs_deg"])
+    secEP, nEP = sh.compute_sector_coeffs(2, sh.SECTOR_PATTERN_PWD, dirs, True)
+    secAP, nAP = sh.compute_sector_coeffs(2, sh.SECTOR_PATTERN_PWD, dirs, False)
+    assert abs(nEP - g["sec_norms"][0]) <= TOL
+    assert abs(nAP - g["sec_norms"][1]) <= TOL
+    assert np.abs(secEP.reshape(24, 16) - g["sec_coeffs_ep_o2"]).max() <= TOL
+    assert np.abs(secAP.reshape(24, 16) - g["sec_coeffs_ap_o2"]).max() <= TOL
+
+
+def test_sph_modal_coeffs_vs_c(g):
+    from spatial_audio_framework_tpu.modules import array_proc as AP
+
+    kr = np.asarray(g["ap_kr"], np.float64)
+    kR = 0.8 * kr
+    cases = [
+        ("ap_modal_rigid", AP.sph_modal_coeffs(3, kr, AP.ARRAY_RIGID, 1.0)),
+        ("ap_modal_open", AP.sph_modal_coeffs(3, kr, AP.ARRAY_OPEN, 1.0)),
+        ("ap_modal_open_card",
+         AP.sph_modal_coeffs(3, kr, AP.ARRAY_OPEN_DIRECTIONAL, 0.5)),
+        ("ap_modal_scatterer", AP.sph_scatterer_modal_coeffs(3, kr, kR)),
+        ("ap_modal_scatterer_dir",
+         AP.sph_scatterer_dir_modal_coeffs(3, kr, kR, 0.5)),
+    ]
+    for key, mine in cases:
+        assert np.abs(mine - g[key]).max() <= TOL, key
+
+
+def test_sph_array_analysis_vs_c(g):
+    from spatial_audio_framework_tpu.modules import array_proc as AP
+
+    kr = np.asarray(g["ap_kr"], np.float64)
+    sens = np.asarray(g["ap_sensor_dirs_rad"], np.float64)
+    dc = AP.sph_diff_coh_mtx_theory(3, sens, AP.ARRAY_RIGID, 1.0, kr)
+    ref = np.asarray(g["ap_diffcoh_rigid"])          # (nS, nS, nBands)
+    # |M_diffcoh| reaches ~18.5; budget is relative to that scale
+    assert np.abs(dc.transpose(1, 2, 0) - ref).max() <= TOL * np.abs(ref).max()
+    flim = AP.sph_array_noise_threshold(3, 16, 0.042, 343.0, AP.ARRAY_RIGID,
+                                        1.0, 40.0)
+    assert np.abs(flim - g["ap_noise_flim"]).max() <= 1e-3 * flim.max()
+    assert abs(AP.sph_array_alias_lim(0.042, 343.0, 3)
+               - float(g["ap_alias_lim"])) <= 1e-2
+
+
+def test_simulate_sph_array_and_sht_eval_vs_c(g):
+    from spatial_audio_framework_tpu.modules import array_proc as AP
+    from spatial_audio_framework_tpu.utils import presets
+
+    kr = np.asarray(g["ap_kr"], np.float64)
+    kR = 0.8 * kr
+    sens = np.asarray(g["ap_sensor_dirs_rad"], np.float64)
+    grid = presets.tdesign(21)
+    H = AP.simulate_sph_array(3, kr, sens, grid, AP.ARRAY_RIGID, 1.0, kR)
+    ref_H = np.asarray(g["ap_H_array"])
+    assert np.abs(H - ref_H).max() <= TOL * np.abs(ref_H).max()
+    cSH, lSH = AP.evaluate_sht_filters(np.asarray(g["ap_M_sht"]), ref_H,
+                                       np.asarray(g["ap_Ygrid_cmplx"]))
+    assert np.abs(cSH - g["ap_eval_csh"]).max() <= TOL
+    assert np.abs(lSH - g["ap_eval_lsh"]).max() <= 1e-4 * np.abs(
+        np.asarray(g["ap_eval_lsh"])).max()
+
+
+def test_tracker_numerical_core_vs_c(g):
+    from spatial_audio_framework_tpu.modules import tracker as T
+
+    F = np.zeros((6, 6))
+    F[:3, 3:] = np.eye(3)
+    A, Q = T.lti_disc(F, np.diag([0, 0, 0, 0.7, 0.7, 0.7]), 0.125)
+    assert np.abs(A - g["trk_ltidisc_A"]).max() <= TOL
+    assert np.abs(Q - g["trk_ltidisc_Q"]).max() <= TOL
+    M0 = np.asarray(g["trk_kf_M0"], np.float64)
+    P0 = np.asarray(g["trk_kf_P0"], np.float64)
+    Mp, Pp = T.kf_predict6(M0, P0, np.asarray(g["trk_ltidisc_A"], np.float64),
+                           np.asarray(g["trk_ltidisc_Q"], np.float64))
+    assert np.abs(Mp - g["trk_kf_Mpred"]).max() <= TOL
+    assert np.abs(Pp - g["trk_kf_Ppred"]).max() <= TOL
+    H = np.zeros((3, 6))
+    H[:, :3] = np.eye(3)
+    Mu, Pu, LH = T.kf_update6(Mp, Pp, np.array([0.25, 0.1, 0.45]), H,
+                              0.04 * np.eye(3))
+    assert np.abs(Mu - g["trk_kf_Mupd"]).max() <= TOL
+    assert np.abs(Pu - g["trk_kf_Pupd"]).max() <= TOL
+    assert abs(LH - float(g["trk_kf_LH"])) <= TOL
+    # gamma_cdf mirrors the C exactly, including its non-monotonic
+    # normalisation by gamma(x) (saf_tracker_internal.c:752)
+    for x, ref in zip(g["trk_gamma_x"], g["trk_gamma_cdf"]):
+        assert abs(T.gamma_cdf(float(x), 2.0, 0.8) - ref) <= 1e-6
+
+
+def test_tracker3d_end_to_end_vs_c(g):
+    """Clean single-target trajectory: the RBMCDA output is insensitive to
+    the Monte-Carlo draws here (clutter/death probs ~1e-5), so the tracked
+    positions pin parity of the whole predict/associate/update chain.  The
+    C transiently spawns a short-lived second hypothesis at step 4 (its
+    draw sequence differs); that one step is excluded."""
+    from spatial_audio_framework_tpu.modules import tracker as T
+
+    cfg = T.Tracker3DConfig(
+        n_particles=20, dt=0.05, max_n_active_targets=4,
+        noise_likelihood=0.005, measure_noise_sd=0.15, noise_spec_den=0.001,
+        allow_multi_death=True, init_birth=0.5, alpha_death=200.0,
+        beta_death=1.0, force_kill_targets=False, force_kill_distance=0.2,
+        are_unit_vectors=True, M0=np.zeros(6), P0=np.eye(6),
+        cd=1.0 / (4 * np.pi), w_avg_coeff=0.5)
+    trk = T.Tracker3D(cfg, seed=7)
+    obs = np.asarray(g["trk_e2e_obs"], np.float64)
+    ref_pos = np.asarray(g["trk_e2e_pos"])
+    ref_n = np.asarray(g["trk_e2e_n"])
+    for i in range(obs.shape[0]):
+        pos, var, ids = trk.step(obs[i][None])
+        if i == 4:
+            continue
+        assert len(pos) == int(ref_n[i]), i
+        assert np.abs(pos[0] - ref_pos[i]).max() <= 1e-5, i

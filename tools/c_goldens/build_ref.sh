@@ -37,6 +37,8 @@ cmake -S "$SRC" -B "$BUILD" -G Ninja \
   -DOPENBLAS_HEADER_PATH="$HERE/shim" \
   -DLAPACKE_HEADER_PATH="$EIGEN_MISC" \
   -DSAF_BUILD_TESTS=OFF -DSAF_BUILD_EXAMPLES=ON -DSAF_BUILD_EXTRAS=OFF \
-  -DSAF_ENABLE_NETCDF=OFF -DCMAKE_BUILD_TYPE=Release \
+  -DSAF_ENABLE_NETCDF=OFF \
+  -DSAF_ENABLE_TRACKER_MODULE=ON -DSAF_ENABLE_HADES_MODULE=ON \
+  -DCMAKE_BUILD_TYPE=Release \
   -DCMAKE_C_FLAGS="-DHAVE_LAPACK_CONFIG_H"
 cmake --build "$BUILD" -j"$(nproc)"

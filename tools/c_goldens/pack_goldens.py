@@ -11,8 +11,10 @@ def main(indir: str, out_npz: str) -> None:
         for line in f:
             name, dtype, shape = line.split()
             shape = tuple(int(s) for s in shape.split(","))
+            np_dtype = {"c8": np.complex64, "c16": np.complex128,
+                        "f8": np.float64, "f4": np.float32}[dtype]
             raw = np.fromfile(os.path.join(indir, name + ".bin"),
-                              dtype=np.complex64 if dtype == "c8" else np.float32)
+                              dtype=np_dtype)
             arrays[name] = raw.reshape(shape)
     os.makedirs(os.path.dirname(out_npz), exist_ok=True)
     np.savez_compressed(out_npz, **arrays)

@@ -10,11 +10,12 @@ OUT=/tmp/saf_goldens
 OB=/opt/venv/lib/python3.12/site-packages/opencv_python.libs/libopenblasp-r0-59ffcd50.3.15.so
 
 mkdir -p "$OUT"
+rm -f "$OUT/manifest.txt"   # generators append; start clean
 cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
   -I"$SRC/framework/include" -I"$SRC/examples/include" \
   -I"$HERE/shim" \
   -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens.c" \
+  "$HERE/gen_goldens.c" "$HERE/shim/lapacke_fix.c" \
   "$BUILD/examples/libsaf_example_ambi_bin.a" \
   "$BUILD/framework/libsaf.a" \
   "$OB" -lm -o "$OUT/gen_goldens"
@@ -24,7 +25,7 @@ cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
   -I"$SRC/framework/modules/saf_reverb" \
   -I"$HERE/shim" \
   -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens2.c" \
+  "$HERE/gen_goldens2.c" "$HERE/shim/lapacke_fix.c" \
   "$BUILD/examples/libsaf_example_binauraliser.a" \
   "$BUILD/framework/libsaf.a" \
   "$OB" -lm -o "$OUT/gen_goldens2"
@@ -33,11 +34,22 @@ cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
   -I"$SRC/framework/include" \
   -I"$HERE/shim" \
   -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens3.c" \
+  "$HERE/gen_goldens3.c" "$HERE/shim/lapacke_fix.c" \
   "$BUILD/framework/libsaf.a" \
   "$OB" -lm -o "$OUT/gen_goldens3"
+
+cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
+  -DSAF_ENABLE_TRACKER_MODULE=1 -DSAF_ENABLE_HADES_MODULE=1 \
+  -I"$SRC/framework/include" \
+  -I"$SRC/framework/modules/saf_tracker" \
+  -I"$HERE/shim" \
+  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
+  "$HERE/gen_goldens4.c" "$HERE/shim/lapacke_fix.c" \
+  "$BUILD/framework/libsaf.a" \
+  "$OB" -lm -o "$OUT/gen_goldens4"
 
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens2" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens3" "$OUT"
+LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens4" "$OUT"
 python "$HERE/pack_goldens.py" "$OUT" "$HERE/../../tests/goldens/c_goldens.npz"
