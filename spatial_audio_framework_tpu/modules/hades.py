@@ -37,6 +37,8 @@ HADES_USE_MUSIC = "music"
 HADES_BEAMFORMER_NONE = "none"
 HADES_BEAMFORMER_FILTER_AND_SUM = "filter_and_sum"
 HADES_BEAMFORMER_BMVDR = "bmvdr"
+HADES_HRTF_INTERP_NEAREST = "nearest"
+HADES_HRTF_INTERP_TRIANGULAR = "triangular"
 
 
 def comedie(evals: np.ndarray) -> float:
@@ -98,7 +100,9 @@ class HadesAnalysis:
                  h_array: Optional[np.ndarray] = None,
                  grid_dirs_deg: Optional[np.ndarray] = None,
                  diff_opt: str = HADES_USE_COMEDIE,
-                 doa_opt: str = HADES_USE_MUSIC):
+                 doa_opt: str = HADES_USE_MUSIC,
+                 blocksize: Optional[int] = None,
+                 hybrid: bool = True, low_delay: bool = False):
         """h_array: (nGrid, nMics, h_len) measured array IRs; defaults to the
         default HRIR set (binaural 2-mic array)."""
         import jax.numpy as jnp
@@ -109,18 +113,26 @@ class HadesAnalysis:
             grid_dirs_deg = grid_dirs_deg[::4]
             del h_fs
         self.fs, self.hop = fs, hop
-        self.bank = AfSTFT(hop=hop, hybrid=True)
+        self.bank = AfSTFT(hop=hop, hybrid=hybrid, low_delay=low_delay)
         self.n_mics = h_array.shape[1]
         self.n_grid = h_array.shape[0]
         self.grid_dirs_deg = np.asarray(grid_dirs_deg)
-        # scale so the loudest tap is 1 (hades_analysis_create)
+        # scale by the SIGNED value of the largest-magnitude tap
+        # (hades_analysis_create:94-95: isamax index, then 1/h[idx] — the
+        # scale is negative when the extreme tap is)
         h_array = np.asarray(h_array, np.float32)
-        h_array = h_array / np.abs(h_array).max()
+        h_array = h_array / h_array.flat[np.abs(h_array).argmax()]
         self.freq_vector = self.bank.centre_freqs(fs)
         self.n_bands = self.bank.n_bands
-        self.H_array = hrir_mod.hrirs_to_hrtfs_afstft(h_array, hop)  # (nB,nM,nG)
-        w = geo.get_voronoi_weights(self.grid_dirs_deg)
-        w = w / w.sum() * self.n_grid  # relative weights (reference: areas)
+        self.H_array = hrir_mod.hrirs_to_hrtfs_afstft(
+            h_array, hop, low_delay=low_delay, hybrid=hybrid)  # (nB,nM,nG)
+        # integration weights (hades_analysis_create:122-132): raw Voronoi
+        # areas, or identity when the grid is horizontal-only
+        if np.abs(self.grid_dirs_deg[:, 1]).sum() / self.n_grid < 1e-4:
+            w = np.ones(self.n_grid, np.float64)
+        else:
+            w = geo.get_voronoi_weights(self.grid_dirs_deg).astype(np.float64)
+        self.int_weights = w
         # diffuse covariance + whitening matrices (hades_analysis_create)
         self.DCM = np.einsum("bmg,g,bng->bmn", self.H_array, w / self.n_grid,
                              self.H_array.conj())
@@ -132,7 +144,14 @@ class HadesAnalysis:
             T[b] = np.diag(np.sqrt(1.0 / (e.real + 2.23e-10))) @ U.conj().T
         self.T = T
         self.H_array_w = np.einsum("bmn,bng->bmg", T, self.H_array)
-        self.cov_avg_coeff = min(1.0 - 1.0 / (4096.0 / (8 * hop)), 0.99999)
+        blocksize = 8 * hop if blocksize is None else blocksize
+        assert blocksize % hop == 0
+        self.blocksize = blocksize
+        self.time_slots = blocksize // hop
+        # hades_analysis_create:90-91 + the run-time 0.999 clamp at apply
+        self.cov_avg_coeff = min(max(
+            1.0 - 1.0 / (4096.0 / blocksize), 0.0), 0.99999)
+        self.cov_avg_coeff = min(self.cov_avg_coeff, 0.999)
         self.diff_opt, self.doa_opt = diff_opt, doa_opt
         # device copies (RI)
         self._T_d = _split(self.T)
@@ -171,9 +190,10 @@ class HadesAnalysis:
         ev = ev[..., ::-1]
         diff = comedie_batch(jnp.maximum(ev, 0.0))
         Pn = H.noise_projector(Cw, 1)
-        num = H.cabs2(self._Aw_d).sum(-2)       # (nBands, nGrid)
-        den = H.herm_quadform(Pn, self._Aw_d)
-        doa_idx = jnp.argmax(num / (den + 2.23e-10), axis=-1)
+        # sdMUSIC pseudo-spectrum: 1 / ‖Vnᴴ a‖² (hades_sdMUSIC_compute,
+        # saf_hades_internal.c:196-204 — NO |a|² numerator, unlike sphMUSIC)
+        den = H.herm_quadform(Pn, self._Aw_d)  # (nBands, nGrid)
+        doa_idx = jnp.argmin(den, axis=-1)
         return bank_state, Cx_avg, (sre, sim), Cx_new, diff, doa_idx
 
     def apply(self, x: np.ndarray):
@@ -215,7 +235,9 @@ class HadesSynthesis:
                  hrirs: Optional[np.ndarray] = None,
                  hrir_dirs_deg: Optional[np.ndarray] = None,
                  beam_option: str = HADES_BEAMFORMER_FILTER_AND_SUM,
-                 ref_indices=(0, 1), enable_cm: bool = True):
+                 ref_indices=(0, 1), enable_cm: bool = True,
+                 hrir_fs: float = 48000.0,
+                 interp_option: str = HADES_HRTF_INTERP_TRIANGULAR):
         import jax.numpy as jnp
 
         self.ana = ana
@@ -223,18 +245,51 @@ class HadesSynthesis:
         self.ref = ref_indices
         self.enable_cm = enable_cm
         if hrirs is None:
-            hrirs, hrir_dirs_deg, _ = hrir_mod.default_hrirs()
-        # HRTFs interpolated to the analysis grid
-        from spatial_audio_framework_tpu.modules import vbap as _vbap
+            hrirs, hrir_dirs_deg, hrir_fs = hrir_mod.default_hrirs()
+        hrirs = np.asarray(hrirs, np.float32)
+        hrir_dirs_deg = np.asarray(hrir_dirs_deg, np.float64)
+        # HRTFs through the SAME filterbank config, interpolated to the
+        # analysis grid (hades_getInterpolatedHRTFs,
+        # saf_hades_internal.c:42-114)
+        H_fb = hrir_mod.hrirs_to_hrtfs_afstft(
+            hrirs, ana.hop, low_delay=ana.bank.low_delay,
+            hybrid=ana.bank.hybrid)
+        # target-grid weights (identity/None for horizontal-only grids)
+        if np.abs(ana.grid_dirs_deg[:, 1]).sum() / ana.n_grid < 1e-4:
+            w_t = None
+        else:
+            w_t = geo.get_voronoi_weights(ana.grid_dirs_deg)
+        if interp_option == HADES_HRTF_INTERP_NEAREST:
+            from spatial_audio_framework_tpu.utils.sort import (
+                find_closest_grid_points)
 
-        H_bin_full = hrir_mod.hrirs_to_hrtfs_afstft(
-            np.asarray(hrirs, np.float32), ana.hop)
-        gt = _vbap.generate_vbap_gain_table_3d_srcs(
-            ana.grid_dirs_deg, np.asarray(hrir_dirs_deg, np.float64))
-        gt = _vbap.vbap_gain_table_to_interp_table(gt)
-        self.H_bin = np.einsum("bed,gd->beg", H_bin_full, gt)
-        # binaural diffuse covariance + diffuse EQ (hades_synthesis_create)
-        DCM_bin = np.einsum("beg,bfg->bef", self.H_bin,
+            idx = find_closest_grid_points(
+                np.radians(hrir_dirs_deg), np.radians(ana.grid_dirs_deg))
+            # quantise, then diffuse-field EQ without phase simplification
+            self.H_bin = hrir_mod.diffuse_field_equalise_hrtfs(
+                H_fb[:, :, idx], weights=w_t, apply_eq=True,
+                apply_phase=False).astype(np.complex64)
+        else:  # triangular (VBAP) interpolation
+            from spatial_audio_framework_tpu.modules import vbap as _vbap
+
+            itds = hrir_mod.estimate_itds(hrirs, hrir_fs)
+            # df-EQ with phase simplification on the measurement grid.  (The
+            # C passes the TARGET grid's Voronoi weights here, which only
+            # aligns when nHRIR == nTargetDirs; we use the HRIR grid's own
+            # weights — the sane reading of the same intent.)
+            w_h = geo.get_voronoi_weights(hrir_dirs_deg)
+            H_eq = hrir_mod.diffuse_field_equalise_hrtfs(
+                H_fb, itds, ana.freq_vector, weights=w_h, apply_eq=True,
+                apply_phase=True)
+            gt = _vbap.generate_vbap_gain_table_3d_srcs(
+                ana.grid_dirs_deg, hrir_dirs_deg)
+            gt = _vbap.vbap_gain_table_to_interp_table(gt)
+            self.H_bin = hrir_mod.interp_hrtfs(H_eq, gt, itds,
+                                               ana.freq_vector)
+        # binaural diffuse covariance + diffuse EQ (hades_synthesis_create:
+        # H_bin W H_binᴴ / nGrid, diffEQ vs the ARRAY's reference-sensor
+        # diffuse response, cap +9dB)
+        DCM_bin = np.einsum("beg,g,bfg->bef", self.H_bin, ana.int_weights,
                             self.H_bin.conj()) / ana.n_grid
         r0, r1 = self.ref
         num = DCM_bin[:, 0, 0].real + DCM_bin[:, 1, 1].real
@@ -243,7 +298,9 @@ class HadesSynthesis:
         self.DCM_bin_norm = DCM_bin / (num + 2.23e-10)[:, None, None]
         self.eq = np.ones(ana.n_bands, np.float32)
         self.stream_balance = np.ones(ana.n_bands, np.float32)
-        self.syn_avg_coeff = 0.5
+        # hades_synthesis_create:~34 + the [0, 0.99] clamp at apply
+        self.syn_avg_coeff = min(max(
+            1.0 - 1.0 / (4096.0 / ana.blocksize), 0.0), 0.99)
         # device copies (RI)
         self._Hb_d = _split(self.H_bin)
         self._Ha_d = _split(ana.H_array)
