@@ -572,3 +572,56 @@ def test_hades_end_to_end_vs_c(g):
     # binaural output: observed 5e-3 on a 1.8-peak signal (0.27% — the BMVDR
     # weights and CM mixing inherit the eigh-chain noise)
     assert np.abs(out - ref_out).max() <= 2e-2
+
+
+# -- round-2 extension, part 6: TVConv / MultiConv / ambi_drc ---------------
+# (tools/c_goldens/gen_goldens6.c)
+
+def test_tvconv_vs_c(g):
+    """saf_TVConv across position CHANGES: pins the one-hop crossfade
+    recurrence (current/last/last2 outputs + OLA carries) that the batched
+    scan-free block path reproduces."""
+    from spatial_audio_framework_tpu.ops.matrix_conv import TVConv
+
+    H = np.asarray(g["tvc_H"])
+    x = np.asarray(g["tvc_in"])
+    idx = np.asarray(g["tvc_idx"], np.int32)
+    tv = TVConv(hop=128, length_h=512, n_out=2, n_irs=3)
+    y, _ = jax.jit(tv.apply_block)(tv.design(H), tv.init_state(0),
+                                   jnp.asarray(x), jnp.asarray(idx))
+    assert np.abs(np.asarray(y) - g["tvc_out"]).max() <= TOL
+    yr, _ = jax.jit(tv.apply_block_ri)(tv.design_ri(H), tv.init_state_ri(0),
+                                       jnp.asarray(x), jnp.asarray(idx))
+    assert np.abs(np.asarray(yr) - g["tvc_out"]).max() <= TOL
+
+
+@pytest.mark.parametrize("partitioned", [False, True])
+def test_multiconv_vs_c(g, partitioned):
+    from spatial_audio_framework_tpu.ops.matrix_conv import MultiConv
+
+    Hm = np.asarray(g["mtc_H"])
+    xm = np.asarray(g["mtc_in"])
+    mc = MultiConv(hop=128, length_h=300, n_ch=3, partitioned=partitioned)
+    y, _ = jax.jit(mc.apply_block)(mc.design(Hm), mc.init_state(),
+                                   jnp.asarray(xm))
+    key = "mtc_out_part" if partitioned else "mtc_out_nonpart"
+    assert np.abs(np.asarray(y) - g[key]).max() <= TOL
+
+
+def test_ambi_drc_end_to_end_vs_c(g):
+    """64 frames of amplitude-modulated noise through the full ambi_drc
+    example (order 1, -30 dB threshold, 8:1, 5 dB knee, 20/200 ms
+    attack/release, +6/+3 dB in/out gains) match the C to float precision."""
+    from spatial_audio_framework_tpu.models import ambi_drc as DRC
+
+    cfg = DRC.AmbiDrcConfig(order=1, theshold_db=-30.0, ratio=8.0,
+                            knee_db=5.0, attack_ms=20.0, release_ms=200.0,
+                            in_gain_db=6.0, out_gain_db=3.0)
+    x = np.asarray(g["drc_in"], np.float32)
+    st = DRC.init_state(cfg)
+    proc = jax.jit(lambda s, xx: DRC.process(cfg, s, xx))
+    outs = []
+    for f in range(64):
+        y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
+        outs.append(np.asarray(y))
+    assert np.abs(np.concatenate(outs, -1) - g["drc_out"]).max() <= TOL
