@@ -55,6 +55,9 @@ class Array2SHConfig:
     norm: str = C.NORM_SN3D
     gain_db: float = 0.0
     hop: int = 128
+    # diffuse-field EQ above the spatial-aliasing band (array2sh's
+    # enableDiffEQpastAliasing, default on — array2sh.c:85)
+    diff_eq_past_aliasing: bool = True
 
     @property
     def nsh(self) -> int:
@@ -91,6 +94,45 @@ def _replicate_orders(vals_per_order: np.ndarray) -> np.ndarray:
     order = vals_per_order.shape[-1] - 1
     idx = np.concatenate([[n] * (2 * n + 1) for n in range(order + 1)])
     return vals_per_order[..., idx]
+
+
+def _apply_diff_eq_past_aliasing(cfg: Array2SHConfig, W: np.ndarray,
+                                 sensor_dirs_deg: np.ndarray,
+                                 freqs: np.ndarray, kr: np.ndarray):
+    """Diffuse-field equalise the encoding matrices above the spatial
+    aliasing limit (array2sh_internal.c:381-499 ``array2sh_apply_diff_EQ``):
+    each SH channel is scaled so its diffuse-field energy (through the
+    theoretical diffuse coherence matrix of the array) stays at the level it
+    has at the aliasing band."""
+    kind, dir_coeff = cfg.weight_type
+    k_r_max = 2.0 * np.pi * 20e3 * cfg.r / cfg.c
+    array_order = min(int(np.ceil(2.0 * k_r_max) + 0.01), 28)
+    sensor_rad = np.radians(np.asarray(sensor_dirs_deg, np.float64))
+    if kind == "rigid":
+        at = AP.ARRAY_RIGID if dir_coeff == 1.0 else AP.ARRAY_RIGID
+        # the C maps rigid+directional onto RIGID_DIRECTIONAL; the theory
+        # matrix only depends on the modal coeffs, which sph_diff_coh handles
+        # through the construction + dirCoeff arguments
+        Mdc = AP.sph_diff_coh_mtx_theory(array_order, sensor_rad,
+                                         AP.ARRAY_RIGID, dir_coeff, kr)
+    else:
+        Mdc = AP.sph_diff_coh_mtx_theory(
+            array_order, sensor_rad,
+            AP.ARRAY_OPEN if dir_coeff == 1.0 else AP.ARRAY_OPEN_DIRECTIONAL,
+            dir_coeff, kr)                       # (nBands, Q, Q) real
+    f_alias = AP.sph_array_alias_lim(cfg.r, cfg.c, cfg.order)
+    idxf_alias = int(np.argmin(np.abs(freqs - f_alias)))
+
+    def diff_energy(b):
+        E = W[b] @ Mdc[b] @ W[b].conj().T
+        return np.real(np.diag(E)) / (4.0 * np.pi)
+
+    L_fal = diff_energy(idxf_alias)
+    W = W.copy()
+    for b in range(idxf_alias + 1, W.shape[0]):
+        scale = np.sqrt(L_fal / diff_energy(b) + 2.23e-10)
+        W[b] = scale[:, None] * W[b]
+    return W
 
 
 def design(cfg: Array2SHConfig, sensor_dirs_deg: np.ndarray,
@@ -174,6 +216,8 @@ def design(cfg: Array2SHConfig, sensor_dirs_deg: np.ndarray,
 
     bn_inv_R = _replicate_orders(bn_inv)  # (nBands, nSH)
     W = bn_inv_R[:, :, None] * pinv_Y[None, :, :].conj().transpose(0, 2, 1)
+    if cfg.diff_eq_past_aliasing and cfg.array_type != ARRAY_CYLINDRICAL:
+        W = _apply_diff_eq_past_aliasing(cfg, W, sensor_dirs_deg, freqs, kr)
     # output conventions + gain (applied in process in the reference; static)
     conv_out = C.output_conversion_mtx(order, cfg.ch_ordering, cfg.norm)
     W = np.einsum("st,btq->bsq", conv_out, W) * 10.0 ** (cfg.gain_db / 20.0)

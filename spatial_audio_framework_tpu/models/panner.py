@@ -82,7 +82,10 @@ def process(cfg: PannerConfig, weights: PannerWeights, state: AfSTFTState,
                   g[None] / (norm[..., None] + 2.23e-9), g[None])
     bank = cfg.afstft
     spec, state = bank.analysis(state, x)              # (nBands, nSrc, H)
-    out = jnp.einsum("bsl,bsh->blh", G.astype(spec.dtype), spec, precision=jax.lax.Precision.HIGHEST)
+    # 1/sqrt(nSources) master scaling (panner.c:312-314)
+    out = jnp.einsum("bsl,bsh->blh", G.astype(spec.dtype), spec,
+                     precision=jax.lax.Precision.HIGHEST) \
+        / np.sqrt(cfg.n_sources)
     y, state = bank.synthesis(state, out)
     return y, state
 
@@ -118,7 +121,8 @@ def process_ri_batched(cfg: PannerConfig, weights: PannerWeights, state,
     norm = jnp.sum(gp, axis=-1) ** (1.0 / (p[None, :, None] + 2.23e-9))
     G = jnp.where((jnp.abs(p - 2.0) > 1e-6)[None, :, None, None],
                   g[:, None] / (norm[..., None] + 2.23e-9), g[:, None])
-    # G: (S, nBands, nSrc, nLS) → mixing (S, nBands, nLS, nSrc)
-    G = jnp.swapaxes(G, -1, -2).astype(jnp.float32)
+    # G: (S, nBands, nSrc, nLS) → mixing (S, nBands, nLS, nSrc);
+    # 1/sqrt(nSources) master scaling (panner.c:312-314)
+    G = (jnp.swapaxes(G, -1, -2) / np.sqrt(cfg.n_sources)).astype(jnp.float32)
     return ri.render_tf_matrix_ri(cfg.afstft, state, x, G, None,
                                   use_pallas=use_pallas, interpret=interpret)

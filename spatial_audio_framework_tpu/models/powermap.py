@@ -51,7 +51,11 @@ class PowermapConfig:
     pmap_avg_coeff: float = 0.666       # powermap.c:51
     ch_ordering: str = C.CH_ACN
     norm: str = C.NORM_SN3D
-    grid_tdesign: int = 14              # analysis grid
+    # analysis grid: the reference scans the 812-dir icosahedral geosphere
+    # (powermap_internal.c:57-59 geosphere_ico_freq = 9); a t-design can be
+    # selected instead for cheaper maps
+    analysis_grid: str = "geosphere_ico_9"
+    grid_tdesign: int = 14              # used when analysis_grid == "tdesign"
     interp_res_deg: int = 5             # display grid resolution
     hop: int = 128
     # Per-band SH analysis order (len n_bands, each clipped to
@@ -99,7 +103,10 @@ class PowermapState(NamedTuple):
 
 
 def design(cfg: PowermapConfig) -> PowermapWeights:
-    grid = presets.tdesign(cfg.grid_tdesign)
+    if cfg.analysis_grid == "geosphere_ico_9":
+        grid = presets.geosphere(9, icosahedral=True)
+    else:
+        grid = presets.tdesign(cfg.grid_tdesign)
     dirs_rad = np.stack([np.radians(grid[:, 0]),
                          np.pi / 2 - np.radians(grid[:, 1])], -1)
     max_order = cfg.max_analysis_order

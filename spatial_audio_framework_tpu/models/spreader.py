@@ -85,7 +85,13 @@ def design(cfg: SpreaderConfig, irs: Optional[np.ndarray] = None,
     if ir_fs != cfg.fs:
         irs, _ = hrir_mod.resample_hrirs(irs, ir_fs, int(cfg.fs))
     Hf = hrir_mod.hrirs_to_hrtfs_afstft(irs, cfg.hop)  # (nBands, Q, nGrid)
-    HHH = np.einsum("bqg,brg->bgqr", Hf, Hf.conj())
+    # outer products carry the grid's Voronoi weights / 4π
+    # (spreader.c:276-289: getVoronoiWeights → sscal 1/FOURPI → cscal HHH)
+    from spatial_audio_framework_tpu.utils import geometry as _geo
+
+    w_g = _geo.get_voronoi_weights(np.asarray(ir_dirs_deg, np.float64))
+    w_g = np.asarray(w_g, np.float64) / (4.0 * np.pi)
+    HHH = np.einsum("bqg,g,brg->bgqr", Hf, w_g, Hf.conj())
     u = np.asarray(unit_sph2cart(np.asarray(ir_dirs_deg, np.float64),
                                  degrees=True), np.float32)
     freqs = cfg.afstft.centre_freqs(cfg.fs)
@@ -195,7 +201,9 @@ def process(cfg: SpreaderConfig, w: SpreaderWeights, state: SpreaderState,
         if cfg.mode == MODE_EVD:
             e_y = jnp.einsum("bqq->", Cy[0])
             e_p = jnp.einsum("bqq->", Cp[0]) + 1e-6
-            s = e_p / (e_y + 2.23e-9)
+            # Gcomp = sqrt(Eproto/Ey) (spreader.c:524) — the C scales the
+            # target covariance by the SQRT of the energy ratio
+            s = jnp.sqrt(e_p / (e_y + 2.23e-9))
             lam_e, V = H.herm_eig_pairs((Cy[0] * s, Cy[1] * s))
             root = jnp.sqrt(jnp.maximum(lam_e, 0.0))[..., None, :]
             M = (V[0] * root, V[1] * root)

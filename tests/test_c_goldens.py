@@ -625,3 +625,127 @@ def test_ambi_drc_end_to_end_vs_c(g):
         y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
         outs.append(np.asarray(y))
     assert np.abs(np.concatenate(outs, -1) - g["drc_out"]).max() <= TOL
+
+
+# -- round-2 extension, part 7: array2sh filters, panner, powermap, sldoa, --
+# -- spreader (tools/c_goldens/gen_goldens7.c) ------------------------------
+
+@pytest.mark.parametrize("ftype,key", [
+    ("soft_lim", "a2s_W_softlim"), ("tikhonov", "a2s_W_tikhonov"),
+    ("z_style", "a2s_W_zstyle"), ("z_style_maxre", "a2s_W_zstylemaxre")])
+def test_array2sh_encoding_filters_vs_c(g, ftype, key):
+    """The four regularised encoder designs (Eigenmike32, order 4, N3D,
+    diffuse-field EQ past aliasing enabled as in the C default).  Band 0 is
+    excluded: the C's modal coefficients at kr=0 are numerically ill-defined
+    (Bessel/Hankel at zero argument) and produce arbitrary values there."""
+    from spatial_audio_framework_tpu.models import array2sh as A2S
+    from spatial_audio_framework_tpu.utils import presets
+
+    dirs_deg = np.degrees(presets.mic_preset("eigenmike32"))
+    cfg = A2S.Array2SHConfig(order=4, filter_type=ftype, r=0.042, R=0.042,
+                             norm="n3d")
+    W = np.asarray(A2S.design(cfg, dirs_deg).W)
+    ref = np.asarray(g[key])
+    assert np.abs(W[1:] - ref[1:]).max() <= 2e-4 * max(1.0, np.abs(ref).max())
+
+
+def test_panner_end_to_end_vs_c(g):
+    """32 frames through the panner example (9-LS layout, 2 sources,
+    DTT 0.5 → frequency-dependent p-value normalisation, 1/sqrt(nSrc)
+    master scaling) match the C to float precision."""
+    from spatial_audio_framework_tpu.models import panner as PAN
+
+    ls = np.asarray(g["pan_ls_dirs"], np.float64)
+    src = jnp.asarray(np.asarray(g["pan_src_dirs"], np.float32))
+    x = np.asarray(g["pan_in"], np.float32)
+    cfg = PAN.PannerConfig(n_sources=2, n_loudspeakers=9)
+    w = PAN.design(cfg, ls)
+    st = PAN.init_state(cfg)
+    proc = jax.jit(lambda s, xx: PAN.process(cfg, w, s, xx, src))
+    outs = []
+    for f in range(32):
+        y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
+        outs.append(np.asarray(y))
+    assert np.abs(np.concatenate(outs, -1) - g["pan_out"]).max() <= TOL
+
+
+def test_powermap_end_to_end_vs_c(g):
+    """8 blocks of a two-source SH scene through the powermap example
+    (order 3 MUSIC, geosphere-ico-9 analysis grid, covAvg 0.5, mapAvg 0.666)
+    reproduce the C's normalised display map on its own pixel grid."""
+    from spatial_audio_framework_tpu.models import powermap as PM
+    from spatial_audio_framework_tpu.modules import vbap
+
+    cfg = PM.PowermapConfig(master_order=3, mode=PM.PM_MUSIC, n_sources=2,
+                            norm="n3d", cov_avg_coeff=0.5,
+                            pmap_avg_coeff=0.666)
+    w = PM.design(cfg)
+    c_grid = np.asarray(g["pm_grid_dirs"], np.float64)
+    gt = vbap.generate_vbap_gain_table_3d_srcs(c_grid, w.grid_dirs_deg)
+    gt = vbap.vbap_gain_table_to_interp_table(gt)
+    w = w._replace(interp_table=jnp.asarray(gt.astype(np.float32)),
+                   interp_dirs_deg=c_grid)
+    st = PM.init_state(cfg, w)
+    x = np.asarray(g["pm_in"], np.float32)
+    for blk in range(8):
+        pmap, st = PM.analysis(cfg, w, st, jnp.asarray(x[blk]))
+    # [0,1]-normalised map; residual is 1/x-amplified MUSIC + f32 interp
+    assert np.abs(np.asarray(pmap) - g["pm_pmap"]).max() <= 2e-2
+
+
+def test_sldoa_end_to_end_vs_c(g):
+    """8 blocks through the sldoa example: per-sector averaged DoAs,
+    colour and alpha display vectors match the C (azi within 0.03 deg)."""
+    from spatial_audio_framework_tpu.models import sldoa as SL
+
+    cfg = SL.SldoaConfig(master_order=3, norm="n3d", min_freq=500.0,
+                         max_freq=10000.0, avg_ms=0.5)
+    w = SL.design(cfg)
+    st = SL.init_state(cfg)
+    x = np.asarray(g["sl_in"], np.float32)
+    for blk in range(8):
+        out, st = SL.analysis(cfg, w, st, jnp.asarray(x[blk]))
+    n_sec = 9  # ORDER2NUMSECTORS(3)
+    freqs = cfg.afstft.centre_freqs(cfg.fs)
+    sel = (freqs >= 500.0) & (freqs <= 10000.0)
+    sel[0] = False
+    for name, mine, tol in [("sl_azi", out.azi_deg, 0.05),
+                            ("sl_elev", out.elev_deg, 0.05),
+                            ("sl_colour", out.colour_scale, 1e-6),
+                            ("sl_alpha", out.alpha_scale, 1e-4)]:
+        ref = np.asarray(g[name]).reshape(133, 49)[:, :n_sec]
+        assert np.abs(np.asarray(mine)[sel][:, :n_sec]
+                      - ref[sel]).max() <= tol, name
+
+
+def test_spreader_vs_c(g):
+    """Naive mode (no decorrelation) matches the C exactly; OM/EVD route
+    through the lattice decorrelator, whose random delay assignment differs
+    from the C's unseeded rand() — there the covariance-matched OUTPUT
+    ENERGY is pinned instead (per-ear within 2x, as observed ~0.7-1.3)."""
+    from spatial_audio_framework_tpu.models import spreader as SPR
+
+    x = np.asarray(g["spr_in"], np.float32)
+    dirs = jnp.asarray(np.array([[40.0, 10.0]], np.float32))
+    spread = jnp.asarray(np.array([60.0], np.float32))
+
+    def run(mode):
+        cfg = SPR.SpreaderConfig(n_sources=1, mode=mode, cov_avg_coeff=0.5)
+        w = SPR.design(cfg)
+        st = SPR.init_state(cfg, w)
+        proc = jax.jit(lambda s, xx: SPR.process(cfg, w, s, xx, dirs, spread))
+        outs = []
+        for f in range(8):
+            y, st = proc(st, jnp.asarray(x[None, f * 512:(f + 1) * 512]))
+            outs.append(np.asarray(y))
+        return np.concatenate(outs, -1)
+
+    out = run(SPR.MODE_NAIVE)
+    assert np.abs(out - g["spr_out_naive"]).max() <= TOL * 2.0
+
+    for mode, key in [(SPR.MODE_OM, "spr_out_om"),
+                      (SPR.MODE_EVD, "spr_out_evd")]:
+        out = run(mode)
+        ref = np.asarray(g[key])
+        ratio = (out[:, 2048:] ** 2).mean(-1) / (ref[:, 2048:] ** 2).mean(-1)
+        assert np.all(ratio > 0.5) and np.all(ratio < 2.0), (mode, ratio)

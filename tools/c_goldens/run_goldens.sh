@@ -67,10 +67,25 @@ cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
   "$BUILD/framework/libsaf.a" \
   "$OB" -lm -o "$OUT/gen_goldens6"
 
+cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
+  -I"$SRC/framework/include" -I"$SRC/examples/include" \
+  -I"$SRC/examples/src/array2sh" \
+  -I"$HERE/shim" \
+  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
+  "$HERE/gen_goldens7.c" "$HERE/shim/lapacke_fix.c" \
+  "$BUILD/examples/libsaf_example_array2sh.a" \
+  "$BUILD/examples/libsaf_example_panner.a" \
+  "$BUILD/examples/libsaf_example_powermap.a" \
+  "$BUILD/examples/libsaf_example_sldoa.a" \
+  "$BUILD/examples/libsaf_example_spreader.a" \
+  "$BUILD/framework/libsaf.a" \
+  "$OB" -lm -o "$OUT/gen_goldens7"
+
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens2" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens3" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens4" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens5" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens6" "$OUT"
+LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens7" "$OUT"
 python "$HERE/pack_goldens.py" "$OUT" "$HERE/../../tests/goldens/c_goldens.npz"
