@@ -63,9 +63,13 @@ class AmbiDecWeightsRI(NamedTuple):
 
 def _norm_factors(M_dec: np.ndarray, order: int) -> tuple[float, float]:
     """Amplitude/energy preservation factors from a t-design sweep
-    (ambi_dec.c:305-335)."""
+    (ambi_dec.c:305-335).  NOTE: the C fires plane waves through getSHreal
+    (ORTHONORMAL real SH, no sqrt(4π)) — using getRSH here would shrink the
+    factors by sqrt(4π)."""
     grid = presets.tdesign(30)
-    Y = sh.get_rsh(order, grid)  # (nSH, nGrid)
+    dirs_rad = np.stack([np.radians(grid[:, 0]),
+                         np.pi / 2 - np.radians(grid[:, 1])], -1)
+    Y = sh.get_sh_real(order, dirs_rad)  # (nSH, nGrid) orthonormal
     g = M_dec @ Y  # (nLS, nGrid)
     a_avg = g.sum(0).mean()
     e_avg = (g ** 2).sum(0).mean()

@@ -749,3 +749,131 @@ def test_spreader_vs_c(g):
         ref = np.asarray(g[key])
         ratio = (out[:, 2048:] ** 2).mean(-1) / (ref[:, 2048:] ** 2).mean(-1)
         assert np.all(ratio > 0.5) and np.all(ratio < 2.0), (mode, ratio)
+
+
+# -- round-2 extension, part 8: remaining examples + the fork's -------------
+# -- roombinauraliser (tools/c_goldens/gen_goldens8.c) ----------------------
+
+def test_ambi_enc_end_to_end_vs_c(g):
+    from spatial_audio_framework_tpu.models import ambi_enc as ENC
+
+    cfg = ENC.AmbiEncConfig(order=3, norm="n3d", n_sources=3,
+                            enable_post_scaling=True, frame_size=64)
+    out_conv = ENC.design(cfg)
+    dirs = jnp.asarray(np.asarray(g["enc_dirs"], np.float32))
+    st = ENC.init_state(cfg, np.asarray(g["enc_dirs"], np.float64))
+    x = np.asarray(g["enc_in"], np.float32)
+    proc = jax.jit(lambda s, xx: ENC.process(cfg, out_conv, s, xx, dirs))
+    outs = []
+    for f in range(32):
+        y, st = proc(st, jnp.asarray(x[:, f * 64:(f + 1) * 64]))
+        outs.append(np.asarray(y))
+    assert np.abs(np.concatenate(outs, -1) - g["enc_out"]).max() <= TOL
+
+
+def test_rotator_end_to_end_vs_c(g):
+    from spatial_audio_framework_tpu.models import rotator as ROT
+
+    cfg = ROT.RotatorConfig(order=3, norm="n3d", frame_size=64)
+    w = ROT.design(cfg)
+    st = ROT.init_state(cfg)
+    ypr = jnp.asarray(np.radians([30.0, -20.0, 10.0]).astype(np.float32))
+    x = np.asarray(g["rot_in"], np.float32)
+    proc = jax.jit(lambda s, xx: ROT.process(cfg, w, s, xx, ypr))
+    outs = []
+    for f in range(32):
+        y, st = proc(st, jnp.asarray(x[:, f * 64:(f + 1) * 64]))
+        outs.append(np.asarray(y))
+    assert np.abs(np.concatenate(outs, -1) - g["rot_out"]).max() <= TOL
+
+
+def test_beamformer_end_to_end_vs_c(g):
+    from spatial_audio_framework_tpu.models import beamformer as BF
+
+    cfg = BF.BeamformerConfig(order=3, n_beams=2, beam_type=BF.BEAM_MAX_EV,
+                              norm="n3d")
+    W = BF.design(cfg, np.asarray(g["bf_dirs"], np.float64))
+    st = BF.init_state(cfg)
+    x = np.asarray(g["bf_in"], np.float32)
+    proc = jax.jit(lambda s, xx: BF.process(cfg, W, s, xx))
+    outs = []
+    for f in range(32):
+        y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
+        outs.append(np.asarray(y))
+    assert np.abs(np.concatenate(outs, -1) - g["bf_out"]).max() <= TOL
+
+
+def test_ambi_dec_end_to_end_vs_c(g):
+    """Dual-band ALLRAD decoding (order 3, 9 LS, maxrE above 800 Hz only,
+    energy-preserving EQ): pins the per-band order truncation, the
+    plane-wave-sweep normalisation factors (getSHreal scaling!), and the
+    transition-frequency band split."""
+    from spatial_audio_framework_tpu.models import ambi_dec as DEC
+
+    ls = np.asarray(g["dec_e2e_ls_dirs"], np.float64)
+    cfg = DEC.AmbiDecConfig(master_order=3, norm="n3d",
+                            dec_method=("allrad", "allrad"),
+                            re_weight=(False, True), transition_freq=800.0)
+    w = DEC.design(cfg, ls)
+    st = DEC.init_state(cfg, 9)
+    x = np.asarray(g["dec_e2e_in"], np.float32)
+    proc = jax.jit(lambda s, xx: DEC.process(cfg, w, s, xx))
+    outs = []
+    for f in range(32):
+        y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
+        outs.append(np.asarray(y))
+    assert np.abs(np.concatenate(outs, -1) - g["dec_e2e_out"]).max() <= TOL
+
+
+def test_dirass_end_to_end_vs_c(g):
+    """6 blocks through the dirass example (order 2, T-design-18 grid,
+    UPSCALE reassignment to order 6) reproduce the C's display map on its
+    pixel grid.  Small residual: the reassignment scatters energies to
+    nearest display bins, so f32 DoA noise flips a few cells."""
+    from spatial_audio_framework_tpu.models import dirass as DI
+    from spatial_audio_framework_tpu.modules import vbap
+    from spatial_audio_framework_tpu.utils.geometry import unit_sph2cart
+
+    cfg = DI.DirassConfig(input_order=2, upscale_order=6,
+                          mode=DI.REASS_UPSCALE, beam_type="maxre",
+                          grid_tdesign=18, min_freq_hz=100.0,
+                          max_freq_hz=8000.0, pmap_avg_coeff=0.25,
+                          norm="n3d")
+    w = DI.design(cfg)
+    c_grid = np.asarray(g["dir_grid_dirs"], np.float64)
+    gt = vbap.vbap_gain_table_to_interp_table(
+        vbap.generate_vbap_gain_table_3d_srcs(c_grid, w.grid_dirs_deg))
+    w = w._replace(interp_table=jnp.asarray(gt.astype(np.float32)),
+                   interp_dirs_deg=c_grid,
+                   interp_u=jnp.asarray(np.asarray(
+                       unit_sph2cart(c_grid, degrees=True), np.float32)))
+    st = DI.init_state(cfg, w)
+    x = np.asarray(g["dir_in"], np.float32)
+    for blk in range(6):
+        pmap, st = DI.analysis(cfg, w, st, jnp.asarray(x[blk]))
+    pmap = np.asarray(pmap)
+    ref = np.asarray(g["dir_pmap"])
+    assert np.abs(pmap - ref).max() <= 5e-2
+    assert np.corrcoef(pmap, ref)[0, 1] >= 0.995
+
+
+def test_roombinauraliser_end_to_end_vs_c(g):
+    """The FORK's BRIR renderer (compiled directly from its sources — it is
+    not registered in the reference's CMake): default-HRIR fallback path,
+    FABIAN-CTF diffuse-field EQ, rotation off (lookup at (0,0)), 2 sources.
+    Output matches the C to float precision."""
+    from spatial_audio_framework_tpu.models import roombinauraliser as RB
+
+    cfg = RB.RoomBinauraliserConfig(n_sources=2, enable_rotation=False,
+                                    enable_hrir_diff_eq=True,
+                                    diff_eq_mode=RB.DIFF_EQ_FABIAN_CTF,
+                                    interp_mode=RB.INTERP_TRI)
+    cfg, w = RB.design(cfg)
+    st = RB.init_state(cfg)
+    x = np.asarray(g["rb_in"], np.float32)
+    proc = jax.jit(lambda s, xx: RB.process(cfg, w, s, xx))
+    outs = []
+    for f in range(48):
+        y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
+        outs.append(np.asarray(y))
+    assert np.abs(np.concatenate(outs, -1) - g["rb_out"]).max() <= TOL

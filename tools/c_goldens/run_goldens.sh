@@ -81,6 +81,21 @@ cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
   "$BUILD/framework/libsaf.a" \
   "$OB" -lm -o "$OUT/gen_goldens7"
 
+cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
+  -I"$SRC/framework/include" -I"$SRC/examples/include" \
+  -I"$HERE/shim" \
+  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
+  "$HERE/gen_goldens8.c" "$HERE/shim/lapacke_fix.c" \
+  "$SRC/examples/src/roombinauraliser/roombinauraliser.c" \
+  "$SRC/examples/src/roombinauraliser/roombinauraliser_internal.c" \
+  "$BUILD/examples/libsaf_example_ambi_enc.a" \
+  "$BUILD/examples/libsaf_example_rotator.a" \
+  "$BUILD/examples/libsaf_example_beamformer.a" \
+  "$BUILD/examples/libsaf_example_ambi_dec.a" \
+  "$BUILD/examples/libsaf_example_dirass.a" \
+  "$BUILD/framework/libsaf.a" \
+  "$OB" -lm -o "$OUT/gen_goldens8"
+
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens2" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens3" "$OUT"
@@ -88,4 +103,5 @@ LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens4" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens5" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens6" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens7" "$OUT"
+LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens8" "$OUT"
 python "$HERE/pack_goldens.py" "$OUT" "$HERE/../../tests/goldens/c_goldens.npz"
