@@ -24,8 +24,9 @@ from spatial_audio_framework_tpu.utils import geometry as geo
 @dataclass(frozen=True)
 class BinauraliserNFConfig(B.BinauraliserConfig):
     head_radius: float = 0.09096        # binauraliser_nf.c:73
-    # sources beyond this (normalised) distance are effectively far-field
-    far_field_thresh_m: float = 3.0
+    # sources at/beyond this distance bypass the DVF entirely
+    # (binauraliser_nf.c:75: head_radius * 34 ≈ 3.09 m)
+    far_field_thresh_m: float = 0.09096 * 34.0
 
 
 def design(cfg: BinauraliserNFConfig, *args, **kw) -> B.BinauraliserWeights:
@@ -39,7 +40,15 @@ def init_state(cfg: BinauraliserNFConfig) -> AfSTFTState:
 def _dvf_band_gains(cfg: BinauraliserNFConfig, freqs: jax.Array,
                     src_dirs_deg: jax.Array, src_dists_m: jax.Array):
     """Per-source per-ear complex band gains from the DVF shelves.
-    → (nBands, 2, nSrc) complex."""
+    → (nBands, 2, nSrc) complex.
+
+    Mirrors the reference EXACTLY, including two quirks
+    (binauraliser_nf.c:304-341):
+    * the per-band scale is the complex number (magnitude + j·phase_rad) of
+      the shelf's transfer function — NOT mag·e^{jφ}; the C constructs
+      cmplxf(dvfmags, dvfphases) despite its "apply magnitude & phase"
+      comment;
+    * sources at ≥ farfield_thresh_m (head_radius·34) bypass the DVF."""
     alpha_lr, _ = _dvf.doa_to_ipsi_interaural(src_dirs_deg[:, 0],
                                               src_dirs_deg[:, 1])  # (nSrc, 2)
     rho = jnp.maximum(src_dists_m / cfg.head_radius, 1.0)[:, None]
@@ -47,7 +56,10 @@ def _dvf_band_gains(cfg: BinauraliserNFConfig, freqs: jax.Array,
     w = 2.0 * jnp.pi * freqs / cfg.fs  # (nBands,)
     z = jnp.exp(-1j * w)[:, None, None]  # (nBands, 1, 1)
     H = (b[..., 0] + b[..., 1] * z) / (1.0 + a[..., 1] * z)  # (nBands, nSrc, 2)
-    return H.transpose(0, 2, 1)  # (nBands, 2, nSrc)
+    scale = jnp.abs(H) + 1j * jnp.angle(H)
+    far = (src_dists_m >= cfg.far_field_thresh_m)[None, :, None]
+    scale = jnp.where(far, 1.0 + 0.0j, scale)
+    return scale.transpose(0, 2, 1)  # (nBands, 2, nSrc)
 
 
 def process(cfg: BinauraliserNFConfig, w: B.BinauraliserWeights,
@@ -100,7 +112,14 @@ def _dvf_band_gains_ri(cfg: BinauraliserNFConfig, freqs: jax.Array,
     d2 = dr * dr + di * di
     Hre = (nr * dr + ni * di) / d2
     Him = (ni * dr - nr * di) / d2
-    return Hre.transpose(0, 2, 1), Him.transpose(0, 2, 1)
+    # reference quirk: scale = (|H|, arg H) as (re, im); far-field bypass
+    # (see _dvf_band_gains)
+    mag = jnp.sqrt(Hre * Hre + Him * Him)
+    ph = jnp.arctan2(Him, Hre)
+    far = (src_dists_m >= cfg.far_field_thresh_m)[None, :, None]
+    mag = jnp.where(far, 1.0, mag)
+    ph = jnp.where(far, 0.0, ph)
+    return mag.transpose(0, 2, 1), ph.transpose(0, 2, 1)
 
 
 def process_ri_batched(cfg: BinauraliserNFConfig, w, state, x: jax.Array,
