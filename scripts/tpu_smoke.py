@@ -80,6 +80,30 @@ def main():
         ambi_dec.process_ri_batched(dcfg, dw, s, x)[0]))))
     results.append(("ambi_dec",) + fenced(fd, dst, dx))
 
+    # binauraliser_nf (distance-dependent DVF shelves in real arithmetic)
+    from spatial_audio_framework_tpu.models import binauraliser_nf
+    ncfg = binauraliser_nf.BinauraliserNFConfig(n_sources=2,
+                                                enable_rotation=False)
+    nw = binauraliser_nf.design_ri(ncfg)
+    nst = binauraliser_nf.init_state_batched(ncfg, S)
+    ndists = jnp.asarray(rng.uniform(0.2, 1.5, (S, 2)).astype(np.float32))
+    fnf = jax.jit(lambda s, x: (jnp.max(jnp.abs(
+        binauraliser_nf.process_ri_batched(ncfg, nw, s, x, dirs,
+                                           ndists)[0]))))
+    results.append(("binauraliser_nf",) + fenced(fnf, nst, bx))
+
+    # tvconv (batched scan-free crossfading convolver, RI)
+    from spatial_audio_framework_tpu.models import conv_examples
+    tv = conv_examples.TVConvExample()
+    tirs = 0.1 * rng.standard_normal((4, 2, 512)).astype(np.float32)
+    tirs[:, :, 0] += 1.0
+    tpos = rng.uniform(0, 5, (4, 3)).astype(np.float32)
+    tconv, tH, tposd = tv.design_ri(tirs, tpos)
+    tx = jnp.asarray(rng.uniform(-1, 1, (T,)).astype(np.float32))
+    ftv = jax.jit(lambda s, x: (jnp.max(jnp.abs(tv.process_ri(
+        tconv, tH, s, x, jnp.asarray(tpos[1]), tposd)[0]))))
+    results.append(("tvconv",) + fenced(ftv, tv.init_state_ri(tconv), tx))
+
     # panner
     pcfg = panner.PannerConfig(n_sources=2, n_loudspeakers=5)
     pw = panner.design(pcfg, ls)
