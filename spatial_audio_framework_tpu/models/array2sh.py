@@ -109,10 +109,8 @@ def _apply_diff_eq_past_aliasing(cfg: Array2SHConfig, W: np.ndarray,
     array_order = min(int(np.ceil(2.0 * k_r_max) + 0.01), 28)
     sensor_rad = np.radians(np.asarray(sensor_dirs_deg, np.float64))
     if kind == "rigid":
-        at = AP.ARRAY_RIGID if dir_coeff == 1.0 else AP.ARRAY_RIGID
-        # the C maps rigid+directional onto RIGID_DIRECTIONAL; the theory
-        # matrix only depends on the modal coeffs, which sph_diff_coh handles
-        # through the construction + dirCoeff arguments
+        # the C maps all rigid weight types onto RIGID modal coefficients
+        # here (the theory matrix depends only on construction + dirCoeff)
         Mdc = AP.sph_diff_coh_mtx_theory(array_order, sensor_rad,
                                          AP.ARRAY_RIGID, dir_coeff, kr)
     else:
@@ -279,5 +277,11 @@ def evaluate_filters(cfg: Array2SHConfig, w: Array2SHWeights,
     # evaluate_sht_filters' C-exact correlation then peaks at 1 for a
     # perfect reconstruction
     Y_grid = sh.get_rsh(cfg.order, grid)
-    M = np.asarray(w.W)
+    # the reference evaluates the PRE-conversion (ACN/N3D, unity-gain)
+    # matrices (array2sh_internal.c:593-605) — undo design()'s output
+    # conversion + gain so lSH reads ~0 dB for a perfect reconstruction in
+    # every convention
+    conv_out = C.output_conversion_mtx(cfg.order, cfg.ch_ordering, cfg.norm)
+    M = np.einsum("ts,bsq->btq", np.linalg.inv(conv_out), np.asarray(w.W))
+    M = M / 10.0 ** (cfg.gain_db / 20.0)
     return AP.evaluate_sht_filters(M, H_array, Y_grid)

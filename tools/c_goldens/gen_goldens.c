@@ -255,7 +255,7 @@ int main(int argc, char** argv)
     outdir = argv[1];
     char mpath[512];
     snprintf(mpath, sizeof(mpath), "%s/manifest.txt", outdir);
-    manifest = fopen(mpath, "w");
+    manifest = fopen(mpath, "a");  /* append like the other generators; run_goldens.sh clears it */
     if (!manifest) { perror(mpath); return 1; }
 
     golden_sh();
