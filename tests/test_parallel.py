@@ -214,3 +214,45 @@ def test_render_signal_sharded_streams():
     y_s, _ = run(st_s, x_s)
     np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_ref),
                                atol=1e-6, rtol=1e-5)
+
+
+def test_powermap_band_sharded_grouping_parity():
+    """Band-parallel analyser sharding (the 'sequence-parallel' axis of the
+    TF-domain analysers): the 133 afSTFT bands shard over a 7-device mesh
+    (133 = 7*19); the per-band SCMs stay fully local, while the
+    order-truncated covariance grouping reduces over the sharded band axis
+    (XLA inserts the all-reduce) before the MUSIC map.  Parity vs the
+    single-device run is exact to f32."""
+    from spatial_audio_framework_tpu.models import powermap as PM
+    from spatial_audio_framework_tpu.modules import sh_est
+
+    cfg = PM.PowermapConfig(master_order=3, mode=PM.PM_MUSIC, n_sources=2,
+                            norm="n3d", analysis_grid="tdesign")
+    w = PM.design(cfg)
+    n_bands, nsh, H = 133, cfg.nsh, 16
+    rng = np.random.default_rng(11)
+    sre = jnp.asarray(rng.standard_normal((n_bands, nsh, H)).astype(np.float32))
+    sim = jnp.asarray(rng.standard_normal((n_bands, nsh, H)).astype(np.float32))
+    eq = jnp.ones(n_bands, jnp.float32)
+
+    def band_core(sre, sim, eq):
+        # per-band SCM (local to each band shard)
+        re = (jnp.einsum("bsh,bth->bst", sre, sre)
+              + jnp.einsum("bsh,bth->bst", sim, sim)) / H
+        im = (jnp.einsum("bsh,bth->bst", sim, sre)
+              - jnp.einsum("bsh,bth->bst", sre, sim)) / H
+        m = w.band_mask * (1e3 * eq)[:, None]
+        C_grp = (jnp.einsum("bi,bj,bij->ij", m, w.band_mask, re),
+                 jnp.einsum("bi,bj,bij->ij", m, w.band_mask, im))
+        return sh_est.generate_music_map_ri(C_grp, w.Y_grid, cfg.n_sources)
+
+    ref = np.asarray(jax.jit(band_core)(sre, sim, eq))
+
+    mesh = pmesh.make_mesh(7)  # 7 devices: 133 bands shard evenly (19 each)
+    band_sh = NamedSharding(mesh, P("dp"))
+    spec_sh = NamedSharding(mesh, P("dp", None, None))
+    sre_s = jax.device_put(sre, spec_sh)
+    sim_s = jax.device_put(sim, spec_sh)
+    eq_s = jax.device_put(eq, band_sh)
+    out = np.asarray(jax.jit(band_core)(sre_s, sim_s, eq_s))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5 * ref.max())
