@@ -93,7 +93,7 @@ def main():
 
     # throughput: CHAIN dispatches (serialised on device via the carried
     # state), one fence at the end — amortises the tunnel RTT
-    CHAIN = 16
+    CHAIN = 64
     chain_times = []
     for _ in range(3):
         t0 = time.perf_counter()
