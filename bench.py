@@ -39,6 +39,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: the first compile of the larger graphs
+    # over the remote tunnel takes minutes; repeat bench runs skip it
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/saf_tpu_jit_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     from spatial_audio_framework_tpu.models import ambi_bin
 
     FS = 48000.0
@@ -372,6 +381,29 @@ def main():
 
         config_rtfs["ambi_roomsim_o2_2src"] = fenced_rtf(
             scan_chunks(rbody), RS.init_state_ri(rcfg, rw), rx, K * Tc / FS)
+    except Exception:
+        pass
+
+    # hades: fused analysis+synthesis pipeline (binaural, BMVDR + CM),
+    # closed-form 2x2 decompositions throughout
+    try:
+        from spatial_audio_framework_tpu.modules import hades as HDS
+        hana = HDS.HadesAnalysis()
+        hsyn = HDS.HadesSynthesis(hana,
+                                  beam_option=HDS.HADES_BEAMFORMER_BMVDR)
+        hpipe = HDS.HadesPipeline(hana, hsyn)
+        NBH = 8
+        hx = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
+            jnp.arange(NBH)))(jnp.asarray(rng.uniform(
+                -1, 1, (hana.n_mics, hana.blocksize)).astype(np.float32)))
+
+        def hbody(st, xk):
+            st, y = hpipe._block(st, xk)
+            return st, jnp.sum(y * y)
+
+        config_rtfs["hades_binaural_bmvdr"] = fenced_rtf(
+            scan_chunks(hbody), hpipe.init_state(), hx,
+            NBH * hana.blocksize / FS)
     except Exception:
         pass
 

@@ -183,22 +183,21 @@ def main():
     results.append(("pitch_shifter",) + fenced(
         lambda s, x: fps(s, x, psm), psst, psx))
 
-    # hades (analysis + BMVDR synthesis + covariance matching, all RI)
+    # hades (fused single-dispatch analysis + BMVDR synthesis, all RI)
     from spatial_audio_framework_tpu.modules import hades
     hana = hades.HadesAnalysis()
     hsyn = hades.HadesSynthesis(hana,
                                 beam_option=hades.HADES_BEAMFORMER_BMVDR)
-    hx = rng.uniform(-1, 1, (2, T)).astype(np.float32)
+    hpipe = hades.HadesPipeline(hana, hsyn)
+    hx = jnp.asarray(rng.uniform(
+        -1, 1, (2, hana.blocksize)).astype(np.float32))
+    hst = hpipe.init_state()
 
-    def hades_run(_s, _x):
-        p, sg = hana.apply(np.asarray(_x))
-        return float(np.abs(hsyn.apply(p, sg)).max())
+    def hades_run(s, x):
+        y, s = hpipe.process(s, x)
+        return jnp.max(jnp.abs(y))
 
-    t0 = time.perf_counter()
-    v = hades_run(None, hx)
-    t0 = time.perf_counter()
-    v = hades_run(None, hx)
-    results.append(("hades", v, time.perf_counter() - t0))
+    results.append(("hades",) + fenced(hades_run, hst, hx))
 
     dev = jax.devices()[0]
     print(f"device: {dev}")

@@ -100,9 +100,59 @@ def formulate_M_and_Cr_ri(Cx_ri, Cy_ri, Q_ri, use_energy: bool = False,
     from spatial_audio_framework_tpu.ops import herm_ri as H
 
     nY, nX = Q_ri[0].shape[-2:]
+    if nX == 2 and nY == 2:
+        return _formulate_2x2_ri(Cx_ri, Cy_ri, Q_ri, use_energy, reg)
     M_e, Cr_e = formulate_M_and_Cr(H.herm_embed(Cx_ri), H.herm_embed(Cy_ri),
                                    H.embed_general(Q_ri), use_energy, reg)
     return H.extract_embedded(M_e, nY, nX), H.extract_embedded(Cr_e, nY, nY)
+
+
+def _formulate_2x2_ri(Cx_ri, Cy_ri, Q_ri, use_energy: bool, reg: float):
+    """The 2×2 case in closed form (herm_ri.herm_eig_2x2 / svd_2x2): the
+    generic path's three batched SVDs lower to iterative Jacobi sweeps on
+    TPU, which dominates the HADES/spreader synthesis cost for binaural
+    (Q = 2) deployments.  Same recipe as formulate_M_and_Cr."""
+    import jax.numpy as jnp
+
+    from spatial_audio_framework_tpu.ops import herm_ri as H
+
+    def diag_re(C):
+        return jnp.diagonal(C[0], axis1=-2, axis2=-1)
+
+    # Ky = U_Cy sqrt(S_Cy)
+    sy, Uy = H.herm_eig_2x2(Cy_ri)
+    ry = jnp.sqrt(jnp.maximum(sy, 2.23e-20))[..., None, :]
+    Ky = (Uy[0] * ry, Uy[1] * ry)
+    # Kx and its regularised inverse
+    sx, Ux = H.herm_eig_2x2(Cx_ri)
+    s_sqrt = jnp.sqrt(jnp.maximum(sx, 2.23e-20))
+    Kx = (Ux[0] * s_sqrt[..., None, :], Ux[1] * s_sqrt[..., None, :])
+    limit = jnp.max(s_sqrt, axis=-1, keepdims=True) * reg + 2.23e-13
+    s_inv = (1.0 / jnp.maximum(s_sqrt, limit))[..., :, None]
+    UxH = H.chermitian(Ux)
+    Kx_reg_inv = (s_inv * UxH[0], s_inv * UxH[1])
+    # normalisation g_hat
+    G_full = H.cmatmul(H.cmatmul(Q_ri, Cx_ri), H.chermitian(Q_ri))
+    g_diag = diag_re(G_full)
+    g_lim = jnp.max(g_diag, axis=-1, keepdims=True) * 0.001 + 2.23e-13
+    cy_diag = diag_re(Cy_ri)
+    g_hat = jnp.sqrt(jnp.maximum(cy_diag, 2.23e-13)
+                     / jnp.maximum(g_diag, g_lim))[..., :, None]
+    # optimal P from the closed-form SVD
+    A = H.cmatmul(H.cmatmul(H.chermitian(Kx), H.chermitian(Q_ri)),
+                  (g_hat * Ky[0], g_hat * Ky[1]))
+    U, _, V = H.svd_2x2(A)
+    P = H.cmatmul(V, H.chermitian(U))
+    M = H.cmatmul(H.cmatmul(Ky, P), Kx_reg_inv)
+    Cy_tilde = H.cmatmul(H.cmatmul(M, Cx_ri), H.chermitian(M))
+    Cr = (Cy_ri[0] - Cy_tilde[0], Cy_ri[1] - Cy_tilde[1])
+    if use_energy:
+        cyt_diag = diag_re(Cy_tilde)
+        g = jnp.sqrt(jnp.maximum(cy_diag, 2.23e-20)
+                     / (cyt_diag + 2.23e-7))[..., :, None]
+        M = (g * M[0], g * M[1])
+        Cr = (jnp.zeros_like(Cr[0]), jnp.zeros_like(Cr[1]))
+    return M, Cr
 
 
 def formulate_M_and_Cr_cmplx(Cx, Cy, Q, use_energy: bool = False,

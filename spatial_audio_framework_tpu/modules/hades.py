@@ -186,10 +186,17 @@ class HadesAnalysis:
               -jnp.swapaxes(self._T_d[1], -1, -2))
         Cw = H.cmatmul(TC, Th)
         # eigenvalues (descending) → COMEDIE; noise projector → sdMUSIC
-        ev, _ = H.herm_eig_pairs(Cw)            # ascending (nBands, nMics)
-        ev = ev[..., ::-1]
+        if self.n_mics == 2:
+            # closed-form 2×2 path (binaural arrays): one sqrt instead of
+            # the embedded 4×4 iterative eigh
+            ev, V = H.herm_eig_2x2(Cw)          # descending
+            vn = (V[0][..., 1:], V[1][..., 1:])  # smallest-λ eigenvector
+            Pn = H.cmatmul(vn, H.chermitian(vn))
+        else:
+            ev, _ = H.herm_eig_pairs(Cw)        # ascending (nBands, nMics)
+            ev = ev[..., ::-1]
+            Pn = H.noise_projector(Cw, 1)
         diff = comedie_batch(jnp.maximum(ev, 0.0))
-        Pn = H.noise_projector(Cw, 1)
         # sdMUSIC pseudo-spectrum: 1 / ‖Vnᴴ a‖² (hades_sdMUSIC_compute,
         # saf_hades_internal.c:196-204 — NO |a|² numerator, unlike sphMUSIC)
         den = H.herm_quadform(Pn, self._Aw_d)  # (nBands, nGrid)
@@ -440,3 +447,65 @@ class HadesSynthesis:
             jnp.asarray(self.stream_balance.astype(np.float32)))
         self.M, self.bank_state = M, bank_state
         return np.asarray(y)
+
+
+# ---------------------------------------------------------------------------
+# Fused device pipeline (TPU fast path)
+# ---------------------------------------------------------------------------
+
+class HadesPipeline:
+    """Analysis + synthesis fused into ONE jitted dispatch per block, with
+    the spatial parameters (diffuseness, DoA indices) staying on device —
+    the separate :meth:`HadesAnalysis.apply` / :meth:`HadesSynthesis.apply`
+    path reads the parameter container back to host every block (two
+    dispatch round-trips + a d2h fence), which on a remote-attached device
+    is latency-bound.  The fused path exists for deployments that do not
+    edit the parameter stream between analysis and synthesis (no
+    HadesRadialEditor); both paths share the same traced cores, so outputs
+    are identical.
+
+    Also exposes :meth:`process_chunk`, which scans a whole multi-block
+    chunk on device (one dispatch for many blocks).
+    """
+
+    def __init__(self, ana: HadesAnalysis, syn: HadesSynthesis):
+        import jax
+        import jax.numpy as jnp
+
+        assert syn.ana is ana
+        self.ana, self.syn = ana, syn
+        eq = jnp.asarray(syn.eq.astype(np.float32))
+        bal = jnp.asarray(syn.stream_balance.astype(np.float32))
+        ones = jnp.ones(ana.n_bands, jnp.float32)
+
+        def block(state, x):
+            ana_bank, cx_avg, M, syn_bank = state
+            ana_bank, cx_avg, inTF, Cx_new, diff, doa_idx = ana._step(
+                ana_bank, cx_avg, x)
+            M, syn_bank, y = syn._step(
+                M, syn_bank, inTF, Cx_new, diff, doa_idx, doa_idx,
+                ones, ones, eq, bal)
+            return (ana_bank, cx_avg, M, syn_bank), y
+
+        self._block = block
+        self._jit_block = jax.jit(block)
+
+        def chunk(state, x_blocks):
+            return jax.lax.scan(block, state, x_blocks)
+
+        self._jit_chunk = jax.jit(chunk)
+
+    def init_state(self):
+        return (self.ana.bank_state, self.ana.Cx_avg, self.syn.M,
+                self.syn.bank_state)
+
+    def process(self, state, x):
+        """One block: x (nMics, blocksize) → ((2, blocksize), state)."""
+        state, y = self._jit_block(state, x)
+        return y, state
+
+    def process_chunk(self, state, x_blocks):
+        """Many blocks in one dispatch: x_blocks (nBlocks, nMics, blocksize)
+        → ((nBlocks, 2, blocksize), state)."""
+        state, ys = self._jit_chunk(state, x_blocks)
+        return ys, state

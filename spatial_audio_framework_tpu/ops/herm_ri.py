@@ -195,3 +195,96 @@ def join(x: Cmplx):
     import numpy as np
 
     return np.asarray(x[0]) + 1j * np.asarray(x[1])
+
+
+# ---------------------------------------------------------------------------
+# Closed-form 2×2 decompositions (no iterative QR/Jacobi — TPU-friendly)
+# ---------------------------------------------------------------------------
+
+def herm_eig_2x2(C: Cmplx):
+    """Closed-form eigendecomposition of (..., 2, 2) Hermitian RI pairs.
+
+    Returns ``(w, V)`` with eigenvalues ``w`` (..., 2) in DESCENDING order
+    and unitary eigenvector columns ``V`` (a Cmplx pair).  Batched small
+    eigh/SVD on TPU otherwise lowers to iterative Jacobi sweeps; the 2×2
+    case is one square root.
+    """
+    re, im = C
+    a = re[..., 0, 0]
+    b = re[..., 1, 1]
+    cr = re[..., 0, 1]
+    ci = im[..., 0, 1]
+    c2 = cr * cr + ci * ci
+    tr = a + b
+    d = a - b
+    rad = jnp.sqrt(d * d + 4.0 * c2)
+    l1 = 0.5 * (tr + rad)
+    l2 = 0.5 * (tr - rad)
+    # eigenvector for λ is [c, λ − a]ᵀ (second row of (C − λI)v = 0 holds
+    # because (λ−a)(λ−b) = |c|²); degenerate |c| → 0 falls back to the
+    # identity pairing ordered by a ≥ b
+    small = c2 <= 1e-24 * jnp.maximum(a * a + b * b, 1e-30)
+    swap = jnp.logical_and(small, a < b)
+
+    def col(lam):
+        n = jnp.sqrt(c2 + (lam - a) ** 2)
+        n = jnp.maximum(n, 1e-30)
+        return cr / n, ci / n, (lam - a) / n
+
+    v1r0, v1i0, v1r1 = col(l1)
+    v2r0, v2i0, v2r1 = col(l2)
+    one = jnp.ones_like(a)
+    zero = jnp.zeros_like(a)
+    # identity pairing for |c| ≈ 0 (columns ordered so w stays descending)
+    v1r0 = jnp.where(small, jnp.where(swap, zero, one), v1r0)
+    v1i0 = jnp.where(small, zero, v1i0)
+    v1r1 = jnp.where(small, jnp.where(swap, one, zero), v1r1)
+    v2r0 = jnp.where(small, jnp.where(swap, one, zero), v2r0)
+    v2i0 = jnp.where(small, zero, v2i0)
+    v2r1 = jnp.where(small, jnp.where(swap, zero, one), v2r1)
+    w = jnp.stack([l1, l2], axis=-1)
+    Vre = jnp.stack([jnp.stack([v1r0, v2r0], -1),
+                     jnp.stack([v1r1, v2r1], -1)], -2)
+    Vim = jnp.stack([jnp.stack([v1i0, v2i0], -1),
+                     jnp.stack([zero, zero], -1)], -2)
+    return w, (Vre, Vim)
+
+
+def chermitian(A: Cmplx) -> Cmplx:
+    """Conjugate transpose of an RI pair."""
+    return (jnp.swapaxes(A[0], -1, -2), -jnp.swapaxes(A[1], -1, -2))
+
+
+def svd_2x2(A: Cmplx):
+    """Closed-form SVD of general (..., 2, 2) complex RI pairs:
+    A = U diag(s) Vᴴ with s descending.  Returns (U, s, V).
+
+    Built from the closed-form eigendecomposition of AᴴA; left vectors are
+    U = A V / s with an orthogonal-complement fallback for (near-)rank-1
+    inputs (where the complex SVD's u₂ is only defined up to phase — any
+    valid completion is chosen, as LAPACK also does arbitrarily).
+    """
+    B = cmatmul(chermitian(A), A)
+    s2, V = herm_eig_2x2(B)
+    s = jnp.sqrt(jnp.maximum(s2, 0.0))
+    AV = cmatmul(A, V)
+    # left vectors normalised by their ACTUAL column norms (‖A vᵢ‖ = sᵢ in
+    # exact arithmetic, but for near-rank-deficient inputs the f32 direction
+    # survives while the magnitude estimate from the eigenvalues does not)
+    norms = jnp.sqrt(jnp.sum(AV[0] ** 2 + AV[1] ** 2, axis=-2))
+    scale = jnp.maximum(norms, 1e-30)[..., None, :]
+    u_re = AV[0] / scale
+    u_im = AV[1] / scale
+    tiny = norms <= 1e-6 * jnp.maximum(s[..., :1], 1e-30)
+    # u1 fallback (A ≈ 0): e1
+    e1_re = jnp.zeros_like(u_re[..., 0])
+    e1_re = e1_re.at[..., 0].set(1.0)
+    u1_re = jnp.where(tiny[..., 0][..., None], e1_re, u_re[..., 0])
+    u1_im = jnp.where(tiny[..., 0][..., None], 0.0, u_im[..., 0])
+    # u2 fallback: orthogonal complement of u1: [-conj(u1[1]), conj(u1[0])]
+    c_re = jnp.stack([-u1_re[..., 1], u1_re[..., 0]], -1)
+    c_im = jnp.stack([u1_im[..., 1], -u1_im[..., 0]], -1)
+    u2_re = jnp.where(tiny[..., 1][..., None], c_re, u_re[..., 1])
+    u2_im = jnp.where(tiny[..., 1][..., None], c_im, u_im[..., 1])
+    U = (jnp.stack([u1_re, u2_re], -1), jnp.stack([u1_im, u2_im], -1))
+    return U, s, V

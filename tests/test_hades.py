@@ -67,3 +67,37 @@ def test_hades_synthesis_bmvdr(ana):
     params, sigs = ana.apply(x)
     y = syn.apply(params, sigs)
     assert np.isfinite(y).all() and (y ** 2).sum() > 0
+
+
+def test_fused_pipeline_matches_two_stage():
+    """HadesPipeline (single-dispatch analysis+synthesis, params on device)
+    and the host-marshalled two-stage path produce the same audio; the
+    chunked scan path matches too."""
+    import jax.numpy as jnp
+
+    from spatial_audio_framework_tpu.modules import hades as HD
+
+    rng = np.random.default_rng(5)
+    ana = HD.HadesAnalysis()
+    syn = HD.HadesSynthesis(ana, beam_option=HD.HADES_BEAMFORMER_BMVDR)
+    pipe = HD.HadesPipeline(ana, syn)
+    x = rng.uniform(-1, 1, (3, ana.n_mics, ana.blocksize)).astype(np.float32)
+
+    st = pipe.init_state()
+    ys_fused = []
+    for i in range(3):
+        y, st = pipe.process(st, jnp.asarray(x[i]))
+        ys_fused.append(np.asarray(y))
+
+    ana2 = HD.HadesAnalysis()
+    syn2 = HD.HadesSynthesis(ana2, beam_option=HD.HADES_BEAMFORMER_BMVDR)
+    for i in range(3):
+        p, s = ana2.apply(x[i])
+        y2 = syn2.apply(p, s)
+        assert np.abs(ys_fused[i] - y2).max() <= 1e-4, i
+
+    ana3 = HD.HadesAnalysis()
+    syn3 = HD.HadesSynthesis(ana3, beam_option=HD.HADES_BEAMFORMER_BMVDR)
+    pipe3 = HD.HadesPipeline(ana3, syn3)
+    yc, _ = pipe3.process_chunk(pipe3.init_state(), jnp.asarray(x))
+    assert np.abs(np.asarray(yc) - np.stack(ys_fused)).max() <= 1e-5
