@@ -944,3 +944,24 @@ def test_decorrelator_end_to_end_vs_c(g):
         c = ref[ch, tail] - ref[ch, tail].mean()
         r_ref = abs(np.corrcoef(c, b)[0, 1])
         assert r_mine < 0.35 and r_ref < 0.35, (ch, r_mine, r_ref)
+
+
+def test_ambi_roomsim_end_to_end_vs_c(g):
+    """64 frames through the ambi_roomsim example (order 2, 2 sources,
+    reflection order 2, broadband default absorption): the image-source
+    echograms, SH receiver rendering and (partitioned RI) convolution
+    reproduce the C's integer-delay TD echogram application exactly."""
+    from spatial_audio_framework_tpu.models import ambi_roomsim as RS
+
+    cfg = RS.AmbiRoomSimConfig(sh_order=2, n_sources=2, n_receivers=1,
+                               refl_order=2, room_dims=(10.0, 7.0, 4.0))
+    w = RS.design_ri(cfg, np.array([[2.0, 3.0, 1.5], [4.0, 2.0, 1.7]]),
+                     np.array([[3.0, 2.5, 1.6]]))
+    st = RS.init_state_ri(cfg, w)
+    x = np.asarray(g["ars_in"], np.float32)
+    proc = jax.jit(lambda s, xx: RS.process_ri(cfg, w, s, xx))
+    outs = []
+    for f in range(64):
+        y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
+        outs.append(np.asarray(y))
+    assert np.abs(np.concatenate(outs, -1) - g["ars_out"]).max() <= TOL

@@ -12,6 +12,7 @@
 #include "saf.h"
 #include "binauraliser_nf.h"
 #include "decorrelator.h"
+#include "ambi_roomsim.h"
 
 static FILE* manifest;
 static const char* outdir;
@@ -129,6 +130,60 @@ static void golden_decorrelator(void)
 }
 
 /* -------------------------------------------------------------------- */
+static void golden_ambi_roomsim(void)
+{
+    /* order 2, 2 sources, 1 SH receiver, reflection order 2, broadband
+     * default wall absorption, integer-delay TD echogram application */
+    const int order = 2, nsh = 9, nSrc = 2, nFrames = 64;
+    const int frame = ambi_roomsim_getFrameSize();
+    int i, f;
+    void* h;
+    ambi_roomsim_create(&h);
+    ambi_roomsim_init(h, 48000);
+    ambi_roomsim_setOutputOrder(h, order);
+    ambi_roomsim_setNormType(h, NORM_N3D);
+    ambi_roomsim_setNumSources(h, nSrc);
+    ambi_roomsim_setNumReceivers(h, 1);
+    ambi_roomsim_setMaxReflectionOrder(h, 2);
+    ambi_roomsim_setRoomDimX(h, 10.0f);
+    ambi_roomsim_setRoomDimY(h, 7.0f);
+    ambi_roomsim_setRoomDimZ(h, 4.0f);
+    ambi_roomsim_setSourceX(h, 0, 2.0f);
+    ambi_roomsim_setSourceY(h, 0, 3.0f);
+    ambi_roomsim_setSourceZ(h, 0, 1.5f);
+    ambi_roomsim_setSourceX(h, 1, 4.0f);
+    ambi_roomsim_setSourceY(h, 1, 2.0f);
+    ambi_roomsim_setSourceZ(h, 1, 1.7f);
+    ambi_roomsim_setReceiverX(h, 0, 3.0f);
+    ambi_roomsim_setReceiverY(h, 0, 2.5f);
+    ambi_roomsim_setReceiverZ(h, 0, 1.6f);
+
+    float** in = (float**)malloc2d(nSrc, nFrames * frame, sizeof(float));
+    float** inF = (float**)malloc2d(nSrc, frame, sizeof(float));
+    float** outF = (float**)malloc2d(nsh, frame, sizeof(float));
+    float* out = malloc1d((size_t)nsh * nFrames * frame * sizeof(float));
+    for (i = 0; i < nSrc; i++)
+        for (f = 0; f < nFrames * frame; f++)
+            in[i][f] = lcg_noise();
+    for (f = 0; f < nFrames; f++) {
+        for (i = 0; i < nSrc; i++)
+            memcpy(inF[i], &in[i][f * frame], frame * sizeof(float));
+        ambi_roomsim_process(h, (const float* const*)inF, outF, nSrc, nsh,
+                             frame);
+        for (i = 0; i < nsh; i++)
+            memcpy(&out[(size_t)i * nFrames * frame + f * frame], outF[i],
+                   frame * sizeof(float));
+    }
+    char sh[32];
+    snprintf(sh, sizeof(sh), "%d,%d", nSrc, nFrames * frame);
+    dump("ars_in", FLATTEN2D(in), (size_t)nSrc * nFrames * frame, "f4", sh);
+    snprintf(sh, sizeof(sh), "%d,%d", nsh, nFrames * frame);
+    dump("ars_out", out, (size_t)nsh * nFrames * frame, "f4", sh);
+    ambi_roomsim_destroy(&h);
+    free(in); free(inF); free(outF); free(out);
+}
+
+/* -------------------------------------------------------------------- */
 int main(int argc, char** argv)
 {
     if (argc != 2) { fprintf(stderr, "usage: %s <outdir>\n", argv[0]); return 1; }
@@ -143,6 +198,8 @@ int main(int argc, char** argv)
     printf("binauraliser_nf goldens done\n");
     golden_decorrelator();
     printf("decorrelator goldens done\n");
+    golden_ambi_roomsim();
+    printf("ambi_roomsim goldens done\n");
 
     fclose(manifest);
     return 0;

@@ -103,6 +103,7 @@ cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
   "$HERE/gen_goldens9.c" "$HERE/shim/lapacke_fix.c" \
   "$BUILD/examples/libsaf_example_binauraliser_nf.a" \
   "$BUILD/examples/libsaf_example_decorrelator.a" \
+  "$BUILD/examples/libsaf_example_ambi_roomsim.a" \
   "$BUILD/framework/libsaf.a" \
   "$OB" -lm -o "$OUT/gen_goldens9"
 
