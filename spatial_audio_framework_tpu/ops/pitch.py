@@ -9,6 +9,7 @@ channels.  The pitch-shift factor is traced, so it can vary per block.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -51,16 +52,36 @@ class SmbPitchShift:
             sum_phase=jnp.zeros((self.n_ch, half), jnp.float32),
             out_fifo=jnp.zeros((self.n_ch, self.step), jnp.float32))
 
-    def design(self):
-        """Device copies of the DFT matmul operators, to pass into a jitted
-        apply() as ARGUMENTS.  At fft_size 8192 the four matrices are
-        ~0.5 GB of constants — baked into the traced graph they blow past
-        remote-compile payload limits (HTTP 413 on the axon tunnel), while
-        as runtime parameters they transfer once over h2d."""
-        from spatial_audio_framework_tpu.ops.fft import _rdft_mats
+    @property
+    def _ct_split(self):
+        """N = N1·N2 factor split for the two-stage Cooley-Tukey DFT."""
+        N = self.fft_size
+        n1 = 1 << (int(np.log2(N)) // 2)
+        return n1, N // n1
 
-        C, S, A, B = _rdft_mats(self.fft_size)
-        return (jnp.asarray(C), jnp.asarray(S), jnp.asarray(A), jnp.asarray(B))
+    def design(self):
+        """Two-stage Cooley-Tukey DFT operators (N = N1·N2), to pass into a
+        jitted apply() as ARGUMENTS.
+
+        The previous direct matmul-DFT operators were (N, N/2+1) dense —
+        ~0.5 GB of constants at fft_size 8192 and 67M MACs per frame.  The
+        factored stages are three small MXU matmuls + a twiddle product
+        (W1 (N1,N1), W2 (N2,N2), twiddles (N2,N1): <200 kB total, ~16×
+        fewer FLOPs).  The synthesis inverse computes the C's one-sided
+        unscaled IDFT real part U(n) = Re Σ_{k≤N/2} S_k e^{+i2πkn/N}
+        DIRECTLY (no irfft + DC/Nyquist correction needed)."""
+        N = self.fft_size
+        N1, N2 = self._ct_split
+        ang1 = 2.0 * np.pi * np.outer(np.arange(N1), np.arange(N1)) / N1
+        ang2 = 2.0 * np.pi * np.outer(np.arange(N2), np.arange(N2)) / N2
+        angT = 2.0 * np.pi * np.outer(np.arange(N2), np.arange(N1)) / N
+        mats = (np.cos(ang1), -np.sin(ang1),          # W1  (forward e^{-i})
+                np.cos(ang2), -np.sin(ang2),          # W2
+                np.cos(angT), -np.sin(angT),          # twiddle T[n2, k1]
+                np.cos(ang1), np.sin(ang1),           # W1i (inverse e^{+i})
+                np.cos(ang2), np.sin(ang2),           # W2i
+                np.cos(angT), np.sin(angT))           # Tinv[m2, k1]
+        return tuple(jnp.asarray(m.astype(np.float32)) for m in mats)
 
     def apply(self, state: SmbPitchShiftState, x: jax.Array,
               shift_factor: jax.Array, mats=None):
@@ -77,10 +98,11 @@ class SmbPitchShift:
         expct = 2.0 * jnp.pi * step / N
         if mats is None:
             mats = self.design()
-        C_, S_, A_, B_ = mats
+        (W1c, W1s, W2c, W2s, Tc, Ts,
+         W1ic, W1is, W2ic, W2is, Tic, Tis) = mats
+        N1, N2 = self._ct_split
         hp = jax.lax.Precision.HIGHEST
-
-        sgn = jnp.asarray((-1.0) ** np.arange(N), jnp.float32)
+        ein = partial(jnp.einsum, precision=hp)
 
         def frame_step(carry, x_hop):
             fifo, accum, last_ph, sum_ph, out_fifo = carry
@@ -89,8 +111,19 @@ class SmbPitchShift:
             out_hop = out_fifo
             buf = jnp.concatenate([fifo, x_hop], axis=-1)  # (nCH, N)
             xw = buf * win
-            spec_re = jnp.matmul(xw, C_, precision=hp)
-            spec_im = jnp.matmul(xw, S_, precision=hp)
+            # forward DFT via Cooley-Tukey (n = n1·N2 + n2, k = k1 + N1·k2):
+            # inner DFT_N1 over n1, twiddle, outer DFT_N2 over n2
+            xr = xw.reshape(-1, N1, N2)
+            Gre = ein("cnm,nk->cmk", xr, W1c)
+            Gim = ein("cnm,nk->cmk", xr, W1s)
+            Hre = Gre * Tc - Gim * Ts
+            Him = Gre * Ts + Gim * Tc
+            Ore = (ein("cmk,mp->cpk", Hre, W2c)
+                   - ein("cmk,mp->cpk", Him, W2s))
+            Oim = (ein("cmk,mp->cpk", Hre, W2s)
+                   + ein("cmk,mp->cpk", Him, W2c))
+            spec_re = Ore.reshape(-1, N)[:, :half]
+            spec_im = Oim.reshape(-1, N)[:, :half]
             magn = 2.0 * jnp.sqrt(spec_re ** 2 + spec_im ** 2)
             phase = jnp.arctan2(spec_im, spec_re)
             # phase-difference → true frequency (smb analysis)
@@ -114,13 +147,24 @@ class SmbPitchShift:
             # negative-frequency bins WITHOUT conjugate symmetrisation and
             # takes the real part of the unscaled complex inverse:
             #   U(n) = Re Σ_{k=0}^{N/2} S_k e^{+i2πkn/N}
-            #        = (N·irfft(S) + Re S_0 + Re S_{N/2}·(−1)^n) / 2
-            # with accumulation 2·win·U/(N·osamp) (kissFFT backward is 1/N).
+            # computed directly by the inverse Cooley-Tukey stages; the
+            # accumulation is 2·win·U/(N·osamp) (kissFFT backward is 1/N).
             re = syn_mag * jnp.cos(sum_ph)
             im = syn_mag * jnp.sin(sum_ph)
-            V = (jnp.matmul(re, A_, precision=hp)
-                 + jnp.matmul(im, B_, precision=hp)) * N
-            U = 0.5 * (V + re[:, :1] + re[:, -1:] * sgn)
+            nch = re.shape[0]
+            re_f = jnp.zeros((nch, N), re.dtype).at[:, :half].set(re)
+            im_f = jnp.zeros((nch, N), im.dtype).at[:, :half].set(im)
+            Sre = re_f.reshape(nch, N2, N1)   # [k2, k1]
+            Sim = im_f.reshape(nch, N2, N1)
+            Pre = (ein("cpk,pm->cmk", Sre, W2ic)
+                   - ein("cpk,pm->cmk", Sim, W2is))
+            Pim = (ein("cpk,pm->cmk", Sre, W2is)
+                   + ein("cpk,pm->cmk", Sim, W2ic))
+            Qre = Pre * Tic - Pim * Tis
+            Qim = Pre * Tis + Pim * Tic
+            Ure = (ein("cmk,kq->cmq", Qre, W1ic)
+                   - ein("cmk,kq->cmq", Qim, W1is))   # [m2, m1]
+            U = jnp.swapaxes(Ure, -1, -2).reshape(nch, N)  # n = m2 + N2·m1
             accum = accum + 2.0 * win * U / (N * osamp)
             out_fifo = accum[:, :step]
             accum = jnp.concatenate(
