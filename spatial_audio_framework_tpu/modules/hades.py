@@ -474,11 +474,9 @@ class HadesPipeline:
 
         assert syn.ana is ana
         self.ana, self.syn = ana, syn
-        eq = jnp.asarray(syn.eq.astype(np.float32))
-        bal = jnp.asarray(syn.stream_balance.astype(np.float32))
         ones = jnp.ones(ana.n_bands, jnp.float32)
 
-        def block(state, x):
+        def block_eq(state, x, eq, bal):
             ana_bank, cx_avg, M, syn_bank = state
             ana_bank, cx_avg, inTF, Cx_new, diff, doa_idx = ana._step(
                 ana_bank, cx_avg, x)
@@ -487,13 +485,22 @@ class HadesPipeline:
                 ones, ones, eq, bal)
             return (ana_bank, cx_avg, M, syn_bank), y
 
-        self._block = block
-        self._jit_block = jax.jit(block)
+        # traced eq/stream-balance: runtime edits to syn.eq /
+        # syn.stream_balance are picked up per call, as in the two-stage path
+        self._block = lambda state, x: block_eq(state, x, *self._controls())
+        self._jit_block = jax.jit(block_eq)
 
-        def chunk(state, x_blocks):
-            return jax.lax.scan(block, state, x_blocks)
+        def chunk(state, x_blocks, eq, bal):
+            return jax.lax.scan(
+                lambda c, xb: block_eq(c, xb, eq, bal), state, x_blocks)
 
         self._jit_chunk = jax.jit(chunk)
+
+    def _controls(self):
+        import jax.numpy as jnp
+
+        return (jnp.asarray(np.asarray(self.syn.eq, np.float32)),
+                jnp.asarray(np.asarray(self.syn.stream_balance, np.float32)))
 
     def init_state(self):
         return (self.ana.bank_state, self.ana.Cx_avg, self.syn.M,
@@ -501,11 +508,11 @@ class HadesPipeline:
 
     def process(self, state, x):
         """One block: x (nMics, blocksize) → ((2, blocksize), state)."""
-        state, y = self._jit_block(state, x)
+        state, y = self._jit_block(state, x, *self._controls())
         return y, state
 
     def process_chunk(self, state, x_blocks):
         """Many blocks in one dispatch: x_blocks (nBlocks, nMics, blocksize)
         → ((nBlocks, 2, blocksize), state)."""
-        state, ys = self._jit_chunk(state, x_blocks)
+        state, ys = self._jit_chunk(state, x_blocks, *self._controls())
         return ys, state

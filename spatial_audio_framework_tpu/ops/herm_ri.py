@@ -223,7 +223,10 @@ def herm_eig_2x2(C: Cmplx):
     # eigenvector for λ is [c, λ − a]ᵀ (second row of (C − λI)v = 0 holds
     # because (λ−a)(λ−b) = |c|²); degenerate |c| → 0 falls back to the
     # identity pairing ordered by a ≥ b
-    small = c2 <= 1e-24 * jnp.maximum(a * a + b * b, 1e-30)
+    # |c|² at/below the f32 noise floor of the diagonal scale → treat as
+    # diagonal (for degenerate spectra the off-diagonal of e.g. AᴴA is pure
+    # rounding noise ~1e-7·‖·‖, and [c, λ−a] becomes a noise direction)
+    small = c2 <= 1e-12 * jnp.maximum(a * a + b * b, 1e-30)
     swap = jnp.logical_and(small, a < b)
 
     def col(lam):
@@ -281,10 +284,23 @@ def svd_2x2(A: Cmplx):
     e1_re = e1_re.at[..., 0].set(1.0)
     u1_re = jnp.where(tiny[..., 0][..., None], e1_re, u_re[..., 0])
     u1_im = jnp.where(tiny[..., 0][..., None], 0.0, u_im[..., 0])
-    # u2 fallback: orthogonal complement of u1: [-conj(u1[1]), conj(u1[0])]
+    # u2: Gram-Schmidt against u1 UNCONDITIONALLY — for near-rank-1 inputs
+    # (s2/s1 down to ~1e-5) A v2 is dominated by f32 eigenvector noise along
+    # u1, which the norm check alone does not catch — then fall back to the
+    # exact orthogonal complement [-conj(u1[1]), conj(u1[0])] when the
+    # orthogonalised residual is negligible
+    dot_re = jnp.sum(u1_re * u_re[..., 1] + u1_im * u_im[..., 1], axis=-1)
+    dot_im = jnp.sum(u1_re * u_im[..., 1] - u1_im * u_re[..., 1], axis=-1)
+    g_re = (u_re[..., 1] - dot_re[..., None] * u1_re
+            + dot_im[..., None] * u1_im)
+    g_im = (u_im[..., 1] - dot_re[..., None] * u1_im
+            - dot_im[..., None] * u1_re)
+    g_norm = jnp.sqrt(jnp.sum(g_re * g_re + g_im * g_im, axis=-1))
     c_re = jnp.stack([-u1_re[..., 1], u1_re[..., 0]], -1)
     c_im = jnp.stack([u1_im[..., 1], -u1_im[..., 0]], -1)
-    u2_re = jnp.where(tiny[..., 1][..., None], c_re, u_re[..., 1])
-    u2_im = jnp.where(tiny[..., 1][..., None], c_im, u_im[..., 1])
+    use_c = jnp.logical_or(tiny[..., 1], g_norm <= 1e-3)[..., None]
+    gs = jnp.maximum(g_norm, 1e-30)[..., None]
+    u2_re = jnp.where(use_c, c_re, g_re / gs)
+    u2_im = jnp.where(use_c, c_im, g_im / gs)
     U = (jnp.stack([u1_re, u2_re], -1), jnp.stack([u1_im, u2_im], -1))
     return U, s, V

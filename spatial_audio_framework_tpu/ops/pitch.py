@@ -54,8 +54,12 @@ class SmbPitchShift:
 
     @property
     def _ct_split(self):
-        """N = N1·N2 factor split for the two-stage Cooley-Tukey DFT."""
+        """N = N1·N2 factor split for the two-stage Cooley-Tukey DFT.
+        fft_size must be a power of two (the C's smbFft has the same
+        constraint)."""
         N = self.fft_size
+        assert N > 0 and (N & (N - 1)) == 0, \
+            f"fft_size must be a power of two, got {N}"
         n1 = 1 << (int(np.log2(N)) // 2)
         return n1, N // n1
 
@@ -118,12 +122,15 @@ class SmbPitchShift:
             Gim = ein("cnm,nk->cmk", xr, W1s)
             Hre = Gre * Tc - Gim * Ts
             Him = Gre * Ts + Gim * Tc
-            Ore = (ein("cmk,mp->cpk", Hre, W2c)
-                   - ein("cmk,mp->cpk", Him, W2s))
-            Oim = (ein("cmk,mp->cpk", Hre, W2s)
-                   + ein("cmk,mp->cpk", Him, W2c))
-            spec_re = Ore.reshape(-1, N)[:, :half]
-            spec_im = Oim.reshape(-1, N)[:, :half]
+            # only bins k ≤ N/2 are consumed → emit only outer rows
+            # k2 ≤ N2/2 (k = k2·N1 + k1)
+            h2 = N2 // 2 + 1
+            Ore = (ein("cmk,mp->cpk", Hre, W2c[:, :h2])
+                   - ein("cmk,mp->cpk", Him, W2s[:, :h2]))
+            Oim = (ein("cmk,mp->cpk", Hre, W2s[:, :h2])
+                   + ein("cmk,mp->cpk", Him, W2c[:, :h2]))
+            spec_re = Ore.reshape(-1, h2 * N1)[:, :half]
+            spec_im = Oim.reshape(-1, h2 * N1)[:, :half]
             magn = 2.0 * jnp.sqrt(spec_re ** 2 + spec_im ** 2)
             phase = jnp.arctan2(spec_im, spec_re)
             # phase-difference → true frequency (smb analysis)
@@ -152,14 +159,17 @@ class SmbPitchShift:
             re = syn_mag * jnp.cos(sum_ph)
             im = syn_mag * jnp.sin(sum_ph)
             nch = re.shape[0]
-            re_f = jnp.zeros((nch, N), re.dtype).at[:, :half].set(re)
-            im_f = jnp.zeros((nch, N), im.dtype).at[:, :half].set(im)
-            Sre = re_f.reshape(nch, N2, N1)   # [k2, k1]
-            Sim = im_f.reshape(nch, N2, N1)
-            Pre = (ein("cpk,pm->cmk", Sre, W2ic)
-                   - ein("cpk,pm->cmk", Sim, W2is))
-            Pim = (ein("cpk,pm->cmk", Sre, W2is)
-                   + ein("cpk,pm->cmk", Sim, W2ic))
+            # rows k2 > N2/2 of the [k2, k1] layout are all-zero (bins above
+            # N/2): keep only the populated h2 rows through the inverse stage
+            h2 = N2 // 2 + 1
+            re_f = jnp.zeros((nch, h2 * N1), re.dtype).at[:, :half].set(re)
+            im_f = jnp.zeros((nch, h2 * N1), im.dtype).at[:, :half].set(im)
+            Sre = re_f.reshape(nch, h2, N1)   # [k2, k1]
+            Sim = im_f.reshape(nch, h2, N1)
+            Pre = (ein("cpk,pm->cmk", Sre, W2ic[:h2])
+                   - ein("cpk,pm->cmk", Sim, W2is[:h2]))
+            Pim = (ein("cpk,pm->cmk", Sre, W2is[:h2])
+                   + ein("cpk,pm->cmk", Sim, W2ic[:h2]))
             Qre = Pre * Tic - Pim * Tis
             Qim = Pre * Tis + Pim * Tic
             Ure = (ein("cmk,kq->cmq", Qre, W1ic)
