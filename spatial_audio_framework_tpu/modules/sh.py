@@ -465,3 +465,21 @@ def rotate_axis_coeffs_real(order: int, c_n, theta_0: float, phi_0: float):
     """Real-SH version (saf_sh.c ``rotateAxisCoeffsReal``)."""
     c_nm = rotate_axis_coeffs_complex(order, c_n, theta_0, phi_0)
     return complex2real_coeffs(order, c_nm[:, None])[:, 0]
+
+
+def check_cond_number_sht_real(order: int, dirs_rad: np.ndarray,
+                               w: np.ndarray | None = None) -> np.ndarray:
+    """Condition numbers of the least-squares SHT per order 0..N
+    (saf_sh.c ``checkCondNumberSHTReal``): cond(YₙᵀWYₙ) =
+    max(singular values)/min(...) of the order-truncated Gram matrix.
+
+    dirs_rad: (nDirs, 2) [azi, INCLINATION] radians; w: optional (nDirs,)
+    integration weights.  → (order+1,)."""
+    Y = np.asarray(get_sh_real(order, np.asarray(dirs_rad, np.float64)))
+    cond = np.zeros(order + 1, np.float64)
+    for n in range(order + 1):
+        Yn = Y[: (n + 1) ** 2].T                   # (nDirs, nSH_n)
+        G = Yn.T @ (Yn * np.asarray(w)[:, None]) if w is not None else Yn.T @ Yn
+        s = np.linalg.svd(G, compute_uv=False)
+        cond[n] = s.max() / (s.min() + 2.23e-7)
+    return cond

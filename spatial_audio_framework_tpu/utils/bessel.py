@@ -52,9 +52,22 @@ def hankel_Hn1_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
 
 
 def hankel_Hn2_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
+    """Cylindrical Hankel of the second kind H2_n = J_n − i·Y_n and its
+    derivative (saf_utility_bessel.c ``hankel_Hn2_ALL``).
+
+    NOTE: mirrors the reference's n=0 derivative EXACTLY, which computes
+    0.5·[(J₁+iY₁)e^{−iπ} − (J₁−iY₁)] = −J₁ — i.e. it drops the +iY₁ term
+    (the mathematically correct dH2₀ = −H2₁ = −J₁+iY₁).  The quirk feeds
+    cylModalCoeffs' rigid n=0 coefficient (b₀ becomes i·Y₀), pinned by the
+    mu_cyl_modal_rigid golden."""
     J, Jp = bessel_Jn_all(N, z)
     Y, Yp = bessel_Yn_all(N, z)
-    return _cplx(J, -Y), _cplx(Jp, -Yp)
+    dH = _cplx(Jp, -Yp)
+    J1 = np.asarray(J)[..., 1] if N >= 1 else None
+    if J1 is not None:
+        dH = np.array(dH)
+        dH[..., 0] = -J1
+    return _cplx(J, -Y), dH
 
 
 # -- spherical ---------------------------------------------------------------

@@ -965,3 +965,85 @@ def test_ambi_roomsim_end_to_end_vs_c(g):
         y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
         outs.append(np.asarray(y))
     assert np.abs(np.concatenate(outs, -1) - g["ars_out"]).max() <= TOL
+
+
+# -- round-2 extension, part 11: remaining utility surfaces -----------------
+# (appended to tools/c_goldens/gen_goldens9.c golden_misc_utils)
+
+def test_get_sh_complex_vs_c(g):
+    from spatial_audio_framework_tpu.modules import sh
+
+    Y = np.asarray(sh.get_sh_complex(
+        4, np.asarray(g["mu_shc_dirs_rad"], np.float64)))
+    assert np.abs(Y - g["mu_shc_Y_o4"]).max() <= TOL
+
+
+def test_rotate_axis_coeffs_complex_vs_c(g):
+    from spatial_audio_framework_tpu.modules import sh
+
+    c = np.asarray(sh.rotate_axis_coeffs_complex(
+        3, sh.beam_weights_cardioid(3), 0.8, -1.3))
+    assert np.abs(c - g["mu_rot_cnm_cmplx_o3"]).max() <= TOL
+
+
+def test_check_cond_number_sht_real_vs_c(g):
+    from spatial_audio_framework_tpu.modules import sh
+    from spatial_audio_framework_tpu.utils import presets
+
+    grid = presets.tdesign(9)
+    dirs_rad = np.stack([np.radians(grid[:, 0]),
+                         np.pi / 2 - np.radians(grid[:, 1])], -1)
+    cond = sh.check_cond_number_sht_real(4, dirs_rad)
+    assert np.abs(cond - g["mu_cond_o4"]).max() <= 1e-5 * cond.max()
+
+
+def test_cyl_modal_coeffs_vs_c(g):
+    """Pins the cylindrical modal coefficients INCLUDING the reference's
+    hankel_Hn2_ALL n=0 derivative quirk (it computes -J1, dropping the
+    +iY1 term), which makes the rigid b0 equal i*Y0."""
+    from spatial_audio_framework_tpu.modules import array_proc as AP
+
+    kr = np.asarray(g["mu_cyl_kr"], np.float64)
+    assert np.abs(AP.cyl_modal_coeffs(3, kr, AP.ARRAY_RIGID)
+                  - g["mu_cyl_modal_rigid"]).max() <= TOL
+    assert np.abs(AP.cyl_modal_coeffs(3, kr, AP.ARRAY_OPEN)
+                  - g["mu_cyl_modal_open"]).max() <= TOL
+
+
+def test_simulate_cyl_array_vs_c(g):
+    """The C's simulateCylArray indexes the sensor array with the SOURCE
+    loop index (saf_sh.c: 'sensor_dirs_rad[i*2]' inside the j loop), so its
+    output rows are identical across sensors.  Our implementation computes
+    the correct per-sensor angles; parity is asserted on the diagonal,
+    where the C's (mis-indexed) angle coincides with the true one."""
+    from spatial_audio_framework_tpu.modules import array_proc as AP
+
+    kr = np.asarray(g["mu_cyl_kr"], np.float64)
+    H = AP.simulate_cyl_array(
+        3, kr, np.asarray(g["mu_cyl_sensor_rad"], np.float64),
+        np.asarray(g["mu_cyl_src_deg"], np.float64), AP.ARRAY_RIGID)
+    ref = np.asarray(g["mu_cyl_H"])
+    assert np.abs(ref[:, 0, :] - ref[:, 5, :]).max() == 0.0  # the C's bug
+    for i in range(3):
+        assert np.abs(H[:, i, i] - ref[:, 0, i]).max() <= TOL, i
+
+
+def test_truncation_eq_vs_c(g):
+    from spatial_audio_framework_tpu.modules import hoa
+
+    w_n = hoa.get_max_re_weights(1)
+    gain = hoa.truncation_eq(np.array([w_n[0], w_n[1]]), 1, 7,
+                             np.asarray(g["mu_teq_kr"], np.float64), 12.0)
+    assert np.abs(gain - g["mu_teq_gain"]).max() <= TOL * 10.0
+
+
+def test_binaural_diffuse_coherence_vs_c(g):
+    from spatial_audio_framework_tpu.modules import hrir as hrir_mod
+    from spatial_audio_framework_tpu.ops.afstft import AfSTFT
+
+    hrirs, dirs, fs = hrir_mod.default_hrirs()
+    fb = hrir_mod.hrirs_to_hrtfs_afstft(hrirs, 128)
+    itds = hrir_mod.estimate_itds(hrirs, fs)
+    fv = AfSTFT(hop=128, hybrid=True).centre_freqs(48000.0)
+    coh = hrir_mod.binaural_diffuse_coherence(fb, itds, fv)
+    assert np.abs(coh - g["mu_bin_coh"]).max() <= TOL
