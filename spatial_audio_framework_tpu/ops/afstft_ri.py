@@ -144,6 +144,9 @@ def analysis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
     from spatial_audio_framework_tpu.ops.pallas_afstft import analysis_front_ri
 
     hop = bank.hop
+    # every pallas kernel in this front-end hard-codes hop=128 (the
+    # production afSTFT hop); other hops take the XLA reference path
+    use_pallas = use_pallas and hop == 128
     S, n_ch = x.shape[:2]
     H = x.shape[2] // hop
     if use_pallas:
@@ -214,6 +217,7 @@ def synthesis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, Y,
     else:
         Yre, Yim = Y
     hop, h_len = bank.hop, bank.h_len
+    use_pallas = use_pallas and hop == 128  # kernels hard-code hop=128
     if use_pallas:
         from spatial_audio_framework_tpu.ops.pallas_afstft import \
             synthesis_back_ri
@@ -271,7 +275,9 @@ def render_tf_matrix_ri(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
     the per-band contraction belongs on the MXU) keep the einsum path.
     """
     cout, cin = Mre.shape[-2], Mre.shape[-1]
-    if use_pallas and cout * cin <= 128:
+    # The fused kernels hard-code hop=128 (the production afSTFT hop); any
+    # other hop must take the generic einsum path rather than produce garbage.
+    if use_pallas and cout * cin <= 128 and bank.hop == 128:
         return render_tf_matrix_fused(bank, state, x, Mre, Mim,
                                       use_pallas=use_pallas,
                                       interpret=interpret)

@@ -62,11 +62,11 @@ def hankel_Hn2_all(N: int, z) -> tuple[np.ndarray, np.ndarray]:
     mu_cyl_modal_rigid golden."""
     J, Jp = bessel_Jn_all(N, z)
     Y, Yp = bessel_Yn_all(N, z)
-    dH = _cplx(Jp, -Yp)
-    J1 = np.asarray(J)[..., 1] if N >= 1 else None
-    if J1 is not None:
-        dH = np.array(dH)
-        dH[..., 0] = -J1
+    dH = np.array(_cplx(Jp, -Yp))
+    # The C computes J_1 explicitly for the n=0 quirk even when N == 0
+    # (saf_utility_bessel.c calls Jn(1, z) unconditionally).
+    J1 = np.asarray(J)[..., 1] if N >= 1 else sp.jv(1, np.asarray(z, np.float64))
+    dH[..., 0] = -J1
     return _cplx(J, -Y), dH
 
 

@@ -396,3 +396,19 @@ def test_render_fused_real_matrix_and_short_block():
     yb2, _ = ri.render_tf_matrix_fused(bank, stb, x, Mre, interpret=True)
     np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), atol=1e-5)
     np.testing.assert_allclose(np.asarray(yb2), np.asarray(ya2), atol=1e-5)
+
+
+def test_nonstandard_hop_falls_back_to_einsum_path():
+    """ADVICE r2: the fused/pallas kernels hard-code hop=128; a bank built
+    with any other hop must be served by the XLA einsum path (identical
+    numerics) rather than producing garbage."""
+    rng = np.random.default_rng(7)
+    bank = AfSTFT(hop=64, hybrid=True)
+    st = ri.init_state_batched(bank, 1, 2, 2)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 2, 1024)).astype(np.float32))
+    M = jnp.asarray(rng.standard_normal(
+        (bank.n_bands, 2, 2)).astype(np.float32))
+    y1, _ = ri.render_tf_matrix_ri(bank, st, x, M, use_pallas=True,
+                                   interpret=True)
+    y2, _ = ri.render_tf_matrix_ri(bank, st, x, M, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
