@@ -495,6 +495,16 @@ class HadesPipeline:
                 lambda c, xb: block_eq(c, xb, eq, bal), state, x_blocks)
 
         self._jit_chunk = jax.jit(chunk)
+        # multi-instance fast path: N independent HADES instances (e.g. N
+        # concurrent hearing-device streams) rendered in ONE dispatch.  The
+        # per-band matrices are tiny (133×2×2); a single instance leaves the
+        # chip idle and the dispatch dominated by per-op overhead, so the
+        # instance axis is vmapped straight through the fused block — every
+        # eigh/solve/CDF4SAP op becomes (N, 133, 2, 2) batched linear algebra
+        # at essentially the single-instance op count.
+        self._chunk_fn = chunk
+        self._jit_chunk_batched = jax.jit(
+            jax.vmap(chunk, in_axes=(0, 0, None, None)))
 
     def _controls(self):
         import jax.numpy as jnp
@@ -515,4 +525,23 @@ class HadesPipeline:
         """Many blocks in one dispatch: x_blocks (nBlocks, nMics, blocksize)
         → ((nBlocks, 2, blocksize), state)."""
         state, ys = self._jit_chunk(state, x_blocks, *self._controls())
+        return ys, state
+
+    def init_state_batched(self, n_instances: int):
+        """Independent state for ``n_instances`` concurrent instances."""
+        import jax
+        import jax.numpy as jnp
+
+        return jax.tree_util.tree_map(
+            lambda a: jnp.zeros((n_instances,) + a.shape, a.dtype),
+            self.init_state())
+
+    def process_chunk_batched(self, state, x_blocks):
+        """N instances × many blocks in ONE dispatch:
+        x_blocks (N, nBlocks, nMics, blocksize)
+        → ((N, nBlocks, 2, blocksize), state).  Numerics identical to N
+        separate :meth:`process_chunk` calls (vmap of the same traced core);
+        shared eq/stream-balance controls across instances."""
+        state, ys = self._jit_chunk_batched(state, x_blocks,
+                                            *self._controls())
         return ys, state
