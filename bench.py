@@ -28,11 +28,31 @@ Measurement notes (this runtime):
   therefore includes reading every input sample from HBM.
 * accuracy: one block is re-rendered on CPU (float32, same pipeline) and the
   max abs deviation of the TPU output is reported (budget: 1e-4).
+
+MFU / roofline accounting (docs/TPU_RUNTIME_NOTES.md has the full method):
+* FLOPs and HBM bytes per dispatch are read from XLA's own cost analysis of
+  the compiled per-chunk body (``jit(body).lower(...).compile()
+  .cost_analysis()``) and multiplied by the explicit trip counts this file
+  controls (chunks per dispatch, frames per chunk).  XLA counts a while-loop
+  body ONCE, so bodies are probed at the innermost our-own-scan level; the
+  only scans *inside* benched bodies are O(slots) one-pole averagers with
+  negligible FLOPs (sldoa.py:226).  Pallas kernels report 0 flops, so the
+  flagship is probed on its numerically-identical einsum path
+  (use_pallas=False).
+* peaks used: TPU v5e — 197 TFLOP/s (bf16 MXU; f32 ops run below this, so
+  MFU here is conservative) and 819 GB/s HBM.
+* per-config verdict: achieved FLOP/s is compared against the roofline
+  min(PEAK, intensity × BW); ≥50 % of the roofline ⇒ "compute"- or
+  "bandwidth"-bound (whichever limb binds); otherwise "dispatch/overhead"
+  (latency-/RTT-bound — more batching, not faster kernels, is the lever).
 """
 import json
 import time
 
 import numpy as np
+
+PEAK_TFLOPS = 197.0   # TPU v5e bf16 MXU peak
+PEAK_GBPS = 819.0     # TPU v5e HBM bandwidth
 
 
 def main():
@@ -56,6 +76,47 @@ def main():
     HOP = 128
     K = 8                 # chunks per dispatch
     HOPS_CHUNK = 64       # 8192 samples (~171 ms of audio) per chunk
+    NB = 32               # instances for the batched "_32x" analyser configs
+
+    # ---- cost probing + roofline ------------------------------------------
+    def probe_cost(body, *args, trips=1):
+        """(flops, bytes) per dispatch: XLA cost analysis of the compiled
+        body × the explicit trip count (see module docstring)."""
+        try:
+            d = jax.jit(body).lower(*args).compile().cost_analysis()
+            d = d[0] if isinstance(d, (list, tuple)) else d
+            return (trips * float(d.get("flops", 0.0)),
+                    trips * float(d.get("bytes accessed", 0.0)))
+        except Exception:
+            return (0.0, 0.0)
+
+    def roofline(cost, dt_per_dispatch, audio_sec):
+        """MFU/roofline verdict for one config (see module docstring)."""
+        flops, byts = cost
+        if not flops or not dt_per_dispatch:
+            return {}
+        tf = flops / dt_per_dispatch / 1e12
+        gb = byts / dt_per_dispatch / 1e9
+        intensity = flops / max(byts, 1.0)
+        roof_tf = min(PEAK_TFLOPS, intensity * PEAK_GBPS / 1e3)
+        frac = tf / roof_tf
+        if frac >= 0.5:
+            bound = ("compute" if intensity >= PEAK_TFLOPS * 1e3 / PEAK_GBPS
+                     else "bandwidth")
+        else:
+            bound = "dispatch/overhead"
+        return {
+            "gflops_per_audio_sec": round(flops / audio_sec / 1e9, 3),
+            "achieved_tflops": round(tf, 4),
+            "mfu_pct": round(100.0 * tf / PEAK_TFLOPS, 3),
+            "hbm_gbps": round(gb, 2),
+            "hbm_pct": round(100.0 * gb / PEAK_GBPS, 2),
+            "intensity_flop_per_byte": round(intensity, 2),
+            "roofline_frac_pct": round(100.0 * frac, 2),
+            "bound": bound,
+        }
+
+    from spatial_audio_framework_tpu.models import ambi_bin
 
     cfg = ambi_bin.AmbiBinConfig(order=ORDER, fs=FS, method="magls")
     wri = ambi_bin.design_ri(cfg)
@@ -78,6 +139,16 @@ def main():
     states = ambi_bin.init_state_batched(cfg, N_STREAMS)
     e, states = proc(wri, states, xs)
     fence = float(e)  # true execution fence (d2h scalar)
+
+    # flagship FLOP/byte cost: einsum path (pallas reports 0 flops), one
+    # chunk body × K chunks per dispatch
+    def flag_body(st, xk):
+        y, st = ambi_bin.process_ri_batched(cfg, wri, st, xk,
+                                            use_pallas=False)
+        return st, jnp.sum(y * y)
+
+    flag_cost = probe_cost(flag_body, ambi_bin.init_state_batched(
+        cfg, N_STREAMS), xs[0], trips=K)
 
     # measure the fixed dispatch+fence tunnel round-trip (for reporting)
     triv = jax.jit(lambda v: jnp.sum(v * 2.0))
@@ -112,6 +183,7 @@ def main():
         chain_times.append(time.perf_counter() - t0)
     dt = float(np.median(chain_times))
     rtf = CHAIN * audio_sec / dt
+    flag_roofline = roofline(flag_cost, dt / CHAIN, audio_sec)
 
     # -- streaming latency: one 85 ms block per dispatch, fenced -------------
     T = 32 * HOP
@@ -164,44 +236,6 @@ def main():
     except Exception:
         pass
 
-    # -- secondary: binauraliser (object renderer) fast path ------------------
-    bin_rtf = None
-    try:
-        from spatial_audio_framework_tpu.models import binauraliser as BIN
-        bcfg = BIN.BinauraliserConfig(n_sources=4, enable_rotation=True)
-        bw = BIN.design_ri(bcfg)
-        S2, K2 = 64, 4
-        xb2 = jnp.asarray(rng.uniform(
-            -1, 1, (S2, 4, Tc)).astype(np.float32))
-        dirs = jnp.asarray(rng.uniform(-180, 180, (S2, 4, 2)).astype(
-            np.float32) * np.array([1.0, 0.45], np.float32))
-        yprs = jnp.asarray(rng.uniform(-1, 1, (S2, 3)).astype(np.float32))
-        xs2 = jax.jit(lambda x: jax.vmap(
-            lambda k: jnp.roll(x, k + 1, axis=-1))(jnp.arange(K2)))(xb2)
-
-        def brender(st, xs2):
-            def body(st, xk):
-                y, st = BIN.process_ri_batched(bcfg, bw, st, xk, dirs,
-                                               None, yprs)
-                return st, jnp.sum(y * y)
-            st, e = jax.lax.scan(body, st, xs2)
-            return jnp.sum(e), st
-
-        bproc = jax.jit(brender)
-        bst = BIN.init_state_batched(bcfg, S2)
-        e2, bst = bproc(bst, xs2)
-        float(e2)
-        bt = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            for _ in range(8):
-                e2, bst = bproc(bst, xs2)
-            float(e2)
-            bt.append(time.perf_counter() - t0)
-        bin_rtf = round(8 * S2 * K2 * Tc / FS / float(np.median(bt)), 1)
-    except Exception:
-        pass
-
     # -- accuracy vs the COMPILED C REFERENCE (tests/goldens, on this chip) --
     # The golden is rendered by the reference C framework itself
     # (tools/c_goldens); the RI fast path must hit it within 1e-4.
@@ -229,9 +263,11 @@ def main():
         pass
 
     # -- remaining BASELINE.json configs: one fenced RTF each ----------------
-    def fenced_rtf(step, state, xs, audio_sec, n_rep=2, chain=16):
+    def fenced_rtf(step, state, xs, audio_sec, n_rep=2, chain=16, cost=None):
         """step(state, xs) -> (energy_scalar, state); median time of a
-        state-chained run of ``chain`` dispatches fenced once at the end."""
+        state-chained run of ``chain`` dispatches fenced once at the end.
+        Returns {"rtf": ...} + roofline fields when ``cost`` (flops, bytes
+        per dispatch) is given."""
         p = jax.jit(step)
         e, state = p(state, xs)
         float(e)
@@ -242,13 +278,27 @@ def main():
                 e, state = p(state, xs)
             float(e)
             ts.append(time.perf_counter() - t0)
-        return round(chain * audio_sec / float(np.median(ts)), 1)
+        dt = float(np.median(ts))
+        out = {"rtf": round(chain * audio_sec / dt, 1)}
+        if cost is not None:
+            out.update(roofline(cost, dt / chain, audio_sec))
+        return out
 
     def scan_chunks(body):
         def step(st, xs):
             st, e = jax.lax.scan(body, st, xs)
             return jnp.sum(e), st
         return step
+
+    def batch_instances(body, state, xs, n=NB):
+        """n independent instances of a (state, chunk)->(state, e) body in
+        ONE dispatch: vmap the body, stack the state, give each instance a
+        distinct (rolled) copy of the input chunks."""
+        bst = jax.tree_util.tree_map(lambda a: jnp.stack([a] * n), state)
+        bxs = jax.jit(lambda x: jax.vmap(
+            lambda i: jnp.roll(x, 13 * (i + 1), -1),
+            out_axes=1)(jnp.arange(n)))(xs)
+        return jax.vmap(body), bst, bxs
 
     config_rtfs = {}
 
@@ -265,20 +315,22 @@ def main():
 
         FR = ecfg.frame_size
 
+        def efstep(st, xf):
+            y, st = ENC.process(ecfg, eout, st, xf, edirs)
+            return st, jnp.sum(y * y)
+
         def ebody(st, xk):
             # ambi_enc crossfades per fixed-size frame: scan frames in-chunk
             frames = jnp.moveaxis(xk.reshape(64, Tc // FR, FR), 1, 0)
-
-            def fstep(st, xf):
-                y, st = ENC.process(ecfg, eout, st, xf, edirs)
-                return st, jnp.sum(y * y)
-
-            st, es = jax.lax.scan(fstep, st, frames)
+            st, es = jax.lax.scan(efstep, st, frames)
             return st, jnp.sum(es)
 
+        est0 = ENC.init_state(ecfg, np.asarray(edirs))
+        ecost = probe_cost(efstep, est0,
+                           jnp.zeros((64, FR), jnp.float32),
+                           trips=K * (Tc // FR))
         config_rtfs["ambi_enc_o1_64src"] = fenced_rtf(
-            scan_chunks(ebody), ENC.init_state(ecfg, np.asarray(edirs)), ex,
-            64 * K * Tc / FS)
+            scan_chunks(ebody), est0, ex, 64 * K * Tc / FS, cost=ecost)
     except Exception:
         pass
 
@@ -306,10 +358,10 @@ def main():
                 y, st = PAN.process_ri_batched(pcfg, pw, st, xk, pdirs)
                 return st, jnp.sum(y * y)
 
+            pst0 = PAN.init_state_batched(pcfg, 64, len(ls))
+            pcost = probe_cost(pbody, pst0, px[0], trips=K)
             config_rtfs[f"panner_{name}_64streams"] = fenced_rtf(
-                scan_chunks(pbody),
-                PAN.init_state_batched(pcfg, 64, len(ls)), px,
-                64 * K * Tc / FS)
+                scan_chunks(pbody), pst0, px, 64 * K * Tc / FS, cost=pcost)
     except Exception:
         pass
 
@@ -330,8 +382,17 @@ def main():
             y, st = tv.process_ri(conv, Hri, st, xk, lpos, posd)
             return st, jnp.sum(y * y)
 
+        tst0 = tv.init_state_ri(conv)
+        tcost = probe_cost(tbody, tst0, tx[0], trips=K)
         config_rtfs["tvconv_64pos_2ch"] = fenced_rtf(
-            scan_chunks(tbody), tv.init_state_ri(conv), tx, K * Tc / FS)
+            scan_chunks(tbody), tst0, tx, K * Tc / FS, cost=tcost)
+
+        # batched: NB independent listeners in one dispatch (chip-throughput
+        # number; the single-instance one above is tunnel-RTT-bound)
+        tb, tbst, tbxs = batch_instances(tbody, tst0, tx)
+        tbcost = probe_cost(tb, tbst, tbxs[0], trips=K)
+        config_rtfs[f"tvconv_64pos_2ch_{NB}x"] = fenced_rtf(
+            scan_chunks(tb), tbst, tbxs, NB * K * Tc / FS, cost=tbcost)
     except Exception:
         pass
 
@@ -348,8 +409,15 @@ def main():
             p, st = PM.analysis(pmc, pmw, st, xk)
             return st, jnp.sum(p)
 
+        mst0 = PM.init_state(pmc, pmw)
+        mcost = probe_cost(mbody, mst0, ax[0], trips=K)
         config_rtfs["powermap_o3_music"] = fenced_rtf(
-            scan_chunks(mbody), PM.init_state(pmc, pmw), ax, K * Tc / FS)
+            scan_chunks(mbody), mst0, ax, K * Tc / FS, cost=mcost)
+
+        mb, mbst, mbxs = batch_instances(mbody, mst0, ax)
+        mbcost = probe_cost(mb, mbst, mbxs[0], trips=K)
+        config_rtfs[f"powermap_o3_music_{NB}x"] = fenced_rtf(
+            scan_chunks(mb), mbst, mbxs, NB * K * Tc / FS, cost=mbcost)
 
         from spatial_audio_framework_tpu.models import sldoa as SL
         slc = SL.SldoaConfig(master_order=3, norm="n3d")
@@ -359,8 +427,15 @@ def main():
             out, st = SL.analysis(slc, slw, st, xk)
             return st, jnp.sum(out.energy)
 
+        sst0 = SL.init_state(slc)
+        scost = probe_cost(sbody, sst0, ax[0], trips=K)
         config_rtfs["sldoa_o3"] = fenced_rtf(
-            scan_chunks(sbody), SL.init_state(slc), ax, K * Tc / FS)
+            scan_chunks(sbody), sst0, ax, K * Tc / FS, cost=scost)
+
+        sb, sbst, sbxs = batch_instances(sbody, sst0, ax)
+        sbcost = probe_cost(sb, sbst, sbxs[0], trips=K)
+        config_rtfs[f"sldoa_o3_{NB}x"] = fenced_rtf(
+            scan_chunks(sb), sbst, sbxs, NB * K * Tc / FS, cost=sbcost)
     except Exception:
         pass
 
@@ -379,13 +454,23 @@ def main():
             y, st = RS.process_ri(rcfg, rw, st, xk)
             return st, jnp.sum(y * y)
 
+        rst0 = RS.init_state_ri(rcfg, rw)
+        rcost = probe_cost(rbody, rst0, rx[0], trips=K)
         config_rtfs["ambi_roomsim_o2_2src"] = fenced_rtf(
-            scan_chunks(rbody), RS.init_state_ri(rcfg, rw), rx, K * Tc / FS)
+            scan_chunks(rbody), rst0, rx, K * Tc / FS, cost=rcost)
+
+        rb, rbst, rbxs = batch_instances(rbody, rst0, rx)
+        rbcost = probe_cost(rb, rbst, rbxs[0], trips=K)
+        config_rtfs[f"ambi_roomsim_o2_2src_{NB}x"] = fenced_rtf(
+            scan_chunks(rb), rbst, rbxs, NB * K * Tc / FS, cost=rbcost)
     except Exception:
         pass
 
     # hades: fused analysis+synthesis pipeline (binaural, BMVDR + CM),
-    # closed-form 2x2 decompositions throughout
+    # closed-form 2x2 decompositions throughout.  Headline number = NB
+    # independent hearing-device instances per dispatch (the per-band
+    # matrices are 133×2×2 — a single instance cannot load the chip);
+    # the single-instance number is kept as _1x for transparency.
     try:
         from spatial_audio_framework_tpu.modules import hades as HDS
         hana = HDS.HadesAnalysis()
@@ -401,9 +486,72 @@ def main():
             st, y = hpipe._block(st, xk)
             return st, jnp.sum(y * y)
 
-        config_rtfs["hades_binaural_bmvdr"] = fenced_rtf(
-            scan_chunks(hbody), hpipe.init_state(), hx,
-            NBH * hana.blocksize / FS)
+        hst0 = hpipe.init_state()
+        hcost = probe_cost(hbody, hst0, hx[0], trips=NBH)
+        config_rtfs["hades_binaural_bmvdr_1x"] = fenced_rtf(
+            scan_chunks(hbody), hst0, hx, NBH * hana.blocksize / FS,
+            cost=hcost)
+
+        hb, hbst, hbxs = batch_instances(hbody, hst0, hx)
+        hbcost = probe_cost(hb, hbst, hbxs[0], trips=NBH)
+        entry = fenced_rtf(scan_chunks(hb), hbst, hbxs,
+                           NB * NBH * hana.blocksize / FS, cost=hbcost)
+        entry["n_instances"] = NB
+        config_rtfs["hades_binaural_bmvdr"] = entry
+    except Exception:
+        pass
+
+    # binauraliser: HRTFs loaded from an actual SOFA file through the
+    # pure-Python HDF5 reader (BASELINE.json "binauraliser: SOFA HRTF
+    # interpolation + time-varying partitioned convolution") — the design
+    # consumes sofa_open()'s arrays, then 64 streams × 4 moving sources
+    # render through the afSTFT RI fast path.
+    bin_rtf = None
+    try:
+        import os, tempfile
+        from spatial_audio_framework_tpu.models import binauraliser as BIN
+        from spatial_audio_framework_tpu.modules import sofa as SOFA
+        from spatial_audio_framework_tpu.modules import hrir as HRIR
+
+        hr, hr_dirs, hr_fs = HRIR.default_hrirs()
+        sofa_path = os.path.join(tempfile.gettempdir(),
+                                 "saf_bench_hrirs.sofa")
+        src_pos = np.concatenate(
+            [np.asarray(hr_dirs, np.float64),
+             np.ones((hr_dirs.shape[0], 1))], axis=1)
+        SOFA.sofa_save(sofa_path, np.asarray(hr, np.float64), float(hr_fs),
+                       src_pos)
+        c = SOFA.sofa_open(sofa_path, usecase=SOFA.USECASE_HRIR)
+        assert c.data_ir.shape == hr.shape and c.n_receivers == 2
+
+        bcfg = BIN.BinauraliserConfig(n_sources=4, enable_rotation=True)
+        bw = BIN.design_ri(bcfg, hrirs=c.data_ir,
+                           hrir_dirs_deg=c.source_dirs_deg,
+                           hrir_fs=int(c.data_sampling_rate))
+        S2, K2 = 64, 4
+        xb2 = jnp.asarray(rng.uniform(
+            -1, 1, (S2, 4, Tc)).astype(np.float32))
+        dirs = jnp.asarray(rng.uniform(-180, 180, (S2, 4, 2)).astype(
+            np.float32) * np.array([1.0, 0.45], np.float32))
+        yprs = jnp.asarray(rng.uniform(-1, 1, (S2, 3)).astype(np.float32))
+        xs2 = jax.jit(lambda x: jax.vmap(
+            lambda k: jnp.roll(x, k + 1, axis=-1))(jnp.arange(K2)))(xb2)
+
+        def bbody(st, xk):
+            y, st = BIN.process_ri_batched(bcfg, bw, st, xk, dirs,
+                                           None, yprs)
+            return st, jnp.sum(y * y)
+
+        bst0 = BIN.init_state_batched(bcfg, S2)
+        bcost = probe_cost(bbody, bst0, xs2[0], trips=K2)
+        entry = fenced_rtf(scan_chunks(bbody), bst0, xs2,
+                           S2 * K2 * Tc / FS, n_rep=2, chain=8, cost=bcost)
+        entry["hrtf_design_source"] = (
+            "sofa_open('%s'): %d dirs @ %g Hz via utils/hdf5" % (
+                os.path.basename(sofa_path), c.n_sources,
+                c.data_sampling_rate))
+        config_rtfs["binauraliser_sofa_64streams_4src"] = entry
+        bin_rtf = entry["rtf"]
     except Exception:
         pass
 
@@ -421,9 +569,13 @@ def main():
             "chunks_per_dispatch": K,
             "chunk_samples": Tc,
             "n_streams": N_STREAMS,
+            "flagship_roofline": flag_roofline,
+            "roofline_peaks": {"tflops_bf16": PEAK_TFLOPS,
+                               "hbm_gbps": PEAK_GBPS,
+                               "chip": "TPU v5e"},
             "max_abs_err_vs_cpu_f32": max_err,
             "max_abs_err_vs_c_reference": max_err_vs_c,
-            "binauraliser_64streams_4src_rtf": bin_rtf,
+            "binauraliser_sofa_64streams_rtf": bin_rtf,
             "config_rtfs": config_rtfs,
             "device": str(jax.devices()[0]),
         },

@@ -32,20 +32,46 @@ def _unit_vecs(dirs_deg: np.ndarray) -> np.ndarray:
                      np.sin(a[:, 1])], -1)
 
 
-def find_ls_triplets(ls_dirs_deg: np.ndarray, omit_large_triangles: bool = False):
+def find_ls_triplets(ls_dirs_deg: np.ndarray, omit_large_triangles: bool = False,
+                     method: str = "c_parity", rand_stream=None):
     """Triangulate a loudspeaker setup (saf_vbap.c:499 ``findLsTriplets``).
-    Returns (vertices (L,3), faces (nFaces,3))."""
-    verts = _unit_vecs(ls_dirs_deg)
-    faces = ConvexHull(verts).simplices.astype(int)
-    # The reference's convhull_3d emits consistently outward-oriented faces and
-    # then drops any face whose normal opposes its centroid (saf_vbap.c:586-609)
-    # — a no-op for a hull of on-sphere points.  scipy's simplices have
-    # arbitrary orientation, so orient them outward to match.
-    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
-    normal = np.cross(v1 - v0, v2 - v1)
-    centroid = (v0 + v1 + v2) / 3.0
-    flip = (normal * centroid).sum(-1) < 0.0
-    faces[flip] = faces[flip][:, ::-1]
+    Returns (vertices (L,3), faces (nFaces,3)).
+
+    method='c_parity' (default) reproduces the reference's vendored
+    convhull_3d quickhull exactly — including the unseeded-rand() jitter that
+    decides which diagonal splits a coplanar quad on regular grids
+    (utils/convhull3d.py; a fresh jitter stream per call corresponds to a C
+    process whose first rand() consumer is this triangulation, which is the
+    case for every example's initCodec; pass ``rand_stream=`` a
+    ``glibc_rand()`` generator to model several calls in one C process).
+    method='qhull' uses scipy's Qhull: same hull, potentially different
+    coplanar-quad diagonals."""
+    if method == "c_parity":
+        from spatial_audio_framework_tpu.utils.convhull3d import convhull_3d_build
+
+        # the C stores float32-rounded unit vectors (saf_vbap.c:522-529)
+        verts = _unit_vecs(ls_dirs_deg).astype(np.float32).astype(np.float64)
+        faces = convhull_3d_build(verts, rand_stream=rand_stream)
+        # drop faces whose normal opposes the centroid (saf_vbap.c:586-609);
+        # convhull_3d's faces are already outward-oriented so this only
+        # removes degenerate slivers
+        v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+        normal = np.cross(v1 - v0, v2 - v1)
+        centroid = (v0 + v1 + v2) / 3.0
+        faces = faces[(normal * centroid).sum(-1) > 0.0]
+    else:
+        verts = _unit_vecs(ls_dirs_deg)
+        faces = ConvexHull(verts).simplices.astype(int)
+        # The reference's convhull_3d emits consistently outward-oriented faces
+        # and then drops any face whose normal opposes its centroid
+        # (saf_vbap.c:586-609) — a no-op for a hull of on-sphere points.
+        # scipy's simplices have arbitrary orientation, so orient them outward
+        # to match.
+        v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+        normal = np.cross(v1 - v0, v2 - v1)
+        centroid = (v0 + v1 + v2) / 3.0
+        flip = (normal * centroid).sum(-1) < 0.0
+        faces[flip] = faces[flip][:, ::-1]
     # Drop degenerate faces whose three unit vectors are coplanar with the
     # origin (e.g. hull faces spanned by horizontal-only speakers): their VBAP
     # matrices are singular.  The reference leaves these in and relies on the

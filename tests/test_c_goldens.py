@@ -883,14 +883,13 @@ def test_roombinauraliser_end_to_end_vs_c(g):
 # (tools/c_goldens/gen_goldens9.c)
 
 def test_binauraliser_nf_end_to_end_vs_c(g):
-    """Near-field binauraliser: the DVF chain (doaToIpsiInteraural →
-    calcDVFCoeffs → per-band eval, including the C's (mag + j·phase) scale
-    quirk and the far-field bypass) is pinned EXACTLY by probes/goldens;
-    the end-to-end output is pinned statistically because the off-node HRTF
-    lookup differs benignly: the (2°,5°) query cell lands inside a coplanar
-    quad of the regular default-HRIR grid that convhull_3d (C) and Qhull
-    (scipy) split along different diagonals — two equally valid VBAP
-    triangulations (SURVEY §7: do not reimplement qhull)."""
+    """Near-field binauraliser pinned EXACTLY end-to-end: the DVF chain
+    (doaToIpsiInteraural → calcDVFCoeffs → per-band eval, including the C's
+    (mag + j·phase) scale quirk and the far-field bypass) plus the HRTF
+    interpolation table, whose triangulation now reproduces convhull_3d's
+    coplanar-quad diagonal choices bit-for-bit (utils/convhull3d.py; round 2
+    pinned this statistically because the (2°,5°) query cell lands in a quad
+    that Qhull split along the other diagonal)."""
     from spatial_audio_framework_tpu.models import binauraliser_nf as BNF
 
     cfg = BNF.BinauraliserNFConfig(n_sources=2, enable_rotation=False)
@@ -906,12 +905,26 @@ def test_binauraliser_nf_end_to_end_vs_c(g):
         outs.append(np.asarray(y))
     out = np.concatenate(outs, -1)
     ref = np.asarray(g["bnf_out"])
-    for ear in range(2):
-        a, b = out[ear, 1000:], ref[ear, 1000:]
-        assert np.corrcoef(a, b)[0, 1] >= 0.95, ear
-        ratio = (a ** 2).mean() / (b ** 2).mean()
-        assert 0.75 <= ratio <= 1.35, (ear, ratio)  # contralateral ear rides the
-        # diagonal-choice difference hardest (observed 1.21)
+    assert np.abs(out - ref).max() <= 1e-4  # observed 1.7e-5
+
+
+def test_convhull3d_triangulation_vs_c(g):
+    """utils/convhull3d.py reproduces the reference's vendored quickhull
+    (convhull_3d.c:367) EXACTLY — same faces, same face order, same per-face
+    vertex order — for the default-HRIR grid (836 dirs, full of coplanar
+    quads), a fully regular 30°×30° grid and the t-design-9 grid.  The three
+    fixtures were generated back-to-back in one C process
+    (tools/c_goldens/gen_goldens10.c), so this also pins the glibc-rand()
+    jitter stream continuation across calls."""
+    from spatial_audio_framework_tpu.utils.convhull3d import (
+        convhull_3d_build, glibc_rand)
+
+    stream = glibc_rand()
+    for tag in ("hrir836", "grid60", "tdes48"):
+        verts = np.asarray(g[f"vbh_{tag}_verts"], np.float64)
+        faces_c = np.asarray(g[f"vbh_{tag}_faces"])
+        faces_py = convhull_3d_build(verts, rand_stream=stream)
+        np.testing.assert_array_equal(faces_py, faces_c, err_msg=tag)
 
 
 def test_decorrelator_end_to_end_vs_c(g):

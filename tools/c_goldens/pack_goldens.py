@@ -12,7 +12,8 @@ def main(indir: str, out_npz: str) -> None:
             name, dtype, shape = line.split()
             shape = tuple(int(s) for s in shape.split(","))
             np_dtype = {"c8": np.complex64, "c16": np.complex128,
-                        "f8": np.float64, "f4": np.float32}[dtype]
+                        "f8": np.float64, "f4": np.float32,
+                        "i4": np.int32}[dtype]
             raw = np.fromfile(os.path.join(indir, name + ".bin"),
                               dtype=np_dtype)
             arrays[name] = raw.reshape(shape)
