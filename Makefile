@@ -1,6 +1,9 @@
 # Convenience targets (no installation required; run from the repo root).
 
-.PHONY: test bench smoke demos native clean
+.PHONY: test bench smoke demos native docs clean
+
+docs:
+	python tools/gen_api_docs.py
 
 test:
 	python -m pytest tests/ -q

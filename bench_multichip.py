@@ -1,0 +1,209 @@
+"""Multi-chip scale-out benchmark: the flagship render sharded over a
+('dp', 'tp') jax.sharding.Mesh.
+
+Runs UNCHANGED on real multi-chip hardware; on this single-chip environment
+it self-provisions a virtual N-device CPU platform
+(--xla_force_host_platform_device_count), so the numbers it prints here
+measure partitioning/collective OVERHEAD structure (weak-scaling efficiency
+on a host-simulated mesh), not real ICI throughput — the correctness
+assertions and the compiled collective schedule are identical either way.
+
+What it measures (order-3 MagLS ambi_bin at production shapes — 133 hybrid
+bands, hop 128, 64-hop chunks):
+
+1. dp weak scaling: S_PER streams on 1 device vs S_PER×N streams sharded
+   'dp' over N devices via shard_map (the production RI fast path).  Ideal
+   weak scaling keeps the step time flat; efficiency = t1 / tN.
+2. tp=2 tensor parallelism at production shapes: the per-band decode
+   contraction out[b,e,h] = Σ_s M[b,e,s]·spec[b,s,h] with the SH axis s
+   sharded over 'tp' — XLA inserts the psum over 'tp' (GSPMD; einsum path,
+   use_pallas=False).  Output is asserted ≤1e-5 against the unsharded
+   render.
+
+Prints one JSON line.  Env: SAF_MULTICHIP_DEVICES (default 8).
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _ensure_devices(n_devices: int) -> None:
+    """Provision an n-device platform (virtual CPU when the backend has
+    fewer real devices).  Mirrors __graft_entry__._ensure_devices."""
+    flag = "--xla_force_host_platform_device_count={}".format(n_devices)
+    xf = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xf:
+        os.environ["XLA_FLAGS"] = (xf + " " + flag).strip()
+
+    import jax
+
+    try:
+        n_avail = jax.device_count()
+    except Exception:
+        n_avail = 0
+    if n_avail >= n_devices:
+        return
+    jax.config.update("jax_platforms", "cpu")
+    import jax.extend.backend as _eb
+    _eb.clear_backends()
+    if jax.device_count() < n_devices:
+        raise RuntimeError("could not provision {} devices (have {})".format(
+            n_devices, jax.device_count()))
+
+
+def main():
+    N = int(os.environ.get("SAF_MULTICHIP_DEVICES", "8"))
+    _ensure_devices(N)
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spatial_audio_framework_tpu.models import ambi_bin
+    from spatial_audio_framework_tpu.parallel import mesh as pmesh
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    interpret = not on_tpu  # pallas kernels interpret off-TPU
+
+    FS = 48000.0
+    HOP = 128
+    T = 64 * HOP                 # one ~171 ms chunk per dispatch
+    S_PER = 8                    # streams per device (weak-scaling unit)
+    CHAIN = 8
+    REPS = 3
+
+    cfg = ambi_bin.AmbiBinConfig(order=3, fs=FS, method="magls")
+    wri = ambi_bin.design_ri(cfg)
+    rng = np.random.default_rng(0)
+
+    def timed_chain(step, state, x):
+        e, state = step(state, x)
+        float(e)  # fence
+        ts = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            for _ in range(CHAIN):
+                e, state = step(state, x)
+            float(e)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts)) / CHAIN
+
+    def render(st, x):
+        y, st = ambi_bin.process_ri_batched(cfg, wri, st, x,
+                                            interpret=interpret)
+        return jnp.sum(y * y), st
+
+    # one input set: the first S_PER streams double as the 1-device baseline
+    S = S_PER * N
+    x_all = rng.uniform(-1, 1, (S, cfg.nsh, T)).astype(np.float32)
+
+    # ---- 1 device, S_PER streams (weak-scaling baseline) -------------------
+    dev0 = jax.devices()[0]
+    x1 = jax.device_put(jnp.asarray(x_all[:S_PER]), dev0)
+    st1 = jax.tree.map(lambda a: jax.device_put(a, dev0),
+                       ambi_bin.init_state_batched(cfg, S_PER))
+    t_1dev = timed_chain(jax.jit(render), st1, x1)
+
+    # ---- N devices, S_PER×N streams on 'dp' (production shard_map path) ----
+    mesh = pmesh.make_mesh(N, tp=1)
+    x = jax.device_put(jnp.asarray(x_all),
+                       NamedSharding(mesh, P(("dp", "tp"), None, None)))
+    st = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(
+            mesh, P(("dp", "tp"), *([None] * (a.ndim - 1))))),
+        ambi_bin.init_state_batched(cfg, S))
+
+    def render_y(st, x):
+        return ambi_bin.process_ri_batched(cfg, wri, st, x,
+                                           interpret=interpret)
+
+    sharded = shard_map(render_y, mesh=mesh,
+                        in_specs=(P(("dp", "tp")), P(("dp", "tp"))),
+                        out_specs=P(("dp", "tp")), check_vma=False)
+
+    def dp_step(st, x):
+        y, st = sharded(st, x)
+        return jnp.sum(y * y), st
+
+    # correctness: sharded == single-device render of the same first streams
+    y_dp, _ = jax.jit(sharded)(st, x)
+    y_ref, _ = jax.jit(render_y)(ambi_bin.init_state_batched(cfg, S_PER),
+                                 x1)
+    err_dp = float(jnp.max(jnp.abs(np.asarray(y_dp)[:S_PER]
+                                   - np.asarray(y_ref))))
+    t_ndev = timed_chain(jax.jit(dp_step), st, x)
+    weak_eff = t_1dev / t_ndev
+
+    # ---- tp=2 at production shapes (GSPMD-partitioned decode) --------------
+    tp_res = {}
+    if N % 2 == 0 and N >= 4:
+        mesh2 = pmesh.make_mesh(N, tp=2)
+        S2 = S_PER * (N // 2)
+        x2 = jnp.asarray(rng.uniform(
+            -1, 1, (S2, cfg.nsh, T)).astype(np.float32))
+        st2 = ambi_bin.init_state_batched(cfg, S2)
+
+        def spec_state(a):
+            if a.ndim >= 2 and a.shape[1] == cfg.nsh:
+                return NamedSharding(mesh2, P("dp", "tp",
+                                              *([None] * (a.ndim - 2))))
+            return NamedSharding(mesh2, P("dp", *([None] * (a.ndim - 1))))
+
+        x2s = jax.device_put(x2, NamedSharding(mesh2, P("dp", "tp", None)))
+        st2s = jax.tree.map(jax.device_put, st2,
+                            jax.tree.map(spec_state, st2))
+        wri_s = jax.tree.map(lambda a: jax.device_put(
+            a, NamedSharding(mesh2, P(None, None, "tp"))), wri)
+
+        def render_tp(w, st, x):
+            y, st = ambi_bin.process_ri_batched(cfg, w, st, x,
+                                                use_pallas=False)
+            return y, st
+
+        y_tp, st2o = jax.jit(render_tp)(wri_s, st2s, x2s)
+        y_ref2, _ = jax.jit(lambda st, x: ambi_bin.process_ri_batched(
+            cfg, wri, st, x, use_pallas=False))(st2, x2)
+        err_tp = float(jnp.max(jnp.abs(np.asarray(y_tp)
+                                       - np.asarray(y_ref2))))
+
+        def tp_step(st, x):
+            y, st = render_tp(wri_s, st, x)
+            return jnp.sum(y * y), st
+
+        t_tp = timed_chain(jax.jit(tp_step), st2s, x2s)
+        tp_res = {
+            "tp2_step_s": round(t_tp, 4),
+            "tp2_streams": S2,
+            "tp2_rtf": round(S2 * T / FS / t_tp, 1),
+            "tp2_max_err_vs_unsharded": err_tp,
+        }
+        assert err_tp <= 1e-5, err_tp
+
+    assert err_dp <= 1e-5, err_dp
+    audio_1 = S_PER * T / FS
+    audio_n = S * T / FS
+    print(json.dumps({
+        "metric": "ambi_bin_multichip_weak_scaling_efficiency",
+        "value": round(weak_eff, 3),
+        "unit": "t_1dev / t_Ndev (ideal 1.0)",
+        "extra": {
+            "devices": N,
+            "platform": jax.devices()[0].platform,
+            "note": ("host-simulated mesh: overhead structure only, not "
+                     "ICI throughput" if not on_tpu else "real mesh"),
+            "streams_per_device": S_PER,
+            "t_1dev_step_s": round(t_1dev, 4),
+            "t_Ndev_step_s": round(t_ndev, 4),
+            "rtf_1dev": round(audio_1 / t_1dev, 1),
+            "rtf_Ndev_total": round(audio_n / t_ndev, 1),
+            "dp_max_err_vs_1dev": err_dp,
+            **tp_res,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -199,6 +199,91 @@ def main():
 
     results.append(("hades",) + fenced(hades_run, hst, hx))
 
+    # ambi_enc (frame-based crossfading SH encoder)
+    from spatial_audio_framework_tpu.models import ambi_enc
+    ecfg = ambi_enc.AmbiEncConfig(order=3, n_sources=4)
+    eout = ambi_enc.design(ecfg)
+    edirs = jnp.asarray(rng.uniform(-90, 90, (4, 2)).astype(np.float32))
+    est = ambi_enc.init_state(ecfg, np.asarray(edirs))
+    ex = jnp.asarray(rng.uniform(
+        -1, 1, (4, ecfg.frame_size)).astype(np.float32))
+    fe = jax.jit(lambda s, x: jnp.max(jnp.abs(
+        ambi_enc.process(ecfg, eout, s, x, edirs)[0])))
+    results.append(("ambi_enc",) + fenced(fe, est, ex))
+
+    # beamformer (frame-based, crossfaded steering weights)
+    from spatial_audio_framework_tpu.models import beamformer
+    bfc = beamformer.BeamformerConfig(order=3, n_beams=4)
+    bW = beamformer.design(bfc, np.asarray(rng.uniform(-90, 90, (4, 2))))
+    bfst = beamformer.init_state(bfc)
+    bfx = jnp.asarray(rng.uniform(
+        -1, 1, (bfc.nsh, bfc.frame_size)).astype(np.float32))
+    fbf = jax.jit(lambda s, x: jnp.max(jnp.abs(
+        beamformer.process(bfc, bW, s, x)[0])))
+    # warm the state so the crossfade sees a previous frame
+    _, bfst = jax.jit(lambda s, x: beamformer.process(bfc, bW, s, x))(bfst,
+                                                                     bfx)
+    results.append(("beamformer",) + fenced(fbf, bfst, bfx))
+
+    # rotator (traced yaw-pitch-roll SH rotation)
+    from spatial_audio_framework_tpu.models import rotator
+    rtc = rotator.RotatorConfig(order=3)
+    rtw = rotator.design(rtc)
+    rtst = rotator.init_state(rtc)
+    rtx = jnp.asarray(rng.uniform(
+        -1, 1, (rtc.nsh, rtc.frame_size)).astype(np.float32))
+    rypr = jnp.asarray(np.array([0.7, -0.2, 0.1], np.float32))
+    frt = jax.jit(lambda s, x: jnp.max(jnp.abs(
+        rotator.process(rtc, rtw, s, x, rypr)[0])))
+    _, rtst = jax.jit(lambda s, x: rotator.process(rtc, rtw, s, x, rypr))(
+        rtst, rtx)
+    results.append(("rotator",) + fenced(frt, rtst, rtx))
+
+    # array2sh (Eigenmike32-style SMA encoding, RI fast path)
+    from spatial_audio_framework_tpu.models import array2sh
+    from spatial_audio_framework_tpu.utils import presets as _presets
+    em32 = np.degrees(_presets.mic_preset("eigenmike32"))
+    acfg = array2sh.Array2SHConfig(order=4)
+    aw = array2sh.design_ri(acfg, em32)
+    ast = array2sh.init_state_batched(acfg, S, em32.shape[0])
+    axx = jnp.asarray(rng.uniform(
+        -1, 1, (S, em32.shape[0], T)).astype(np.float32))
+    fa = jax.jit(lambda s, x: jnp.max(jnp.abs(
+        array2sh.process_ri_batched(acfg, aw, s, x)[0])))
+    results.append(("array2sh",) + fenced(fa, ast, axx))
+
+    # ambi_roomsim (image-source shoebox → partitioned MatrixConv)
+    from spatial_audio_framework_tpu.models import ambi_roomsim
+    rsc = ambi_roomsim.AmbiRoomSimConfig(n_sources=2, n_receivers=1,
+                                         sh_order=2, refl_order=2)
+    rsw = ambi_roomsim.design_ri(
+        rsc, np.array([[2.0, 3.0, 1.5], [4.0, 2.0, 1.7]]),
+        np.array([[3.0, 2.5, 1.6]]))
+    rsst = ambi_roomsim.init_state_ri(rsc, rsw)
+    rsx = jnp.asarray(rng.uniform(-1, 1, (2, T)).astype(np.float32))
+    frs = jax.jit(lambda s, x: jnp.max(jnp.abs(
+        ambi_roomsim.process_ri(rsc, rsw, s, x)[0])))
+    results.append(("ambi_roomsim",) + fenced(frs, rsst, rsx))
+
+    # matrixconv + multiconv (partitioned RI block convolvers)
+    from spatial_audio_framework_tpu.models import conv_examples
+    mce = conv_examples.MatrixConvExample()
+    Hm = 0.1 * rng.standard_normal((2, 4, 1024)).astype(np.float32)
+    mconv, mH = mce.design_ri(Hm)
+    mst = mce.init_state_ri(mconv)
+    mx = jnp.asarray(rng.uniform(-1, 1, (4, T)).astype(np.float32))
+    fmc = jax.jit(lambda s, x: jnp.max(jnp.abs(
+        mce.process_ri(mconv, mH, s, x)[0])))
+    results.append(("matrixconv",) + fenced(fmc, mst, mx))
+
+    mue = conv_examples.MultiConvExample()
+    Hu = 0.1 * rng.standard_normal((4, 1024)).astype(np.float32)
+    uconv, uH = mue.design_ri(Hu)
+    ust = mue.init_state_ri(uconv)
+    fuc = jax.jit(lambda s, x: jnp.max(jnp.abs(
+        mue.process_ri(uconv, uH, s, x)[0])))
+    results.append(("multiconv",) + fenced(fuc, ust, mx))
+
     dev = jax.devices()[0]
     print(f"device: {dev}")
     ok = True

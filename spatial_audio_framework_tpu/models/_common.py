@@ -32,6 +32,46 @@ _CH = {CH_ACN: 0, CH_FUMA: 1}
 _NORM = {NORM_N3D: 0, NORM_SN3D: 1, NORM_FUMA: 2}
 
 
+class SafConfigError(ValueError):
+    """Invalid Config field (the analogue of the reference's setter clamps +
+    saf_print_error paths)."""
+
+
+def validate_config(cfg) -> None:
+    """saf-style validation of the common Config fields.  The reference
+    clamps inside each setter (e.g. ambi_bin_setNormType) and bounds orders
+    by MAX_SH_ORDER (_common.h:50) and channel counts by MAX_NUM_CHANNELS
+    (_common.h:228); a frozen dataclass cannot clamp, so out-of-range values
+    raise SafConfigError from __post_init__ instead of dying later in an
+    opaque assert/KeyError."""
+    def err(msg):
+        raise SafConfigError(f"{type(cfg).__name__}: {msg}")
+
+    for f in ("order", "master_order", "sh_order", "input_order",
+              "output_order", "decoding_order", "analysis_order"):
+        v = getattr(cfg, f, None)
+        if v is not None and not (1 <= int(v) <= MAX_SH_ORDER):
+            err(f"{f}={v} out of range [1, MAX_SH_ORDER={MAX_SH_ORDER}]")
+    fs = getattr(cfg, "fs", None)
+    if fs is not None and not (float(fs) > 0):
+        err(f"fs={fs} must be positive")
+    for f in ("n_sources", "n_channels", "n_loudspeakers", "n_receivers",
+              "n_inputs", "n_outputs"):
+        v = getattr(cfg, f, None)
+        if v is not None and not (1 <= int(v) <= MAX_NUM_CHANNELS):
+            err(f"{f}={v} out of range [1, MAX_NUM_CHANNELS="
+                f"{MAX_NUM_CHANNELS}]")
+    ch = getattr(cfg, "ch_ordering", None)
+    if ch is not None and ch not in _CH:
+        err(f"ch_ordering={ch!r} not one of {sorted(_CH)}")
+    nm = getattr(cfg, "norm", None)
+    if nm is not None and nm not in _NORM:
+        err(f"norm={nm!r} not one of {sorted(_NORM)}")
+    hop = getattr(cfg, "hop", None)
+    if hop is not None and (int(hop) <= 0 or (int(hop) & (int(hop) - 1))):
+        err(f"hop={hop} must be a positive power of two")
+
+
 def input_conversion_mtx(order: int, ch_ordering: str, norm: str):
     """(nSH, nSH) matrix converting an input SH frame in (ch_ordering, norm)
     to (ACN, N3D) — the conversions applied at the top of every example's

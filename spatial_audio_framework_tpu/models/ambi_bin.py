@@ -54,6 +54,9 @@ class AmbiBinConfig:
     def afstft(self) -> AfSTFT:
         return AfSTFT(hop=self.hop, hybrid=True, low_delay=False)
 
+    def __post_init__(self):
+        C.validate_config(self)
+
 
 class AmbiBinWeights(NamedTuple):
     M_dec: jax.Array  # (nBands, 2, nSH) complex64, conventions folded in
@@ -61,10 +64,13 @@ class AmbiBinWeights(NamedTuple):
 
 def _design_host(cfg: AmbiBinConfig, hrirs: Optional[np.ndarray] = None,
                  hrir_dirs_deg: Optional[np.ndarray] = None,
-                 hrir_fs: Optional[int] = None) -> np.ndarray:
+                 hrir_fs: Optional[int] = None,
+                 sofa_filepath: Optional[str] = None) -> np.ndarray:
     """Host-side initCodec pipeline → decode matrix as numpy complex."""
     if hrirs is None:
-        hrirs, hrir_dirs_deg, hrir_fs = hrir_mod.default_hrirs()
+        # SOFA path with the reference's bad-file → default-set fallback
+        # (ambi_bin.c:209-218 via hrir_mod.load_hrirs)
+        hrirs, hrir_dirs_deg, hrir_fs, _ = hrir_mod.load_hrirs(sofa_filepath)
     if hrir_fs != cfg.fs:
         hrirs, _ = hrir_mod.resample_hrirs(hrirs, hrir_fs, int(cfg.fs))
     n_dirs = hrirs.shape[0]
@@ -111,20 +117,23 @@ def _design_host(cfg: AmbiBinConfig, hrirs: Optional[np.ndarray] = None,
 
 def design(cfg: AmbiBinConfig, hrirs: Optional[np.ndarray] = None,
            hrir_dirs_deg: Optional[np.ndarray] = None,
-           hrir_fs: Optional[int] = None) -> AmbiBinWeights:
+           hrir_fs: Optional[int] = None,
+           sofa_filepath: Optional[str] = None) -> AmbiBinWeights:
     """The initCodec pipeline (ambi_bin.c:167-380).  Pass a loaded SOFA set
-    via (hrirs, hrir_dirs_deg, hrir_fs) or use the default set."""
-    dec = _design_host(cfg, hrirs, hrir_dirs_deg, hrir_fs)
+    via (hrirs, hrir_dirs_deg, hrir_fs), a ``sofa_filepath`` (falls back to
+    the default set on failure, like the reference), or neither."""
+    dec = _design_host(cfg, hrirs, hrir_dirs_deg, hrir_fs, sofa_filepath)
     return AmbiBinWeights(M_dec=jnp.asarray(dec.astype(np.complex64)))
 
 
 def design_ri(cfg: AmbiBinConfig, hrirs: Optional[np.ndarray] = None,
               hrir_dirs_deg: Optional[np.ndarray] = None,
-              hrir_fs: Optional[int] = None):
+              hrir_fs: Optional[int] = None,
+              sofa_filepath: Optional[str] = None):
     """design() for the split real/imaginary pipeline: returns (M_re, M_im)
     float32 device arrays WITHOUT ever creating a complex64 device array
     (some experimental runtimes mishandle complex transfers)."""
-    dec = _design_host(cfg, hrirs, hrir_dirs_deg, hrir_fs)
+    dec = _design_host(cfg, hrirs, hrir_dirs_deg, hrir_fs, sofa_filepath)
     return (jnp.asarray(dec.real.astype(np.float32)),
             jnp.asarray(dec.imag.astype(np.float32)))
 

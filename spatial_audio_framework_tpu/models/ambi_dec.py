@@ -48,6 +48,9 @@ class AmbiDecConfig:
     def afstft(self) -> AfSTFT:
         return AfSTFT(hop=self.hop, hybrid=True)
 
+    def __post_init__(self):
+        C.validate_config(self)
+
 
 class AmbiDecWeights(NamedTuple):
     M: jax.Array                 # (nBands, nLS, nSH) complex64

@@ -44,6 +44,9 @@ class AmbiDrcConfig:
     def afstft(self) -> AfSTFT:
         return AfSTFT(hop=self.hop, hybrid=True)
 
+    def __post_init__(self):
+        C.validate_config(self)
+
 
 class AmbiDrcState(NamedTuple):
     bank: AfSTFTState

@@ -33,6 +33,9 @@ class AmbiEncConfig:
     def nsh(self) -> int:
         return (self.order + 1) ** 2
 
+    def __post_init__(self):
+        C.validate_config(self)
+
 
 class AmbiEncState(NamedTuple):
     prev_Y: jax.Array   # (nSH, nSrc) previous encoding matrix

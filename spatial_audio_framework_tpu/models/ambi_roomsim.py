@@ -20,6 +20,7 @@ import numpy as np
 
 from spatial_audio_framework_tpu.modules import reverb
 from spatial_audio_framework_tpu.ops.matrix_conv import MatrixConv, MatrixConvState
+from spatial_audio_framework_tpu.models import _common as C
 
 DEFAULT_ABS_WALL = np.array([0.341055, 0.431295, 0.351295, 0.344335,
                              0.401775, 0.482095], np.float32)  # ambi_roomsim.c:30
@@ -38,6 +39,9 @@ class AmbiRoomSimConfig:
     @property
     def nsh(self) -> int:
         return (self.sh_order + 1) ** 2
+
+    def __post_init__(self):
+        C.validate_config(self)
 
 
 class AmbiRoomSimWeights(NamedTuple):

@@ -67,6 +67,9 @@ class Array2SHConfig:
     def afstft(self) -> AfSTFT:
         return AfSTFT(hop=self.hop, hybrid=True)
 
+    def __post_init__(self):
+        C.validate_config(self)
+
 
 class Array2SHWeights(NamedTuple):
     W: jax.Array  # (nBands, nSH, Q) complex64

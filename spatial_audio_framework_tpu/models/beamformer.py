@@ -32,6 +32,9 @@ class BeamformerConfig:
     def nsh(self) -> int:
         return (self.order + 1) ** 2
 
+    def __post_init__(self):
+        C.validate_config(self)
+
 
 class BeamformerState(NamedTuple):
     prev_W: jax.Array   # (nBeams, nSH)

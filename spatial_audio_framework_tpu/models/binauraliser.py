@@ -20,6 +20,7 @@ import numpy as np
 from spatial_audio_framework_tpu.modules import hrir as hrir_mod, vbap
 from spatial_audio_framework_tpu.ops.afstft import AfSTFT, AfSTFTState
 from spatial_audio_framework_tpu.utils import geometry as geo
+from spatial_audio_framework_tpu.models import _common as C
 
 INTERP_TRI = "tri"
 INTERP_TRI_PS = "tri_ps"
@@ -40,6 +41,9 @@ class BinauraliserConfig:
     def afstft(self) -> AfSTFT:
         return AfSTFT(hop=self.hop, hybrid=True)
 
+    def __post_init__(self):
+        C.validate_config(self)
+
 
 class BinauraliserWeights(NamedTuple):
     hrtf_fb: jax.Array       # (nBands, 2, nDirs) complex64
@@ -52,9 +56,12 @@ class BinauraliserWeights(NamedTuple):
 
 def _design_host(cfg: BinauraliserConfig, hrirs: Optional[np.ndarray] = None,
                  hrir_dirs_deg: Optional[np.ndarray] = None,
-                 hrir_fs: Optional[int] = None):
+                 hrir_fs: Optional[int] = None,
+                 sofa_filepath: Optional[str] = None):
     if hrirs is None:
-        hrirs, hrir_dirs_deg, hrir_fs = hrir_mod.default_hrirs()
+        # SOFA path with the reference's bad-file → default-set fallback
+        # (binauraliser_internal.c: same block as ambi_bin.c:209-218)
+        hrirs, hrir_dirs_deg, hrir_fs, _ = hrir_mod.load_hrirs(sofa_filepath)
     if hrir_fs != cfg.fs:
         hrirs, _ = hrir_mod.resample_hrirs(hrirs, hrir_fs, int(cfg.fs))
     freqs = cfg.afstft.centre_freqs(cfg.fs)
@@ -74,9 +81,10 @@ def _design_host(cfg: BinauraliserConfig, hrirs: Optional[np.ndarray] = None,
 
 def design(cfg: BinauraliserConfig, hrirs: Optional[np.ndarray] = None,
            hrir_dirs_deg: Optional[np.ndarray] = None,
-           hrir_fs: Optional[int] = None) -> BinauraliserWeights:
+           hrir_fs: Optional[int] = None,
+           sofa_filepath: Optional[str] = None) -> BinauraliserWeights:
     hrtf_fb, itds, comp, idx, freqs = _design_host(cfg, hrirs, hrir_dirs_deg,
-                                                   hrir_fs)
+                                                   hrir_fs, sofa_filepath)
     return BinauraliserWeights(
         hrtf_fb=jnp.asarray(hrtf_fb),
         hrtf_mag=jnp.asarray(np.abs(hrtf_fb).astype(np.float32)),
@@ -99,10 +107,11 @@ class BinauraliserWeightsRI(NamedTuple):
 
 def design_ri(cfg: BinauraliserConfig, hrirs: Optional[np.ndarray] = None,
               hrir_dirs_deg: Optional[np.ndarray] = None,
-              hrir_fs: Optional[int] = None) -> BinauraliserWeightsRI:
+              hrir_fs: Optional[int] = None,
+              sofa_filepath: Optional[str] = None) -> BinauraliserWeightsRI:
     """design() for the complex-free fast path (host-side re/im split)."""
     hrtf_fb, itds, comp, idx, freqs = _design_host(cfg, hrirs, hrir_dirs_deg,
-                                                   hrir_fs)
+                                                   hrir_fs, sofa_filepath)
     return BinauraliserWeightsRI(
         hrtf_re=jnp.asarray(hrtf_fb.real.astype(np.float32)),
         hrtf_im=jnp.asarray(hrtf_fb.imag.astype(np.float32)),

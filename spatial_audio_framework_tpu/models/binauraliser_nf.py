@@ -19,6 +19,7 @@ from spatial_audio_framework_tpu.models import binauraliser as B
 from spatial_audio_framework_tpu.ops.afstft import AfSTFTState
 from spatial_audio_framework_tpu.utils import dvf as _dvf
 from spatial_audio_framework_tpu.utils import geometry as geo
+from spatial_audio_framework_tpu.models import _common as C
 
 
 @dataclass(frozen=True)
@@ -27,6 +28,9 @@ class BinauraliserNFConfig(B.BinauraliserConfig):
     # sources at/beyond this distance bypass the DVF entirely
     # (binauraliser_nf.c:75: head_radius * 34 ≈ 3.09 m)
     far_field_thresh_m: float = 0.09096 * 34.0
+
+    def __post_init__(self):
+        C.validate_config(self)
 
 
 def design(cfg: BinauraliserNFConfig, *args, **kw) -> B.BinauraliserWeights:

@@ -14,6 +14,7 @@ import numpy as np
 
 from spatial_audio_framework_tpu.ops.afstft import AfSTFT, AfSTFTState
 from spatial_audio_framework_tpu.utils import decor
+from spatial_audio_framework_tpu.models import _common as C
 
 
 @dataclass(frozen=True)
@@ -35,6 +36,9 @@ class DecorrelatorConfig:
             fs=self.fs, hop_size=self.hop, n_ch=self.n_channels,
             orders=(20, 15, 6, 3), freq_cutoffs=(600.0, 2.4e3, 4e3, 12e3),
             max_delay=10)
+
+    def __post_init__(self):
+        C.validate_config(self)
 
 
 class DecorrelatorState(NamedTuple):

@@ -54,6 +54,9 @@ class DirassConfig:
     def nsh(self) -> int:
         return (self.input_order + 1) ** 2
 
+    def __post_init__(self):
+        C.validate_config(self)
+
 
 class DirassWeights(NamedTuple):
     W_beam: jax.Array     # (nGrid, nSH) analysis-order beams

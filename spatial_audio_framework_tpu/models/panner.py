@@ -19,6 +19,7 @@ import numpy as np
 from spatial_audio_framework_tpu.modules import vbap
 from spatial_audio_framework_tpu.ops.afstft import AfSTFT, AfSTFTState
 from spatial_audio_framework_tpu.utils import geometry as geo
+from spatial_audio_framework_tpu.models import _common as C
 
 
 @dataclass(frozen=True)
@@ -35,6 +36,9 @@ class PannerConfig:
     @property
     def afstft(self) -> AfSTFT:
         return AfSTFT(hop=self.hop, hybrid=True)
+
+    def __post_init__(self):
+        C.validate_config(self)
 
 
 class PannerWeights(NamedTuple):

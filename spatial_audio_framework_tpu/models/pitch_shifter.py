@@ -7,6 +7,7 @@ from dataclasses import dataclass
 import jax
 
 from spatial_audio_framework_tpu.ops.pitch import SmbPitchShift, SmbPitchShiftState
+from spatial_audio_framework_tpu.models import _common as C
 
 # PITCH_SHIFTER_FFTSIZE / OSAMP options (pitch_shifter.h)
 FFT_SIZES = (512, 1024, 2048, 4096, 8192, 16384)
@@ -28,6 +29,9 @@ class PitchShifterConfig:
     @property
     def latency(self) -> int:
         return self.op.latency
+
+    def __post_init__(self):
+        C.validate_config(self)
 
 
 def init_state(cfg: PitchShifterConfig) -> SmbPitchShiftState:

@@ -84,6 +84,9 @@ class PowermapConfig:
     def max_analysis_order(self) -> int:
         return int(self.orders_per_band().max())
 
+    def __post_init__(self):
+        C.validate_config(self)
+
 
 class PowermapWeights(NamedTuple):
     Y_grid: jax.Array        # (nSH_max, nGrid) REAL SH steering

@@ -44,6 +44,7 @@ from spatial_audio_framework_tpu.modules import hrir as hrir_mod, vbap
 from spatial_audio_framework_tpu.ops.afstft import (AfSTFT, AfSTFTState,
                                                     fir_to_filterbank_coeffs)
 from spatial_audio_framework_tpu.utils import geometry as geo
+from spatial_audio_framework_tpu.models import _common as C
 
 INTERP_TRI = "tri"
 INTERP_TRI_PS = "tri_ps"
@@ -82,6 +83,9 @@ class RoomBinauraliserConfig:
     @property
     def afstft(self) -> AfSTFT:
         return AfSTFT(hop=self.hop, hybrid=True)
+
+    def __post_init__(self):
+        C.validate_config(self)
 
 
 class RoomBinauraliserWeights(NamedTuple):
@@ -129,17 +133,21 @@ def design(cfg: RoomBinauraliserConfig,
            own_ctf_ir: Optional[np.ndarray] = None,
            reinit: str = REINIT_FULL,
            _split_ri: bool = False,
+           sofa_filepath: Optional[str] = None,
            ) -> Tuple[RoomBinauraliserConfig, RoomBinauraliserWeights]:
     """Codec init (roombinauraliser_initHRTFsAndGainTables).
 
-    brirs: (nSrc, nDirs, 2, irLen) — one BRIR grid per source.  When None the
-    default HRIR set is tiled across sources (the reference's fallback,
-    roombinauraliser_internal.c:154-158).  Returns (cfg', weights): cfg' has
-    ``vbap_3d`` resolved from the grid's elevation extent.
+    brirs: (nSrc, nDirs, 2, irLen) — one BRIR grid per source.  When None,
+    ``sofa_filepath`` (if given) is loaded through utils/hdf5 and tiled
+    across sources; an unloadable/ill-shaped file falls back — with a
+    warning — to the default HRIR set tiled across sources (the reference's
+    fallback, roombinauraliser_internal.c:154-158).  Returns (cfg',
+    weights): cfg' has ``vbap_3d`` resolved from the grid's elevation
+    extent.
     """
     del reinit  # pure-functional: full re-design is always performed
     if brirs is None:
-        h, brir_dirs_deg, brir_fs = hrir_mod.default_hrirs()
+        h, brir_dirs_deg, brir_fs, _ = hrir_mod.load_hrirs(sofa_filepath)
         brirs = np.broadcast_to(h, (cfg.n_sources,) + h.shape)
     brirs = np.asarray(brirs, np.float32)
     if brirs.shape[0] != cfg.n_sources:

@@ -30,6 +30,9 @@ class RotatorConfig:
     def nsh(self) -> int:
         return (self.order + 1) ** 2
 
+    def __post_init__(self):
+        C.validate_config(self)
+
 
 class RotatorState(NamedTuple):
     prev_M: jax.Array   # (nSH, nSH)

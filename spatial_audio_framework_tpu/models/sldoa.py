@@ -88,6 +88,9 @@ class SldoaConfig:
         a = 1.0 / ((self.avg_ms / 1e3) / (1.0 / self.hop) + 2.23e-9)
         return float(np.clip(a, 0.0, 0.99999))
 
+    def __post_init__(self):
+        C.validate_config(self)
+
 
 def _sector_coeffs_vbap(order: int, nsh_master: int,
                         grid_dirs_deg: np.ndarray, Y_grid: np.ndarray,

@@ -29,6 +29,7 @@ from spatial_audio_framework_tpu.ops import afstft_ri as ri, herm_ri as H
 from spatial_audio_framework_tpu.ops.afstft import AfSTFT
 from spatial_audio_framework_tpu.utils import decor
 from spatial_audio_framework_tpu.utils.geometry import unit_sph2cart
+from spatial_audio_framework_tpu.models import _common as C
 
 MODE_NAIVE = "naive"
 MODE_EVD = "evd"
@@ -47,6 +48,9 @@ class SpreaderConfig:
     @property
     def afstft(self) -> AfSTFT:
         return AfSTFT(hop=self.hop, hybrid=True)
+
+    def __post_init__(self):
+        C.validate_config(self)
 
 
 class SpreaderWeights(NamedTuple):

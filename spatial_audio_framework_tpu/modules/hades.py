@@ -164,22 +164,14 @@ class HadesAnalysis:
     def proc_delay(self) -> int:
         return self.bank.proc_delay
 
-    def _step(self, bank_state, Cx_avg, x):
-        """Jitted analysis core: one block, batched over all bands."""
-        import jax
+    def _cov_stats(self, Cx_avg):
+        """Pure per-block spatial-parameter core: averaged SCM → (COMEDIE
+        diffuseness, sdMUSIC DoA index).  Batched over all bands; vmapped
+        over blocks by the fused pipeline."""
         import jax.numpy as jnp
 
         from spatial_audio_framework_tpu.ops import herm_ri as H
 
-        (sre, sim), bank_state = ri.analysis_ri(self.bank, bank_state, x)
-        hp = jax.lax.Precision.HIGHEST
-        Cx_new = (jnp.einsum("bmh,bnh->bmn", sre, sre, precision=hp)
-                  + jnp.einsum("bmh,bnh->bmn", sim, sim, precision=hp),
-                  jnp.einsum("bmh,bnh->bmn", sim, sre, precision=hp)
-                  - jnp.einsum("bmh,bnh->bmn", sre, sim, precision=hp))
-        lam = self.cov_avg_coeff
-        Cx_avg = (lam * Cx_avg[0] + (1 - lam) * Cx_new[0],
-                  lam * Cx_avg[1] + (1 - lam) * Cx_new[1])
         # whiten: Cw = T Cx Tᴴ
         TC = H.cmatmul(self._T_d, Cx_avg)
         Th = (jnp.swapaxes(self._T_d[0], -1, -2),
@@ -193,14 +185,34 @@ class HadesAnalysis:
             vn = (V[0][..., 1:], V[1][..., 1:])  # smallest-λ eigenvector
             Pn = H.cmatmul(vn, H.chermitian(vn))
         else:
-            ev, _ = H.herm_eig_pairs(Cw)        # ascending (nBands, nMics)
-            ev = ev[..., ::-1]
+            ev, V = H.herm_eig_pairs(Cw)        # ascending (nBands, nMics)
+            # Rayleigh-refined eigenvalues: COMEDIE consumes only λ, and the
+            # quotient squares the f32 Jacobi vector error (C_PARITY: pulls
+            # diffuseness to ~1e-4 of the C's LAPACK-cseig chain)
+            ev = H.rayleigh_refine(Cw, V)[..., ::-1]
             Pn = H.noise_projector(Cw, 1)
         diff = comedie_batch(jnp.maximum(ev, 0.0))
         # sdMUSIC pseudo-spectrum: 1 / ‖Vnᴴ a‖² (hades_sdMUSIC_compute,
         # saf_hades_internal.c:196-204 — NO |a|² numerator, unlike sphMUSIC)
         den = H.herm_quadform(Pn, self._Aw_d)  # (nBands, nGrid)
         doa_idx = jnp.argmin(den, axis=-1)
+        return diff, doa_idx
+
+    def _step(self, bank_state, Cx_avg, x):
+        """Jitted analysis core: one block, batched over all bands."""
+        import jax
+        import jax.numpy as jnp
+
+        (sre, sim), bank_state = ri.analysis_ri(self.bank, bank_state, x)
+        hp = jax.lax.Precision.HIGHEST
+        Cx_new = (jnp.einsum("bmh,bnh->bmn", sre, sre, precision=hp)
+                  + jnp.einsum("bmh,bnh->bmn", sim, sim, precision=hp),
+                  jnp.einsum("bmh,bnh->bmn", sim, sre, precision=hp)
+                  - jnp.einsum("bmh,bnh->bmn", sre, sim, precision=hp))
+        lam = self.cov_avg_coeff
+        Cx_avg = (lam * Cx_avg[0] + (1 - lam) * Cx_new[0],
+                  lam * Cx_avg[1] + (1 - lam) * Cx_new[1])
+        diff, doa_idx = self._cov_stats(Cx_avg)
         return bank_state, Cx_avg, (sre, sim), Cx_new, diff, doa_idx
 
     def apply(self, x: np.ndarray):
@@ -317,10 +329,12 @@ class HadesSynthesis:
                   jnp.zeros((ana.n_bands, 2, ana.n_mics)))
         self.bank_state = ri.init_state_ri(ana.bank, ana.n_mics, 2)
 
-    def _step(self, M, bank_state, inTF, Cx, diffuseness, doa_idx, gains_idx,
-              gains_dir, gains_diff, eq, stream_balance):
-        """Jitted synthesis core, batched over all bands
-        (saf_hades_synthesis.c:308-470)."""
+    def _mix_mtx(self, Cx, diffuseness, doa_idx, gains_idx, gains_dir,
+                 gains_diff, eq, stream_balance):
+        """Pure per-block mixing-matrix core (saf_hades_synthesis.c:308-460,
+        up to but excluding the temporal smoothing): → Mb (nBands, 2, nMics)
+        complex pair.  Batched over all bands; vmapped over blocks by the
+        fused pipeline."""
         import jax
         import jax.numpy as jnp
 
@@ -424,6 +438,17 @@ class HadesSynthesis:
             Mb = (jnp.where(use, Mb[0], Q[0]), jnp.where(use, Mb[1], Q[1]))
         else:
             Mb = Q
+        return Mb
+
+    def _step(self, M, bank_state, inTF, Cx, diffuseness, doa_idx, gains_idx,
+              gains_dir, gains_diff, eq, stream_balance):
+        """Jitted synthesis core, batched over all bands
+        (saf_hades_synthesis.c:308-470)."""
+        from spatial_audio_framework_tpu.ops import herm_ri as H
+
+        ana = self.ana
+        Mb = self._mix_mtx(Cx, diffuseness, doa_idx, gains_idx, gains_dir,
+                           gains_diff, eq, stream_balance)
         c = self.syn_avg_coeff
         M = (c * M[0] + (1 - c) * eq[:, None, None] * Mb[0],
              c * M[1] + (1 - c) * eq[:, None, None] * Mb[1])
@@ -490,18 +515,97 @@ class HadesPipeline:
         self._block = lambda state, x: block_eq(state, x, *self._controls())
         self._jit_block = jax.jit(block_eq)
 
-        def chunk(state, x_blocks, eq, bal):
+        def chunk_scan(state, x_blocks, eq, bal):
             return jax.lax.scan(
                 lambda c, xb: block_eq(c, xb, eq, bal), state, x_blocks)
+
+        self._jit_chunk_scan = jax.jit(chunk_scan)
+
+        def onepole_kernel(lam, nb):
+            """y[t] = lam·y[t-1] + (1-lam)·u[t] as a matmul:
+            y[t] = Σ_k L[t,k]·u[k] + p[t]·y0 with L[t,k] = (1-lam)·lam^(t-k)
+            (lower-triangular) and p[t] = lam^(t+1)."""
+            t = np.arange(nb)
+            L = (1.0 - lam) * np.power(lam, np.maximum(
+                t[:, None] - t[None, :], 0.0))
+            L *= (t[:, None] >= t[None, :])
+            return (jnp.asarray(L.astype(np.float32)),
+                    jnp.asarray(np.power(lam, t + 1.0).astype(np.float32)))
+
+        def chunk(state, x_blocks, eq, bal):
+            """All blocks of a chunk in ONE batched graph — no scan.
+
+            The only sequential couplings across blocks are (a) the afSTFT
+            states, handled by running analysis/synthesis once over the
+            concatenated chunk (streaming filterbanks: a long call equals
+            consecutive short calls), and (b) two one-pole recurrences (SCM
+            averaging, mixing-matrix smoothing), which are LINEAR — so each
+            becomes a single (nBlocks × nBlocks) lower-triangular matmul
+            against precomputed decay weights instead of a length-nBlocks
+            lax.scan.  Every per-band op then carries a leading block axis
+            (vmap of the same traced cores ⇒ numerics match the scan path up
+            to the recurrences' summation order).  This is what moves HADES
+            from ~112× to chip-limited throughput: the scan serialised ~16
+            tiny-op chains per chunk; here the chain length is 1."""
+            from spatial_audio_framework_tpu.ops import herm_ri as H
+
+            ana_bank, cx0, M0, syn_bank = state
+            nb = x_blocks.shape[0]
+            nm, bs, ts = ana.n_mics, ana.blocksize, ana.time_slots
+            hp = jax.lax.Precision.HIGHEST
+            x_cat = jnp.swapaxes(x_blocks, 0, 1).reshape(nm, nb * bs)
+            (sre, sim), ana_bank = ri.analysis_ri(ana.bank, ana_bank, x_cat)
+
+            def to_blocks(s):  # (B, M, nb*ts) → (nb, B, M, ts)
+                B, Mch, _ = s.shape
+                return jnp.moveaxis(s.reshape(B, Mch, nb, ts), 2, 0)
+
+            inTF = (to_blocks(sre), to_blocks(sim))
+            Cx_new = (jnp.einsum("tbmh,tbnh->tbmn", inTF[0], inTF[0],
+                                 precision=hp)
+                      + jnp.einsum("tbmh,tbnh->tbmn", inTF[1], inTF[1],
+                                   precision=hp),
+                      jnp.einsum("tbmh,tbnh->tbmn", inTF[1], inTF[0],
+                                 precision=hp)
+                      - jnp.einsum("tbmh,tbnh->tbmn", inTF[0], inTF[1],
+                                   precision=hp))
+            Lc, pc = onepole_kernel(ana.cov_avg_coeff, nb)
+            Cx_avg = tuple(
+                jnp.einsum("tk,kbmn->tbmn", Lc, Cn, precision=hp)
+                + pc[:, None, None, None] * c0
+                for Cn, c0 in zip(Cx_new, cx0))
+            diff, doa_idx = jax.vmap(ana._cov_stats)(Cx_avg)
+
+            ones_b = jnp.ones(ana.n_bands, jnp.float32)
+            Mb = jax.vmap(lambda cx, d, di: syn._mix_mtx(
+                cx, d, di, di, ones_b, ones_b, eq, bal))(Cx_new, diff,
+                                                         doa_idx)
+            Lm, pm = onepole_kernel(syn.syn_avg_coeff, nb)
+            M_t = tuple(
+                jnp.einsum("tk,kbem->tbem", Lm,
+                           eq[None, :, None, None] * mb, precision=hp)
+                + pm[:, None, None, None] * m0
+                for mb, m0 in zip(Mb, M0))
+            out = H.ceinsum("tbem,tbmh->tbeh", M_t, inTF)
+            out_cat = tuple(
+                jnp.moveaxis(o, 0, 2).reshape(ana.n_bands, 2, nb * ts)
+                for o in out)
+            y_cat, syn_bank = ri.synthesis_ri(ana.bank, syn_bank, out_cat)
+            ys = jnp.swapaxes(y_cat.reshape(2, nb, bs), 0, 1)
+            state = (ana_bank,
+                     tuple(c[-1] for c in Cx_avg),
+                     tuple(m[-1] for m in M_t),
+                     syn_bank)
+            return state, ys
 
         self._jit_chunk = jax.jit(chunk)
         # multi-instance fast path: N independent HADES instances (e.g. N
         # concurrent hearing-device streams) rendered in ONE dispatch.  The
         # per-band matrices are tiny (133×2×2); a single instance leaves the
         # chip idle and the dispatch dominated by per-op overhead, so the
-        # instance axis is vmapped straight through the fused block — every
-        # eigh/solve/CDF4SAP op becomes (N, 133, 2, 2) batched linear algebra
-        # at essentially the single-instance op count.
+        # instance axis is vmapped straight through the fused chunk — every
+        # eigh/solve/CDF4SAP op becomes (N, nBlocks, 133, 2, 2) batched
+        # linear algebra at essentially the single-instance op count.
         self._chunk_fn = chunk
         self._jit_chunk_batched = jax.jit(
             jax.vmap(chunk, in_axes=(0, 0, None, None)))

@@ -29,6 +29,32 @@ def default_hrirs() -> tuple[np.ndarray, np.ndarray, int]:
         return z["hrirs"].copy(), z["dirs_deg"].copy(), int(z["fs"])
 
 
+def load_hrirs(sofa_filepath=None, use_default: bool = False):
+    """Load an HRIR set from a SOFA file with the reference's graceful
+    fallback (ambi_bin.c:209-218 and the equivalent block in every binaural
+    example): if the file cannot be opened, is not a SOFA file, or does not
+    contain exactly 2 receivers, a warning is printed and the DEFAULT set is
+    used instead — design never fails on a bad path.
+
+    → (hrirs (N, 2, len) f32, dirs_deg (N, 2), fs, used_default_flag)."""
+    from spatial_audio_framework_tpu.utils.misc import saf_print_warning
+
+    if not use_default and sofa_filepath is not None:
+        from spatial_audio_framework_tpu.modules import sofa as _sofa
+
+        try:
+            c = _sofa.sofa_open(str(sofa_filepath), usecase=_sofa.USECASE_HRIR)
+            return (np.asarray(c.data_ir, np.float32), c.source_dirs_deg(),
+                    int(c.data_sampling_rate), False)
+        except _sofa.SofaError:
+            saf_print_warning(
+                "Unable to load the specified SOFA file, or it contained "
+                "something other than 2 channels. Using default HRIR data "
+                "instead.")
+    h, d, fs = default_hrirs()
+    return h, d, fs, True
+
+
 def estimate_itds(hrirs: np.ndarray, fs: float) -> np.ndarray:
     """Estimate inter-aural time differences per direction
     (saf_hrir.c:40-108 ``estimateITDs``): 750 Hz 2nd-order Butterworth-style

@@ -100,12 +100,48 @@ def herm_eig_pairs(C: Cmplx):
     return lam, (V[..., :n, ::2], V[..., n:, ::2])
 
 
+def rayleigh_refine(C: Cmplx, V: Cmplx) -> jax.Array:
+    """One Rayleigh-quotient pass: λ_k = Re(v_kᴴ C v_k) / v_kᴴ v_k per
+    eigenvector column of V (..., n, k) → (..., k).
+
+    XLA's f32 Jacobi eigh leaves eigenvector error ~ε/gap; the Rayleigh
+    quotient is stationary at eigenvectors, so its eigenvalue error is
+    O(vector error²) — a cheap (three batched matmuls) way to pull f32
+    eigenvalues toward f64 accuracy for downstream eigenvalue-only consumers
+    (COMEDIE diffuseness in saf_hades_analysis.c:244-357 parity)."""
+    CV = cmatmul(C, V)
+    num = (V[0] * CV[0] + V[1] * CV[1]).sum(axis=-2)
+    den = (V[0] * V[0] + V[1] * V[1]).sum(axis=-2)
+    return num / den
+
+
 def herm_solve(C: Cmplx, B: Cmplx) -> Cmplx:
-    """Solve C X = B for Hermitian C; B: (..., n, k) complex pair."""
+    """Solve C X = B for Hermitian C; B: (..., n, k) complex pair.
+
+    n == 2 takes a closed form (Cramer): det = c00·c11 − |c01|² is real for
+    Hermitian C, so the whole solve is elementwise — no batched LU.  The
+    generic path lowers to jnp.linalg.solve on the real embedding, whose
+    pivoted LU over thousands of tiny matrices dominated the HADES mixing
+    graph on TPU (46 of 49 ms per 32-instance chunk) before this path."""
+    n = B[0].shape[-2]
+    if n == 2:
+        c00 = C[0][..., 0, 0, None]          # real (Hermitian diagonal)
+        c11 = C[0][..., 1, 1, None]
+        r01 = C[0][..., 0, 1, None]
+        i01 = C[1][..., 0, 1, None]
+        det = c00 * c11 - (r01 * r01 + i01 * i01)
+        b0 = (B[0][..., 0, :], B[1][..., 0, :])
+        b1 = (B[0][..., 1, :], B[1][..., 1, :])
+        # x0 = (c11·b0 − c01·b1)/det ; x1 = (c00·b1 − conj(c01)·b0)/det
+        x0 = ((c11 * b0[0] - (r01 * b1[0] - i01 * b1[1])) / det,
+              (c11 * b0[1] - (r01 * b1[1] + i01 * b1[0])) / det)
+        x1 = ((c00 * b1[0] - (r01 * b0[0] + i01 * b0[1])) / det,
+              (c00 * b1[1] - (r01 * b0[1] - i01 * b0[0])) / det)
+        return (jnp.stack([x0[0], x1[0]], axis=-2),
+                jnp.stack([x0[1], x1[1]], axis=-2))
     M = herm_embed(C)
     rhs = jnp.concatenate([B[0], B[1]], axis=-2)
     X = jnp.linalg.solve(M, rhs)
-    n = B[0].shape[-2]
     return X[..., :n, :], X[..., n:, :]
 
 

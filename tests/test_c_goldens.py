@@ -543,16 +543,16 @@ def test_hades_end_to_end_vs_c(g):
     # design-time parity is tight (linear algebra only)
     assert np.abs(ana.freq_vector - g["hds_freq_vector"]).max() <= 1e-2
     assert abs(ana.cov_avg_coeff - float(g["hds_cov_avg"])) <= 1e-6
-    assert np.abs(ana.H_array - g["hds_H_array_fb"]).max() <= TOL * 40.0
-    assert np.abs(ana.DCM - g["hds_DCM"]).max() <= TOL * 20.0
+    assert np.abs(ana.H_array - g["hds_H_array_fb"]).max() <= 1e-5
+    assert np.abs(ana.DCM - g["hds_DCM"]).max() <= 1e-5
 
     hrirs, hrir_dirs, hfs = hrir_mod.default_hrirs()
     syn = HD.HadesSynthesis(
         ana, hrirs=hrirs, hrir_dirs_deg=hrir_dirs, hrir_fs=hfs,
         beam_option=HD.HADES_BEAMFORMER_BMVDR, ref_indices=(1, 5),
         enable_cm=True, interp_option=HD.HADES_HRTF_INTERP_NEAREST)
-    assert np.abs(syn.H_bin - g["hds_H_bin"]).max() <= TOL * 20.0
-    assert np.abs(syn.diff_eq - g["hds_diff_eq"]).max() <= TOL * 10.0
+    assert np.abs(syn.H_bin - g["hds_H_bin"]).max() <= 1e-5
+    assert np.abs(syn.diff_eq - g["hds_diff_eq"]).max() <= 1e-5
     assert abs(syn.syn_avg_coeff - float(g["hds_syn_avg"])) <= 1e-6
 
     x = np.asarray(g["hds_in"], np.float32)
@@ -563,15 +563,16 @@ def test_hades_end_to_end_vs_c(g):
     for blk in range(16):
         params, sigs = ana.apply(x[:, blk * 256:(blk + 1) * 256])
         # diffuseness/DoA ride an f32 eigendecomposition chain (LAPACK cseig
-        # vs our real-Hermitian-embedded eigh): observed diff ~4e-3, DoA
-        # matches in 100% of 16x65 band-blocks.
-        assert np.abs(params.diffuseness - ref_diff[blk]).max() <= 2e-2, blk
-        assert (params.doa_idx == ref_doa[blk]).mean() >= 0.97, blk
+        # vs our real-Hermitian-embedded eigh); Rayleigh-refined eigenvalues
+        # (ops/herm_ri.rayleigh_refine) bring diffuseness to the C within
+        # ~7e-7, DoA matches in 100% of 16x65 band-blocks.
+        assert np.abs(params.diffuseness - ref_diff[blk]).max() <= 1e-5, blk
+        assert (params.doa_idx == ref_doa[blk]).all(), blk
         outs.append(syn.apply(params, sigs))
     out = np.concatenate(outs, -1)
-    # binaural output: observed 5e-3 on a 1.8-peak signal (0.27% — the BMVDR
-    # weights and CM mixing inherit the eigh-chain noise)
-    assert np.abs(out - ref_out).max() <= 2e-2
+    # binaural output: observed 2.9e-4 on a 1.8-peak signal (the BMVDR
+    # weights and CM mixing still ride f32 solve/projector noise)
+    assert np.abs(out - ref_out).max() <= 1e-3
 
 
 # -- round-2 extension, part 6: TVConv / MultiConv / ambi_drc ---------------
