@@ -576,7 +576,8 @@ def main():
         bst0 = BIN.init_state_batched(bcfg, S2)
         bcost = probe_cost(bbody, bst0, xs2[0], trips=K2)
         entry = fenced_rtf(scan_chunks(bbody), bst0, xs2,
-                           S2 * K2 * Tc / FS, n_rep=2, chain=8, cost=bcost)
+                           S2 * K2 * Tc / FS, n_rep=2, c1=2, c2=10,
+                           cost=bcost)
         entry["hrtf_design_source"] = (
             "sofa_open('%s'): %d dirs @ %g Hz via utils/hdf5" % (
                 os.path.basename(sofa_path), c.n_sources,

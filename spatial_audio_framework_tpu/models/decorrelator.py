@@ -35,7 +35,8 @@ class DecorrelatorConfig:
         return decor.LatticeDecorrelator(
             fs=self.fs, hop_size=self.hop, n_ch=self.n_channels,
             orders=(20, 15, 6, 3), freq_cutoffs=(600.0, 2.4e3, 4e3, 12e3),
-            max_delay=10)
+            max_delay=8,            # decorrelator.c:150 'const int maxDelay'
+            en_comp_coeff=0.75)     # decorrelator.c:152 last create arg
 
     def __post_init__(self):
         C.validate_config(self)
@@ -47,9 +48,21 @@ class DecorrelatorState(NamedTuple):
     ducker: decor.TransientDuckerState
 
 
-def design(cfg: DecorrelatorConfig) -> dict:
+def design(cfg: DecorrelatorConfig, c_rand_offset: int = None) -> dict:
+    """``c_rand_offset`` (optional): position of the C process's unseeded
+    glibc rand() stream when its latticeDecorrelator_create ran — the delay
+    draws then match the reference bit-exactly (0 for a process whose first
+    rand() consumer is the decorrelator; see utils/decor.py
+    get_decorrelation_delays_c)."""
     freqs = cfg.afstft.centre_freqs(cfg.fs)
-    return cfg.lattice.design(freqs)
+    stream = None
+    if c_rand_offset is not None:
+        from spatial_audio_framework_tpu.utils.convhull3d import glibc_rand
+
+        stream = glibc_rand()
+        for _ in range(c_rand_offset):
+            next(stream)
+    return cfg.lattice.design(freqs, c_rand_stream=stream)
 
 
 def init_state(cfg: DecorrelatorConfig, design_data: dict) -> DecorrelatorState:

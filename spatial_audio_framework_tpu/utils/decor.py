@@ -56,6 +56,51 @@ def get_decorrelation_delays(n_channels: int, freqs: np.ndarray, fs: float,
     return np.maximum((d / 1000.0 * fs / hop_size + 0.5).astype(int) - 1, 0)
 
 
+def c_randperm(n: int, rand_stream) -> np.ndarray:
+    """Bit-exact ``randperm`` (saf_utility_misc.c:156): Fisher-Yates with
+    j = rand() % (n-i) + i drawn from an emulated glibc rand() stream."""
+    p = list(range(n))
+    for i in range(n):
+        j = next(rand_stream) % (n - i) + i
+        p[i], p[j] = p[j], p[i]
+    return np.asarray(p)
+
+
+def get_decorrelation_delays_c(n_channels: int, freqs: np.ndarray, fs: float,
+                               max_tf_delay: int, hop_size: int,
+                               rand_stream) -> np.ndarray:
+    """Bit-exact C ``getDecorrelationDelays`` (saf_utility_decor.c:71-118):
+    jitters drawn band-major from the given glibc-rand() stream
+    (utils/convhull3d.glibc_rand), then a randperm per band, all arithmetic
+    in float32 as the C.  With the stream at the same position as a C
+    process, the integer slot delays match the C exactly — upgrading
+    decorrelator parity from energy-level to sample-level."""
+    from spatial_audio_framework_tpu.utils.convhull3d import RAND_MAX
+
+    f = np.float32
+    freqs32 = np.asarray(freqs, np.float32)
+    n_freqs = freqs32.shape[0]
+    nchf = f(n_channels)
+    max_ms = min(f(80.0), f(f(f(max_tf_delay - 1.0) * f(hop_size)) / f(fs))
+                 * f(1000.0))
+    rng_max = np.maximum(
+        f(7.0), np.minimum(max_ms, f(50.0 * 1000.0)
+                           / (freqs32 + f(2.23e-9))))
+    rng_min = np.maximum(
+        f(3.0), np.minimum(f(20.0), f(10.0 * 1000.0)
+                           / (freqs32 + f(2.23e-9))))
+    d = np.empty((n_freqs, n_channels), np.float32)
+    for band in range(n_freqs):
+        for ch in range(n_channels):
+            d[band, ch] = f(ch) / nchf + (f(next(rand_stream))
+                                          / f(RAND_MAX)) / nchf
+    for band in range(n_freqs):
+        d[band] = d[band][c_randperm(n_channels, rand_stream)]
+    d = d * (rng_max - rng_min)[:, None] + rng_min[:, None]
+    slots = (d / f(1000.0) * f(fs) / f(hop_size) + f(0.5)).astype(np.int32)
+    return np.maximum(slots - 1, 0)
+
+
 def synthesise_noise_reverb(n_ch: int, fs: float, t60: np.ndarray,
                             fcen_oct: np.ndarray, flatten: bool = False,
                             rng=None) -> np.ndarray:
@@ -130,12 +175,20 @@ class LatticeDecorrelator:
     lookup_offset: int = 0
     en_comp_coeff: float = 0.9
 
-    def design(self, freq_vector: np.ndarray, rng=None):
-        """→ dict of host-side numpy design data."""
+    def design(self, freq_vector: np.ndarray, rng=None, c_rand_stream=None):
+        """→ dict of host-side numpy design data.  Pass ``c_rand_stream``
+        (a utils/convhull3d.glibc_rand generator at the C process's rand()
+        position) to reproduce the reference's delays bit-exactly."""
         freqs = np.asarray(freq_vector, np.float64)
         n_bands = freqs.shape[0]
-        delays = get_decorrelation_delays(self.n_ch, freqs, self.fs,
-                                          self.max_delay, self.hop_size, rng)
+        if c_rand_stream is not None:
+            delays = get_decorrelation_delays_c(
+                self.n_ch, freqs, self.fs, self.max_delay, self.hop_size,
+                c_rand_stream)
+        else:
+            delays = get_decorrelation_delays(self.n_ch, freqs, self.fs,
+                                              self.max_delay, self.hop_size,
+                                              rng)
         max_order = max(self.orders)
         # per-(band, ch) padded numerator/denominator (identity passthrough
         # where no filtering is assigned)
@@ -143,11 +196,13 @@ class LatticeDecorrelator:
         b[..., 0] = 1.0
         a = np.zeros((n_bands, self.n_ch, max_order))
         a[..., 0] = 1.0
+        filtered = np.zeros(n_bands, bool)
         for band in range(n_bands):
             f_idx = next((o for o, fc in enumerate(self.freq_cutoffs)
                           if freqs[band] < fc), -1)
             if f_idx < 0:
                 continue
+            filtered[band] = True
             order = self.orders[f_idx]
             for ch in range(self.n_ch):
                 num = lattice_coeffs(order, ch, self.lookup_offset)
@@ -155,7 +210,7 @@ class LatticeDecorrelator:
                 # numerator = num[0..order-1], denominator = [1, num[::-1][1:]]
                 b[band, ch, :order] = num
                 a[band, ch, 1:order] = num[::-1][1:order]
-        return {"b": b, "a": a, "delays": delays,
+        return {"b": b, "a": a, "delays": delays, "filtered": filtered,
                 "max_delay_slots": int(delays.max())}
 
     def init_state(self, design: dict, n_bands: int) -> LatticeDecorState:
@@ -188,6 +243,12 @@ class LatticeDecorrelator:
         eout, zout = iir_filter_batched(one_pole, den, jnp.abs(y_uncomp) ** 2,
                                         zi=state.out_energy[..., None])
         comp = jnp.minimum(jnp.sqrt(ein / (eout + 2.23e-9)), 1.0)
+        # the C applies compensation ONLY where a lattice filter exists —
+        # bands above the last cutoff output the bare delayed signal
+        # (latticeDecorrelator_apply: the whole loop sits inside
+        # 'if buffer != NULL')
+        comp = jnp.where(jnp.asarray(design["filtered"])[:, None, None],
+                         comp, 1.0)
         y = y_uncomp * comp
         return y, LatticeDecorState(delay_buf=new_delay_buf, iir_state=new_iir,
                                     in_energy=zin[..., 0], out_energy=zout[..., 0])
@@ -275,6 +336,8 @@ def lattice_apply_ri(dec: "LatticeDecorrelator", design: dict,
     eout, zout = iir_filter_batched(one_pole, den, pout,
                                     zi=state.out_energy[..., None])
     comp = jnp.minimum(jnp.sqrt(ein / (eout + 2.23e-9)), 1.0)
+    comp = jnp.where(jnp.asarray(design["filtered"])[:, None, None],
+                     comp, 1.0)  # C: no compensation on unfiltered bands
     y2 = y2 * comp[None]
     return ((y2[0], y2[1]),
             LatticeDecorStateRI(delay_buf=new_delay_buf, iir_state=new_iir,
