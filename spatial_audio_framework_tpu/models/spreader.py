@@ -76,14 +76,21 @@ class SpreaderState(NamedTuple):
 
 
 def _lat(cfg: SpreaderConfig, n_ch: int) -> decor.LatticeDecorrelator:
+    # spreader.c:263-266: orders {20,15,6,6}, cutoffs {900, 6.8k, 12k, 24k},
+    # maxDelay 12, enComp 0.75
     return decor.LatticeDecorrelator(
         fs=cfg.fs, hop_size=cfg.hop, n_ch=n_ch,
-        orders=(20, 15, 6, 3), freq_cutoffs=(700.0, 2.4e3, 4e3, 12e3))
+        orders=(20, 15, 6, 6), freq_cutoffs=(900.0, 6.8e3, 12e3, 24e3),
+        max_delay=12, en_comp_coeff=0.75)
 
 
 def design(cfg: SpreaderConfig, irs: Optional[np.ndarray] = None,
            ir_dirs_deg: Optional[np.ndarray] = None,
-           ir_fs: Optional[int] = None) -> SpreaderWeights:
+           ir_fs: Optional[int] = None,
+           c_rand_offset: int = None) -> SpreaderWeights:
+    """``c_rand_offset``: glibc rand() stream position of the C process at
+    its first latticeDecorrelator_create — the source-0 decorrelation delays
+    then match the reference bit-exactly (see models/decorrelator.design)."""
     if irs is None:
         irs, ir_dirs_deg, ir_fs = hrir_mod.default_hrirs()
     if ir_fs != cfg.fs:
@@ -105,7 +112,19 @@ def design(cfg: SpreaderConfig, irs: Optional[np.ndarray] = None,
         HHH_re=jnp.asarray(HHH.real.astype(np.float32)),
         HHH_im=jnp.asarray(HHH.imag.astype(np.float32)),
         grid_u=jnp.asarray(u), freqs=jnp.asarray(freqs),
-        lattice=_lat(cfg, irs.shape[1]).design(freqs))
+        lattice=_lat(cfg, irs.shape[1]).design(
+            freqs, c_rand_stream=_c_stream(c_rand_offset)))
+
+
+def _c_stream(offset):
+    if offset is None:
+        return None
+    from spatial_audio_framework_tpu.utils.convhull3d import glibc_rand
+
+    s = glibc_rand()
+    for _ in range(offset):
+        next(s)
+    return s
 
 
 def init_state(cfg: SpreaderConfig, w: SpreaderWeights) -> SpreaderState:
@@ -183,8 +202,28 @@ def process(cfg: SpreaderConfig, w: SpreaderWeights, state: SpreaderState,
         Cp_new = H.ceinsum("bqh,brh->bqr", proto, H.conj(proto))
         Cp = (lam * state.Cproto_re[src] + (1 - lam) * Cp_new[0],
               lam * state.Cproto_im[src] + (1 - lam) * Cp_new[1])
-        Cy_new = (jnp.einsum("bgqr,bg->bqr", w.HHH_re, mask),
-                  jnp.einsum("bgqr,bg->bqr", w.HHH_im, mask))
+        # Target covariance per band.  The C's per-band accumulator Cy is
+        # only memset INSIDE the freq<MAX_SPREAD_FREQ branch
+        # (spreader.c:485-503); above it, the nSpread==0 fallback cblas_caxpy
+        # of the centre direction's HHH lands ON TOP of the last below-band
+        # spread-area sum and keeps accumulating across all higher bands.
+        # Mirrored exactly (docs/C_PARITY.md upstream bug #8) — EVD mode's
+        # global Gcomp normalisation sums traces over ALL bands, so the
+        # quirk is audible there.
+        area_mask = jnp.where(use_area, in_area.astype(jnp.float32),
+                              jax.nn.one_hot(centre, angles.shape[0]))
+        S = (jnp.einsum("bgqr,g->bqr", w.HHH_re, area_mask),
+             jnp.einsum("bgqr,g->bqr", w.HHH_im, area_mask))
+        ch = (jnp.take(w.HHH_re, centre, axis=1),
+              jnp.take(w.HHH_im, centre, axis=1))          # (nBands, Q, Q)
+        above = (~below)[:, None, None]
+        cs = (jnp.cumsum(ch[0] * above, axis=0),
+              jnp.cumsum(ch[1] * above, axis=0))
+        k0m1 = below.sum() - 1                             # last below band
+        base = (jnp.take(S[0], k0m1, axis=0), jnp.take(S[1], k0m1, axis=0))
+        bel3 = below[:, None, None]
+        Cy_new = (jnp.where(bel3, S[0], base[0][None] + cs[0]),
+                  jnp.where(bel3, S[1], base[1][None] + cs[1]))
         if cfg.mode == MODE_OM:
             # impose target energies (spreader.c:#if 1 block)
             tr_y = jnp.einsum("bqq->b", Cy_new[0])
@@ -208,7 +247,16 @@ def process(cfg: SpreaderConfig, w: SpreaderWeights, state: SpreaderState,
             # Gcomp = sqrt(Eproto/Ey) (spreader.c:524) — the C scales the
             # target covariance by the SQRT of the energy ratio
             s = jnp.sqrt(e_p / (e_y + 2.23e-9))
-            lam_e, V = H.herm_eig_pairs((Cy[0] * s, Cy[1] * s))
+            if Q == 2:
+                # bit-faithful utility_cseig (sortDecFLAG=1): LAPACK cheev's
+                # exact eigenvector signs/phases — M mixes DECORRELATED
+                # channels, whose mutual correlations make the output depend
+                # on the vector phases, not just the subspaces
+                lam_e, V = H.cheev_2x2((Cy[0] * s, Cy[1] * s))
+            else:
+                lam_e, V = H.herm_eig_pairs((Cy[0] * s, Cy[1] * s))
+                lam_e = lam_e[..., ::-1]
+                V = (V[0][..., ::-1], V[1][..., ::-1])
             root = jnp.sqrt(jnp.maximum(lam_e, 0.0))[..., None, :]
             M = (V[0] * root, V[1] * root)
             Mr = jnp.zeros_like(state.prev_Mr[src])

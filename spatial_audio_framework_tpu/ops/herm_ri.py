@@ -233,6 +233,90 @@ def join(x: Cmplx):
     return np.asarray(x[0]) + 1j * np.asarray(x[1])
 
 
+def cheev_2x2(C: Cmplx):
+    """LAPACK-``cheev``-convention eigendecomposition of Hermitian 2×2
+    batches — closed form, branchless, bit-matching the reference's
+    ``utility_cseig`` (OpenBLAS cheev) including eigenvector SIGNS:
+
+    * chetrd/clarfg: the off-diagonal is made real as
+      e = −sign(Re α)·|α| with phase φ = α/e — EXCEPT when Im α == 0, where
+      clarfg takes its early exit and e keeps α's own sign with φ = 1.
+    * steqr's 2×2 block solves via slaev2, whose (cs1, sn1) sign logic is
+      reproduced verbatim; v(rt1) = (cs1·φ, sn1), v(rt2) = (−sn1·φ, cs1)
+      where rt1 is the larger-|·| eigenvalue.
+
+    Returns (λ (..., 2) DESCENDING BY VALUE — utility_cseig sortDecFLAG=1 —
+    and V (..., 2, 2) complex pair with columns matching λ).  Verified
+    against scipy's cheev on 3000 random Hermitian 2×2 (incl. indefinite
+    and real-off-diagonal cases)."""
+    a = C[0][..., 0, 0]
+    c = C[0][..., 1, 1]
+    r01 = C[0][..., 0, 1]
+    i01 = C[1][..., 0, 1]
+    tiny = jnp.float32(1e-30)
+    mag = jnp.sqrt(r01 * r01 + i01 * i01)
+    real_case = (i01 == 0.0)
+    sgn_r = jnp.where(r01 >= 0.0, 1.0, -1.0)
+    e = jnp.where(real_case, r01, -sgn_r * mag)
+    e_safe = jnp.where(e == 0.0, 1.0, e)
+    phi = (jnp.where(real_case, 1.0, r01 / e_safe),
+           jnp.where(real_case, 0.0, i01 / e_safe))
+
+    # --- slaev2(a, e, c), verbatim branch structure -------------------------
+    sm = a + c
+    df = a - c
+    adf = jnp.abs(df)
+    tb = e + e
+    ab = jnp.abs(tb)
+    adf_s = jnp.maximum(adf, tiny)
+    ab_s = jnp.maximum(ab, tiny)
+    rt = jnp.where(
+        adf > ab, adf * jnp.sqrt(1.0 + (ab / adf_s) ** 2),
+        jnp.where(adf < ab, ab * jnp.sqrt(1.0 + (adf / ab_s) ** 2),
+                  ab * jnp.sqrt(jnp.float32(2.0))))
+    sgn1 = jnp.where(sm < 0.0, -1.0, 1.0)
+    rt1 = jnp.where(sm < 0.0, 0.5 * (sm - rt),
+                    jnp.where(sm > 0.0, 0.5 * (sm + rt), 0.5 * rt))
+    bigger_a = jnp.abs(a) > jnp.abs(c)    # slaev2: strict '>' picks a
+    acmx = jnp.where(bigger_a, a, c)      # signed larger-|.| diagonal
+    acmn = jnp.where(bigger_a, c, a)
+    rt1_s = jnp.where(rt1 == 0.0, 1.0, rt1)
+    rt2 = jnp.where(sm == 0.0, -0.5 * rt,
+                    acmx / rt1_s * acmn - (e / rt1_s) * e)
+    cs = jnp.where(df >= 0.0, df + rt, df - rt)
+    sgn2 = jnp.where(df >= 0.0, 1.0, -1.0)
+    acs = jnp.abs(cs)
+    cs_safe = jnp.where(cs == 0.0, 1.0, cs)
+    tb_safe = jnp.where(tb == 0.0, 1.0, tb)
+    ct = -tb / cs_safe
+    sn1_a = 1.0 / jnp.sqrt(1.0 + ct * ct)
+    cs1_a = ct * sn1_a
+    tn = -cs / tb_safe
+    cs1_b = 1.0 / jnp.sqrt(1.0 + tn * tn)
+    sn1_b = tn * cs1_b
+    cs1 = jnp.where(acs > ab, cs1_a, jnp.where(ab == 0.0, 1.0, cs1_b))
+    sn1 = jnp.where(acs > ab, sn1_a, jnp.where(ab == 0.0, 0.0, sn1_b))
+    swap = (sgn1 == sgn2)
+    cs1, sn1 = (jnp.where(swap, -sn1, cs1), jnp.where(swap, cs1, sn1))
+
+    # columns: v(rt1) = (cs1·φ, sn1), v(rt2) = (−sn1·φ, cs1); sort
+    # descending BY VALUE (rt1 is larger-|·|, not necessarily larger)
+    v1 = ((cs1 * phi[0], sn1), (cs1 * phi[1], jnp.zeros_like(sn1)))
+    v2 = ((-sn1 * phi[0], cs1), (-sn1 * phi[1], jnp.zeros_like(cs1)))
+    first = (rt1 >= rt2)
+    lam = jnp.stack([jnp.where(first, rt1, rt2),
+                     jnp.where(first, rt2, rt1)], axis=-1)
+
+    def col(i, part):
+        hi = (v1[part][i], v2[part][i])
+        return jnp.stack([jnp.where(first, hi[0], hi[1]),
+                          jnp.where(first, hi[1], hi[0])], axis=-1)
+
+    Vre = jnp.stack([col(0, 0), col(1, 0)], axis=-2)
+    Vim = jnp.stack([col(0, 1), col(1, 1)], axis=-2)
+    return lam, (Vre, Vim)
+
+
 # ---------------------------------------------------------------------------
 # Closed-form 2×2 decompositions (no iterative QR/Jacobi — TPU-friendly)
 # ---------------------------------------------------------------------------

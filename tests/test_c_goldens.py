@@ -720,19 +720,23 @@ def test_sldoa_end_to_end_vs_c(g):
 
 
 def test_spreader_vs_c(g):
-    """Naive mode (no decorrelation) matches the C exactly; OM/EVD route
-    through the lattice decorrelator, whose random delay assignment differs
-    from the C's unseeded rand() — there the covariance-matched OUTPUT
-    ENERGY is pinned instead (per-ear within 2x, as observed ~0.7-1.3)."""
+    """ALL THREE modes pinned sample-exactly (round 3; OM/EVD were
+    energy-pinned in round 2).  What it took: glibc-rand()-exact
+    decorrelation delays (the generator's stream positions 9272/16036 were
+    measured by instrumenting gen_goldens7 with a counting rand();
+    each spreader initCodec consumes 8×532 decorrelator draws + one
+    836-grid convhull = 6764), the C's un-reset high-band Cy accumulator
+    (C_PARITY bug #8), and bit-faithful LAPACK-cheev eigenvector signs for
+    EVD (ops/herm_ri.cheev_2x2)."""
     from spatial_audio_framework_tpu.models import spreader as SPR
 
     x = np.asarray(g["spr_in"], np.float32)
     dirs = jnp.asarray(np.array([[40.0, 10.0]], np.float32))
     spread = jnp.asarray(np.array([60.0], np.float32))
 
-    def run(mode):
+    def run(mode, off):
         cfg = SPR.SpreaderConfig(n_sources=1, mode=mode, cov_avg_coeff=0.5)
-        w = SPR.design(cfg)
+        w = SPR.design(cfg, c_rand_offset=off)
         st = SPR.init_state(cfg, w)
         proc = jax.jit(lambda s, xx: SPR.process(cfg, w, s, xx, dirs, spread))
         outs = []
@@ -741,15 +745,14 @@ def test_spreader_vs_c(g):
             outs.append(np.asarray(y))
         return np.concatenate(outs, -1)
 
-    out = run(SPR.MODE_NAIVE)
+    out = run(SPR.MODE_NAIVE, None)
     assert np.abs(out - g["spr_out_naive"]).max() <= TOL * 2.0
 
-    for mode, key in [(SPR.MODE_OM, "spr_out_om"),
-                      (SPR.MODE_EVD, "spr_out_evd")]:
-        out = run(mode)
-        ref = np.asarray(g[key])
-        ratio = (out[:, 2048:] ** 2).mean(-1) / (ref[:, 2048:] ** 2).mean(-1)
-        assert np.all(ratio > 0.5) and np.all(ratio < 2.0), (mode, ratio)
+    for mode, key, off in [(SPR.MODE_OM, "spr_out_om", 9272),
+                           (SPR.MODE_EVD, "spr_out_evd", 16036)]:
+        out = run(mode, off)
+        ref = np.asarray(g[key]).reshape(2, -1)
+        assert np.abs(out - ref).max() <= 1e-3, mode  # obs 1.3e-4 / 2e-4
 
 
 # -- round-2 extension, part 8: remaining examples + the fork's -------------

@@ -72,3 +72,39 @@ def test_cdf4sap_2x2_fast_path_matches_embedded(use_energy):
         H.split(Cx), H.split(Cy), H.split(Q), use_energy, 0.01)
     assert np.abs(_join(Mf) - Mg).max() <= 2e-4
     assert np.abs(_join(Crf) - Crg).max() <= 2e-4
+
+
+def test_cheev_2x2_matches_lapack():
+    """ops/herm_ri.cheev_2x2 is bit-faithful to LAPACK cheev (the
+    reference's utility_cseig backend) — eigenvalues descending by value
+    AND eigenvector signs/phases — incl. indefinite and real-off-diagonal
+    (clarfg early-exit) cases."""
+    import jax
+    import jax.numpy as jnp
+    from scipy.linalg import lapack
+
+    from spatial_audio_framework_tpu.ops import herm_ri as H
+
+    rng = np.random.default_rng(7)
+    As = []
+    for i in range(500):
+        X = rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2))
+        A = X @ X.conj().T
+        if rng.random() < 0.2:
+            A[0, 1] = A[0, 1].real
+            A[1, 0] = A[0, 1]
+        if rng.random() < 0.3:
+            A = A - rng.uniform(0, 2) * np.trace(A).real * np.eye(2)
+        As.append(((A + A.conj().T) / 2).astype(np.complex64))
+    As = np.stack(As)
+    lam, V = jax.jit(H.cheev_2x2)((jnp.asarray(As.real),
+                                   jnp.asarray(As.imag)))
+    lam = np.asarray(lam)
+    Vc = np.asarray(V[0]) + 1j * np.asarray(V[1])
+    for i in range(len(As)):
+        w, Vl, info = lapack.cheev(As[i], compute_v=1)
+        assert info == 0
+        wd, Vd = w[::-1], Vl[:, ::-1]
+        scale = max(1.0, float(np.abs(As[i]).max()))
+        assert np.abs(lam[i] - wd).max() <= 2e-4 * scale, i
+        assert np.abs(Vc[i] - Vd).max() <= 3e-4, i
