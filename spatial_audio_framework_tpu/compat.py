@@ -537,7 +537,16 @@ from spatial_audio_framework_tpu.utils.filters import (  # noqa: E402
 # decorrelation helpers (saf_utility_decor.h)
 from spatial_audio_framework_tpu.utils.decor import (  # noqa: E402
     get_decorrelation_delays as getDecorrelationDelays,
+    get_decorrelation_delays_c as getDecorrelationDelays_c_exact,
     synthesise_noise_reverb as synthesiseNoiseReverb,
+)
+
+# the vendored quickhull (framework/resources/convhull_3d) — bit-faithful
+# reimplementation incl. the unseeded-rand() jitter; glibc_rand models the
+# C process's rand() stream
+from spatial_audio_framework_tpu.utils.convhull3d import (  # noqa: E402
+    convhull_3d_build,
+    glibc_rand,
 )
 
 # bessel/hankel (saf_utility_bessel.h)

@@ -151,3 +151,35 @@ def test_fused_chunk_matches_scan_chunk():
     for a, b in zip(jax.tree_util.tree_leaves(st_f),
                     jax.tree_util.tree_leaves(st_s)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_pipeline_matches_c_golden():
+    """The production fused pipeline (scan-free time-batched chunk) hits the
+    compiled C reference on the 6-mic golden configuration end-to-end — not
+    just the two-stage host-marshalled path that test_c_goldens pins."""
+    import os
+
+    import jax.numpy as jnp
+
+    from spatial_audio_framework_tpu.modules import hades as HD
+    from spatial_audio_framework_tpu.modules.hrir import default_hrirs
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                             "c_goldens.npz"))
+    ana = HD.HadesAnalysis(fs=48000.0, hop=64,
+                           h_array=np.asarray(g["hds_h_array"], np.float32),
+                           grid_dirs_deg=np.asarray(g["hds_grid_dirs_deg"],
+                                                    np.float64),
+                           blocksize=256, hybrid=False, low_delay=True)
+    hrirs, hrir_dirs, hfs = default_hrirs()
+    syn = HD.HadesSynthesis(
+        ana, hrirs=hrirs, hrir_dirs_deg=hrir_dirs, hrir_fs=hfs,
+        beam_option=HD.HADES_BEAMFORMER_BMVDR, ref_indices=(1, 5),
+        enable_cm=True, interp_option=HD.HADES_HRTF_INTERP_NEAREST)
+    pipe = HD.HadesPipeline(ana, syn)
+    x = np.asarray(g["hds_in"], np.float32).reshape(ana.n_mics, 16, 256)
+    x_blocks = jnp.asarray(np.moveaxis(x, 1, 0))
+    ys, _ = pipe.process_chunk(pipe.init_state(), x_blocks)
+    out = np.moveaxis(np.asarray(ys), 0, 1).reshape(2, -1)
+    ref = np.asarray(g["hds_out_bin"]).reshape(2, -1)
+    assert np.abs(out - ref).max() <= 1e-3  # two-stage path observes 2.9e-4
