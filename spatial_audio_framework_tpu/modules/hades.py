@@ -156,6 +156,26 @@ class HadesAnalysis:
         # device copies (RI)
         self._T_d = _split(self.T)
         self._Aw_d = _split(self.H_array_w)
+        if self.n_mics == 2:
+            # entrywise fast-path constants (bands on the lane axis): the
+            # whitening matrix as four scalar complex entries, and the
+            # sdMUSIC quadform folded into per-(band, grid) tables so
+            # den = p00·|a0|² + p11·|a1|² + 2·Re(p01·conj(a0)a1) is pure
+            # broadcast arithmetic — no (..., 2, 2) layouts anywhere
+            import jax.numpy as jnp
+
+            T = self.T
+            self._T_e = tuple(tuple(
+                (jnp.asarray(T[:, i, j].real.astype(np.float32)),
+                 jnp.asarray(T[:, i, j].imag.astype(np.float32)))
+                for j in (0, 1)) for i in (0, 1))
+            a0 = self.H_array_w[:, 0]
+            a1 = self.H_array_w[:, 1]
+            z = a0.conj() * a1
+            self._qf_d = (jnp.asarray((np.abs(a0) ** 2).astype(np.float32)),
+                          jnp.asarray((np.abs(a1) ** 2).astype(np.float32)),
+                          jnp.asarray(z.real.astype(np.float32)),
+                          jnp.asarray(z.imag.astype(np.float32)))
         self.Cx_avg = (jnp.zeros((self.n_bands, self.n_mics, self.n_mics)),
                        jnp.zeros((self.n_bands, self.n_mics, self.n_mics)))
         self.bank_state = ri.init_state_ri(self.bank, self.n_mics, 2)
@@ -195,6 +215,34 @@ class HadesAnalysis:
         # sdMUSIC pseudo-spectrum: 1 / ‖Vnᴴ a‖² (hades_sdMUSIC_compute,
         # saf_hades_internal.c:196-204 — NO |a|² numerator, unlike sphMUSIC)
         den = H.herm_quadform(Pn, self._Aw_d)  # (nBands, nGrid)
+        doa_idx = jnp.argmin(den, axis=-1)
+        return diff, doa_idx
+
+    def _cov_stats_e(self, C_e):
+        """_cov_stats for the 2-mic path with the SCM in ENTRY form
+        (((c00, c01), (c10, c11)) of (re, im) scalar arrays, bands last):
+        whiten → closed-form eig → COMEDIE + sdMUSIC, all elementwise with
+        the batch dims on TPU lanes (see __init__'s _T_e/_qf_d)."""
+        import jax.numpy as jnp
+
+        from spatial_audio_framework_tpu.modules.cdf4sap import (
+            _herm_eig_2x2_e, _m2_herm, _m2_mul)
+
+        Cw = _m2_mul(_m2_mul(self._T_e, C_e), _m2_herm(self._T_e))
+        l1, l2, V = _herm_eig_2x2_e(Cw[0][0][0], Cw[1][1][0], *Cw[0][1])
+        diff = comedie_batch(jnp.stack([jnp.maximum(l1, 0.0),
+                                        jnp.maximum(l2, 0.0)], -1))
+        # noise projector from the smallest-λ eigenvector v (second row
+        # real): Pn = v vᴴ → p00 = |v₀|², p11 = v₁², p01 = v₀·v₁
+        (v2r0, v2i0) = V[0][1]
+        v2r1 = V[1][1][0]
+        p00 = v2r0 * v2r0 + v2i0 * v2i0
+        p11 = v2r1 * v2r1
+        p01r = v2r0 * v2r1
+        p01i = v2i0 * v2r1
+        A0, A1, zr, zi = self._qf_d
+        den = (p00[..., None] * A0 + p11[..., None] * A1
+               + 2.0 * (p01r[..., None] * zr - p01i[..., None] * zi))
         doa_idx = jnp.argmin(den, axis=-1)
         return diff, doa_idx
 
@@ -561,20 +609,57 @@ class HadesPipeline:
                 return jnp.moveaxis(s.reshape(B, Mch, nb, ts), 2, 0)
 
             inTF = (to_blocks(sre), to_blocks(sim))
-            Cx_new = (jnp.einsum("tbmh,tbnh->tbmn", inTF[0], inTF[0],
-                                 precision=hp)
-                      + jnp.einsum("tbmh,tbnh->tbmn", inTF[1], inTF[1],
-                                   precision=hp),
-                      jnp.einsum("tbmh,tbnh->tbmn", inTF[1], inTF[0],
-                                 precision=hp)
-                      - jnp.einsum("tbmh,tbnh->tbmn", inTF[0], inTF[1],
-                                   precision=hp))
             Lc, pc = onepole_kernel(ana.cov_avg_coeff, nb)
-            Cx_avg = tuple(
-                jnp.einsum("tk,kbmn->tbmn", Lc, Cn, precision=hp)
-                + pc[:, None, None, None] * c0
-                for Cn, c0 in zip(Cx_new, cx0))
-            diff, doa_idx = jax.vmap(ana._cov_stats)(Cx_avg)
+            if ana.n_mics == 2:
+                # entrywise 2-mic path: the SCM's three unique entries as
+                # scalar (t, nBands) arrays (bands on lanes) — no
+                # (..., 2, 2) stacking until the synthesis boundary
+                r0, r1 = inTF[0][:, :, 0], inTF[0][:, :, 1]
+                i0, i1 = inTF[1][:, :, 0], inTF[1][:, :, 1]
+                c00 = (r0 * r0 + i0 * i0).sum(-1)
+                c11 = (r1 * r1 + i1 * i1).sum(-1)
+                c01r = (r0 * r1 + i0 * i1).sum(-1)
+                c01i = (i0 * r1 - r0 * i1).sum(-1)
+
+                def rec(e, e0):
+                    return (jnp.einsum("tk,kb->tb", Lc, e, precision=hp)
+                            + pc[:, None] * e0)
+
+                a00 = rec(c00, cx0[0][:, 0, 0])
+                a11 = rec(c11, cx0[0][:, 1, 1])
+                a01r = rec(c01r, cx0[0][:, 0, 1])
+                a01i = rec(c01i, cx0[1][:, 0, 1])
+                z = jnp.zeros_like(a00)
+                C_e = (((a00, z), (a01r, a01i)),
+                       ((a01r, -a01i), (a11, z)))
+                diff, doa_idx = ana._cov_stats_e(C_e)
+                # stacked forms only where consumers need them: Cx_new for
+                # the BMVDR/CM synthesis, Cx_avg[-1] for the state carry
+                Cx_new = (
+                    jnp.stack([jnp.stack([c00, c01r], -1),
+                               jnp.stack([c01r, c11], -1)], -2),
+                    jnp.stack([jnp.stack([jnp.zeros_like(c00), c01i], -1),
+                               jnp.stack([-c01i, jnp.zeros_like(c00)], -1)],
+                              -2))
+                Cx_avg = (
+                    jnp.stack([jnp.stack([a00, a01r], -1),
+                               jnp.stack([a01r, a11], -1)], -2),
+                    jnp.stack([jnp.stack([z, a01i], -1),
+                               jnp.stack([-a01i, z], -1)], -2))
+            else:
+                Cx_new = (jnp.einsum("tbmh,tbnh->tbmn", inTF[0], inTF[0],
+                                     precision=hp)
+                          + jnp.einsum("tbmh,tbnh->tbmn", inTF[1], inTF[1],
+                                       precision=hp),
+                          jnp.einsum("tbmh,tbnh->tbmn", inTF[1], inTF[0],
+                                     precision=hp)
+                          - jnp.einsum("tbmh,tbnh->tbmn", inTF[0], inTF[1],
+                                       precision=hp))
+                Cx_avg = tuple(
+                    jnp.einsum("tk,kbmn->tbmn", Lc, Cn, precision=hp)
+                    + pc[:, None, None, None] * c0
+                    for Cn, c0 in zip(Cx_new, cx0))
+                diff, doa_idx = jax.vmap(ana._cov_stats)(Cx_avg)
 
             ones_b = jnp.ones(ana.n_bands, jnp.float32)
             Mb = jax.vmap(lambda cx, d, di: syn._mix_mtx(
