@@ -532,6 +532,102 @@ def main():
     except Exception:
         pass
 
+    # ambi_dec: order-1 AllRAD decode to 5 loudspeakers, 64 streams
+    try:
+        from spatial_audio_framework_tpu.models import ambi_dec as ADC
+        als = np.array([[30.0, 0], [-30, 0], [110, 0], [-110, 0], [0, 90]],
+                       np.float64)
+        acfg = ADC.AmbiDecConfig(master_order=1)
+        aw = ADC.design_ri(acfg, als)
+        adx = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
+            jnp.arange(K)))(jnp.asarray(rng.uniform(
+                -1, 1, (64, acfg.nsh, Tc)).astype(np.float32)))
+
+        def adbody(st, xk):
+            y, st = ADC.process_ri_batched(acfg, aw, st, xk)
+            return st, jnp.sum(y * y)
+
+        adst0 = ADC.init_state_batched(acfg, 64, len(als))
+        adcost = probe_cost(adbody, adst0, adx[0], trips=K)
+        config_rtfs["ambi_dec_o1_5ls_64streams"] = fenced_rtf(
+            scan_chunks(adbody), adst0, adx, 64 * K * Tc / FS, cost=adcost)
+    except Exception:
+        pass
+
+    # array2sh: Eigenmike32 -> order-4 SH encoding, 16 streams
+    try:
+        from spatial_audio_framework_tpu.models import array2sh as A2S
+        from spatial_audio_framework_tpu.utils import presets as _presets
+        em32 = np.degrees(_presets.mic_preset("eigenmike32"))
+        a2cfg = A2S.Array2SHConfig(order=4)
+        a2w = A2S.design_ri(a2cfg, em32)
+        a2x = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
+            jnp.arange(K)))(jnp.asarray(rng.uniform(
+                -1, 1, (16, em32.shape[0], Tc)).astype(np.float32)))
+
+        def a2body(st, xk):
+            y, st = A2S.process_ri_batched(a2cfg, a2w, st, xk)
+            return st, jnp.sum(y * y)
+
+        a2st0 = A2S.init_state_batched(a2cfg, 16, em32.shape[0])
+        a2cost = probe_cost(a2body, a2st0, a2x[0], trips=K)
+        config_rtfs["array2sh_em32_o4_16streams"] = fenced_rtf(
+            scan_chunks(a2body), a2st0, a2x, 16 * K * Tc / FS, cost=a2cost)
+    except Exception:
+        pass
+
+    # decorrelator: 4-channel lattice decorrelation, 16 streams
+    try:
+        from spatial_audio_framework_tpu.models import decorrelator as DCR
+        dcfg = DCR.DecorrelatorConfig(n_channels=4,
+                                      enable_transient_ducker=False)
+        dw = DCR.design(dcfg)
+        ddx = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
+            jnp.arange(K)))(jnp.asarray(rng.uniform(
+                -1, 1, (16, 4, Tc)).astype(np.float32)))
+
+        def dbody(st, xk):
+            y, st = DCR.process_ri_batched(dcfg, dw, st, xk)
+            return st, jnp.sum(y * y)
+
+        dst0 = DCR.init_state_batched(dcfg, dw, 16)
+        dcost = probe_cost(dbody, dst0, ddx[0], trips=K)
+        config_rtfs["decorrelator_4ch_16streams"] = fenced_rtf(
+            scan_chunks(dbody), dst0, ddx, 16 * K * Tc / FS, cost=dcost)
+    except Exception:
+        pass
+
+    # spreader: 1 source, OM mode (CDF4SAP + lattice per frame)
+    try:
+        from spatial_audio_framework_tpu.models import spreader as SPRD
+        scfg = SPRD.SpreaderConfig(n_sources=1, mode=SPRD.MODE_OM)
+        sw = SPRD.design(scfg)
+        sdirs = jnp.asarray(np.array([[40.0, 10.0]], np.float32))
+        sspread = jnp.asarray(np.array([60.0], np.float32))
+        FRS = 512
+        spx = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
+            jnp.arange(K)))(jnp.asarray(rng.uniform(
+                -1, 1, (1, 8 * FRS)).astype(np.float32)))
+
+        def spbody(st, xk):
+            frames = jnp.moveaxis(xk.reshape(1, 8, FRS), 1, 0)
+
+            def fstep(st, xf):
+                y, st = SPRD.process(scfg, sw, st, xf, sdirs, sspread)
+                return st, jnp.sum(y * y)
+
+            st, es = jax.lax.scan(fstep, st, frames)
+            return st, jnp.sum(es)
+
+        spst0 = SPRD.init_state(scfg, sw)
+        spcost = probe_cost(
+            lambda st, xf: SPRD.process(scfg, sw, st, xf, sdirs, sspread),
+            spst0, spx[0][:, :FRS], trips=K * 8)
+        config_rtfs["spreader_om_1src"] = fenced_rtf(
+            scan_chunks(spbody), spst0, spx, K * 8 * FRS / FS, cost=spcost)
+    except Exception:
+        pass
+
     # binauraliser: HRTFs loaded from an actual SOFA file through the
     # pure-Python HDF5 reader (BASELINE.json "binauraliser: SOFA HRTF
     # interpolation + time-varying partitioned convolution") — the design

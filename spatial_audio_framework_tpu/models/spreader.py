@@ -267,8 +267,12 @@ def process(cfg: SpreaderConfig, w: SpreaderWeights, state: SpreaderState,
             Qid = (jnp.broadcast_to(eyeQ, Cp[0].shape), jnp.zeros_like(Cp[0]))
             M, Cr = cdf4sap.formulate_M_and_Cr_ri(Cp_l, Cy, Qid, False, 0.2)
             Cp_diag = jnp.einsum("bqq->bq", Cp[0])[..., None] * eyeQ
-            Mr, _ = cdf4sap.formulate_M_and_Cr(Cp_diag, Cr[0], eyeQ,
-                                               False, 0.2)
+            # real residual-mixing solve routed through the entrywise 2×2
+            # complex path with zero imaginary parts — the generic real path
+            # lowers to three batched Jacobi SVDs per frame
+            zz = jnp.zeros_like(Cp_diag)
+            Mr = cdf4sap.formulate_M_and_Cr_ri(
+                (Cp_diag, zz), (Cr[0], zz), Qid, False, 0.2)[0][0]
             M = (jnp.where(below[:, None, None], M[0], eyeQ[None]),
                  jnp.where(below[:, None, None], M[1], 0.0))
             Mr = jnp.where(below[:, None, None], Mr, 0.0)

@@ -121,3 +121,67 @@ def iir_filter(b, a, x, zi=None):
     y = jnp.moveaxis(y, 0, -1)
     zf = jnp.moveaxis(s[-1], -1, 0)  # (d, ...)
     return y, jnp.moveaxis(zf, 0, -1)
+
+
+# ---------------------------------------------------------------------------
+# Exact block form: y = H x + Z zi,  s_T = Kx x + AT zi
+# ---------------------------------------------------------------------------
+
+_BLOCK_MATS_CACHE: dict = {}
+
+
+def _iir_block_mats(b: np.ndarray, a: np.ndarray, T: int):
+    """Design-time unroll of the DF2T recurrence over a fixed block length:
+
+        y[t]  = b0·x[t] + e0ᵀ A^t·zi + Σ_{k<t} (e0ᵀ A^{t-1-k} Bx)·x[k]
+        s_T   = A^T·zi + Σ_k A^{T-1-k} Bx·x[k]
+
+    → (H (..., T, T) lower-triangular Toeplitz of the impulse response,
+       Z (..., T, d), Kx (..., d, T), AT (..., d, d)), float32.
+
+    This replaces the associative scan of (d × d) companion products —
+    O(T·d³) FLOPs in badly-padded tiny matmuls for the order-20 lattice
+    decorrelators — with four dense MXU matmuls.  Exact for any h decay
+    (the state terms carry whatever the T-tap window does not)."""
+    key = (b.tobytes(), a.tobytes(), b.shape, a.shape, T)
+    hit = _BLOCK_MATS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    A, Bx, b0 = _df2t_matrices(b, a)
+    batch = A.shape[:-2]
+    d = A.shape[-1]
+    # powers of A (f64)
+    P = np.zeros((T + 1,) + batch + (d, d))
+    P[0] = np.broadcast_to(np.eye(d), batch + (d, d))
+    for t in range(1, T + 1):
+        P[t] = P[t - 1] @ A
+    # impulse response: h[0] = b0; h[j] = e0ᵀ A^{j-1} Bx
+    g = np.einsum("t...ij,...j->t...i", P[:T], Bx)[..., 0]   # (T, ...)
+    h = np.concatenate([b0[None], g[:-1]], axis=0)           # (T, ...)
+    hm = np.moveaxis(h, 0, -1)                                # (..., T)
+    H = np.zeros(batch + (T, T))
+    for j in range(T):
+        ii = np.arange(j, T)
+        H[..., ii, ii - j] = hm[..., j:j + 1]
+    Z = np.moveaxis(P[:T][..., 0, :], 0, -2)                  # (..., T, d)
+    Kx = np.moveaxis(np.einsum("t...ij,...j->t...i", P[T - 1::-1], Bx),
+                     0, -1)                                   # (..., d, T)
+    AT = P[T]
+    out = tuple(np.asarray(m, np.float32) for m in (H, Z, Kx, AT))
+    _BLOCK_MATS_CACHE[key] = out
+    return out
+
+
+def iir_filter_batched_block(b: np.ndarray, a: np.ndarray, x, zi):
+    """iir_filter_batched semantics via the exact block form (fixed
+    T = x.shape[-1]).  b, a: (..., n) host numpy; x: (..., batch..., T)
+    broadcastable against the coefficient batch; zi: (..., n-1)."""
+    T = x.shape[-1]
+    H, Z, Kx, AT = _iir_block_mats(np.asarray(b), np.asarray(a), T)
+    hp = jax.lax.Precision.HIGHEST
+    Hj, Zj, Kxj, ATj = (jnp.asarray(m) for m in (H, Z, Kx, AT))
+    y = (jnp.einsum("...ts,...s->...t", Hj, x, precision=hp)
+         + jnp.einsum("...td,...d->...t", Zj, zi, precision=hp))
+    zf = (jnp.einsum("...dt,...t->...d", Kxj, x, precision=hp)
+          + jnp.einsum("...de,...e->...d", ATj, zi, precision=hp))
+    return y, zf

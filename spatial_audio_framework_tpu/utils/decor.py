@@ -3,9 +3,10 @@ assignment, synthesised noise reverb, the lattice all-pass decorrelator and
 the transient ducker.
 
 The lattice decorrelator's per-(band, channel) all-pass IIRs run along the
-hop-time axis; TPU-native they evaluate as one batched associative-scan
-linear recurrence (``ops.iir.iir_filter_batched``) instead of the
-reference's per-sample triple loop (saf_utility_decor.c:300-383).
+hop-time axis; TPU-native they evaluate in the exact block form
+(``ops.iir.iir_filter_batched_block``: dense Toeplitz/state matmuls on the
+MXU) instead of the reference's per-sample triple loop
+(saf_utility_decor.c:300-383).
 """
 from __future__ import annotations
 
@@ -17,7 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spatial_audio_framework_tpu.ops.iir import iir_filter_batched
+from spatial_audio_framework_tpu.ops.iir import (
+    iir_filter_batched_block as iir_filter_batched,  # exact block form:
+    # the order-20 lattice allpasses as dense Toeplitz/state matmuls
+    # instead of an associative scan of 19x19 companion products
+)
 from spatial_audio_framework_tpu.utils import filters as _filters
 
 
@@ -315,7 +320,11 @@ def lattice_apply_ri(dec: "LatticeDecorrelator", design: dict,
                      fim: jax.Array):
     """LatticeDecorrelator.apply on an (re, im) pair: (nBands, nCH, T) each
     → ((yre, yim), state)."""
-    from spatial_audio_framework_tpu.ops.iir import iir_filter_batched
+    from spatial_audio_framework_tpu.ops.iir import (
+    iir_filter_batched_block as iir_filter_batched,  # exact block form:
+    # the order-20 lattice allpasses as dense Toeplitz/state matmuls
+    # instead of an associative scan of 19x19 companion products
+)
 
     x2 = jnp.stack([fre, fim], axis=0)            # (2, nBands, nCH, T)
     T = x2.shape[-1]
