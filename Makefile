@@ -17,6 +17,7 @@ smoke:
 demos:
 	python examples/demo_binaural_rendering.py
 	python examples/demo_room_acoustics.py
+	python examples/demo_hades.py
 
 native:
 	g++ -O2 -std=c++17 -shared -fPIC -pthread native/saf_runtime.cpp \
