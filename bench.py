@@ -610,21 +610,26 @@ def main():
                 -1, 1, (1, 8 * FRS)).astype(np.float32)))
 
         def spbody(st, xk):
+            # scan-free frame-batched path (models/spreader.process_chunk):
+            # 8 frames per inner chunk, EWMAs as triangular matmuls
             frames = jnp.moveaxis(xk.reshape(1, 8, FRS), 1, 0)
-
-            def fstep(st, xf):
-                y, st = SPRD.process(scfg, sw, st, xf, sdirs, sspread)
-                return st, jnp.sum(y * y)
-
-            st, es = jax.lax.scan(fstep, st, frames)
-            return st, jnp.sum(es)
+            y, st = SPRD.process_chunk(scfg, sw, st, frames, sdirs, sspread)
+            return st, jnp.sum(y * y)
 
         spst0 = SPRD.init_state(scfg, sw)
         spcost = probe_cost(
-            lambda st, xf: SPRD.process(scfg, sw, st, xf, sdirs, sspread),
-            spst0, spx[0][:, :FRS], trips=K * 8)
+            lambda st, fr: SPRD.process_chunk(scfg, sw, st, fr, sdirs,
+                                              sspread),
+            spst0, jnp.moveaxis(spx[0].reshape(1, 8, FRS), 1, 0), trips=K)
         config_rtfs["spreader_om_1src"] = fenced_rtf(
             scan_chunks(spbody), spst0, spx, K * 8 * FRS / FS, cost=spcost)
+        # chip-loaded: NB independent spreader instances per dispatch
+        vb, vst, vxs = batch_instances(spbody, spst0, spx)
+        spc_b = tuple(NB * c for c in spcost)
+        entry = fenced_rtf(scan_chunks(vb), vst, vxs,
+                           NB * K * 8 * FRS / FS, cost=spc_b)
+        entry["n_instances"] = NB
+        config_rtfs[f"spreader_om_1src_{NB}x"] = entry
     except Exception:
         pass
 

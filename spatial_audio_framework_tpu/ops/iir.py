@@ -172,6 +172,29 @@ def _iir_block_mats(b: np.ndarray, a: np.ndarray, T: int):
     return out
 
 
+_ONEPOLE_CACHE: dict = {}
+
+
+def onepole_ewma_mats(lam: float, n: int):
+    """The one-pole EWMA y[t] = lam·y[t-1] + (1-lam)·u[t] over a length-n
+    block in exact block form: y = L @ u + p·y0 with
+    L[t,k] = (1-lam)·lam^(t-k) (lower triangular) and p[t] = lam^(t+1).
+    Replaces a length-n lax.scan with one (n×n) matmul — the cross-block
+    recurrence pattern shared by the HADES and spreader chunk paths.
+    Returns float32 (L, p) as jnp arrays."""
+    key = (float(lam), int(n))
+    if key not in _ONEPOLE_CACHE:
+        t = np.arange(n)
+        L = (1.0 - lam) * np.power(float(lam), np.maximum(
+            t[:, None] - t[None, :], 0.0))
+        L *= (t[:, None] >= t[None, :])
+        _ONEPOLE_CACHE[key] = (np.asarray(L, np.float32),
+                               np.asarray(np.power(float(lam), t + 1.0),
+                                          np.float32))
+    L, p = _ONEPOLE_CACHE[key]
+    return jnp.asarray(L), jnp.asarray(p)
+
+
 def iir_filter_batched_block(b: np.ndarray, a: np.ndarray, x, zi):
     """iir_filter_batched semantics via the exact block form (fixed
     T = x.shape[-1]).  b, a: (..., n) host numpy; x: (..., batch..., T)

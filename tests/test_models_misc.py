@@ -114,6 +114,50 @@ def test_spreader_modes():
     assert coh(outs[SP.MODE_EVD]) < coh(outs[SP.MODE_NAIVE]) + 0.1
 
 
+def test_spreader_chunk_parity():
+    """process_chunk (scan-free, frame-batched) matches nF consecutive
+    process() calls for all three modes, including the carried state."""
+    from spatial_audio_framework_tpu.models import spreader as SP
+
+    rng = np.random.default_rng(1)
+    nF, F = 6, 512
+    x = rng.uniform(-1, 1, (nF, 1, F)).astype(np.float32)
+    dirs = jnp.asarray(np.array([[40.0, 10.0]], np.float32))
+    spread = jnp.asarray(np.array([60.0], np.float32))
+    for mode in [SP.MODE_NAIVE, SP.MODE_EVD, SP.MODE_OM]:
+        cfg = SP.SpreaderConfig(n_sources=1, mode=mode)
+        w = SP.design(cfg)
+        st = SP.init_state(cfg, w)
+        ys_ref = []
+        for t in range(nF):
+            y, st = SP.process(cfg, w, st, jnp.asarray(x[t]), dirs, spread)
+            ys_ref.append(np.asarray(y))
+        st2 = SP.init_state(cfg, w)
+        ys, st2 = jax.jit(lambda s, xx: SP.process_chunk(
+            cfg, w, s, xx, dirs, spread))(st2, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(ys), np.stack(ys_ref),
+                                   atol=3e-4, err_msg=mode)
+        np.testing.assert_allclose(np.asarray(st2.Cy_re),
+                                   np.asarray(st.Cy_re),
+                                   rtol=2e-3, atol=3e-4, err_msg=mode)
+        if mode == SP.MODE_OM:
+            # at near-degenerate bands the CDF4SAP M is unique only up to
+            # its covariance action M·Cp·Mᴴ = Cy — compare that invariant
+            def act(M_re, M_im, Cp_re, Cp_im):
+                M = np.asarray(M_re) + 1j * np.asarray(M_im)
+                Cp = np.asarray(Cp_re) + 1j * np.asarray(Cp_im)
+                return np.einsum("sbqr,sbrt,sbut->sbqu", M, Cp, M.conj())
+            np.testing.assert_allclose(
+                act(st2.prev_M_re, st2.prev_M_im, st2.Cproto_re,
+                    st2.Cproto_im),
+                act(st.prev_M_re, st.prev_M_im, st.Cproto_re, st.Cproto_im),
+                rtol=5e-3, atol=1e-3, err_msg=mode)
+        else:
+            np.testing.assert_allclose(np.asarray(st2.prev_M_re),
+                                       np.asarray(st.prev_M_re),
+                                       atol=3e-4, err_msg=mode)
+
+
 def test_profiling_utils():
     """Timer laps / progress reporter / trace annotation (SURVEY §5 aux)."""
     import time as _t
