@@ -604,15 +604,16 @@ def main():
         sw = SPRD.design(scfg)
         sdirs = jnp.asarray(np.array([[40.0, 10.0]], np.float32))
         sspread = jnp.asarray(np.array([60.0], np.float32))
-        FRS = 512
+        FRS = 512          # the C spreader's own default SPREADER_FRAME_SIZE
+        NFR = 32           # frames per chunk (throughput sweet spot)
         spx = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
             jnp.arange(K)))(jnp.asarray(rng.uniform(
-                -1, 1, (1, 8 * FRS)).astype(np.float32)))
+                -1, 1, (1, NFR * FRS)).astype(np.float32)))
 
         def spbody(st, xk):
             # scan-free frame-batched path (models/spreader.process_chunk):
-            # 8 frames per inner chunk, EWMAs as triangular matmuls
-            frames = jnp.moveaxis(xk.reshape(1, 8, FRS), 1, 0)
+            # NFR frames per inner chunk, EWMAs as triangular matmuls
+            frames = jnp.moveaxis(xk.reshape(1, NFR, FRS), 1, 0)
             y, st = SPRD.process_chunk(scfg, sw, st, frames, sdirs, sspread)
             return st, jnp.sum(y * y)
 
@@ -620,14 +621,24 @@ def main():
         spcost = probe_cost(
             lambda st, fr: SPRD.process_chunk(scfg, sw, st, fr, sdirs,
                                               sspread),
-            spst0, jnp.moveaxis(spx[0].reshape(1, 8, FRS), 1, 0), trips=K)
+            spst0, jnp.moveaxis(spx[0].reshape(1, NFR, FRS), 1, 0), trips=K)
         config_rtfs["spreader_om_1src"] = fenced_rtf(
-            scan_chunks(spbody), spst0, spx, K * 8 * FRS / FS, cost=spcost)
+            scan_chunks(spbody), spst0, spx, K * NFR * FRS / FS, cost=spcost)
         # chip-loaded: NB independent spreader instances per dispatch
-        vb, vst, vxs = batch_instances(spbody, spst0, spx)
-        spc_b = tuple(NB * c for c in spcost)
+        # (shorter 8-frame chunks: the 32-frame footprint × 32 instances
+        # spills; 8 frames keeps the batched working set resident)
+        NFRB = 8
+        spxb = spx[:, :, :NFRB * FRS]
+
+        def spbody_b(st, xk):
+            frames = jnp.moveaxis(xk.reshape(1, NFRB, FRS), 1, 0)
+            y, st = SPRD.process_chunk(scfg, sw, st, frames, sdirs, sspread)
+            return st, jnp.sum(y * y)
+
+        vb, vst, vxs = batch_instances(spbody_b, spst0, spxb)
+        spc_b = tuple(NB * (NFRB / NFR) * c for c in spcost)
         entry = fenced_rtf(scan_chunks(vb), vst, vxs,
-                           NB * K * 8 * FRS / FS, cost=spc_b)
+                           NB * K * NFRB * FRS / FS, cost=spc_b)
         entry["n_instances"] = NB
         config_rtfs[f"spreader_om_1src_{NB}x"] = entry
     except Exception:

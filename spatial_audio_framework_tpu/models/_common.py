@@ -47,10 +47,17 @@ def validate_config(cfg) -> None:
     def err(msg):
         raise SafConfigError(f"{type(cfg).__name__}: {msg}")
 
+    def intval(f, v):
+        # reject non-integral values (int() would silently truncate 2.5
+        # and defer the failure to an opaque shape error in design())
+        if int(v) != v:
+            err(f"{f}={v} must be an integer")
+        return int(v)
+
     for f in ("order", "master_order", "sh_order", "input_order",
               "output_order", "decoding_order", "analysis_order"):
         v = getattr(cfg, f, None)
-        if v is not None and not (1 <= int(v) <= MAX_SH_ORDER):
+        if v is not None and not (1 <= intval(f, v) <= MAX_SH_ORDER):
             err(f"{f}={v} out of range [1, MAX_SH_ORDER={MAX_SH_ORDER}]")
     fs = getattr(cfg, "fs", None)
     if fs is not None and not (float(fs) > 0):
@@ -58,7 +65,7 @@ def validate_config(cfg) -> None:
     for f in ("n_sources", "n_channels", "n_loudspeakers", "n_receivers",
               "n_inputs", "n_outputs"):
         v = getattr(cfg, f, None)
-        if v is not None and not (1 <= int(v) <= MAX_NUM_CHANNELS):
+        if v is not None and not (1 <= intval(f, v) <= MAX_NUM_CHANNELS):
             err(f"{f}={v} out of range [1, MAX_NUM_CHANNELS="
                 f"{MAX_NUM_CHANNELS}]")
     ch = getattr(cfg, "ch_ordering", None)

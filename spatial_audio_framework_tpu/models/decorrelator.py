@@ -57,11 +57,9 @@ def design(cfg: DecorrelatorConfig, c_rand_offset: int = None) -> dict:
     freqs = cfg.afstft.centre_freqs(cfg.fs)
     stream = None
     if c_rand_offset is not None:
-        from spatial_audio_framework_tpu.utils.convhull3d import glibc_rand
+        from spatial_audio_framework_tpu.utils.convhull3d import glibc_rand_at
 
-        stream = glibc_rand()
-        for _ in range(c_rand_offset):
-            next(stream)
+        stream = glibc_rand_at(c_rand_offset)
     return cfg.lattice.design(freqs, c_rand_stream=stream)
 
 

@@ -119,12 +119,9 @@ def design(cfg: SpreaderConfig, irs: Optional[np.ndarray] = None,
 def _c_stream(offset):
     if offset is None:
         return None
-    from spatial_audio_framework_tpu.utils.convhull3d import glibc_rand
+    from spatial_audio_framework_tpu.utils.convhull3d import glibc_rand_at
 
-    s = glibc_rand()
-    for _ in range(offset):
-        next(s)
-    return s
+    return glibc_rand_at(offset)
 
 
 def init_state(cfg: SpreaderConfig, w: SpreaderWeights) -> SpreaderState:

@@ -569,16 +569,10 @@ class HadesPipeline:
 
         self._jit_chunk_scan = jax.jit(chunk_scan)
 
-        def onepole_kernel(lam, nb):
-            """y[t] = lam·y[t-1] + (1-lam)·u[t] as a matmul:
-            y[t] = Σ_k L[t,k]·u[k] + p[t]·y0 with L[t,k] = (1-lam)·lam^(t-k)
-            (lower-triangular) and p[t] = lam^(t+1)."""
-            t = np.arange(nb)
-            L = (1.0 - lam) * np.power(lam, np.maximum(
-                t[:, None] - t[None, :], 0.0))
-            L *= (t[:, None] >= t[None, :])
-            return (jnp.asarray(L.astype(np.float32)),
-                    jnp.asarray(np.power(lam, t + 1.0).astype(np.float32)))
+        # y[t] = lam·y[t-1] + (1-lam)·u[t] as one lower-triangular matmul
+        # (shared with spreader.process_chunk)
+        from spatial_audio_framework_tpu.ops.iir import (
+            onepole_ewma_mats as onepole_kernel)
 
         def chunk(state, x_blocks, eq, bal):
             """All blocks of a chunk in ONE batched graph — no scan.

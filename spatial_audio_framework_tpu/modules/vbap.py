@@ -46,6 +46,14 @@ def find_ls_triplets(ls_dirs_deg: np.ndarray, omit_large_triangles: bool = False
     ``glibc_rand()`` generator to model several calls in one C process).
     method='qhull' uses scipy's Qhull: same hull, potentially different
     coplanar-quad diagonals."""
+    if np.asarray(ls_dirs_deg).shape[0] < 4:
+        # the C saf_print_error's "Failed to compute the Convex Hull of the
+        # specified vertices." (saf_vbap.c:533-537); convhull_3d_build would
+        # return None and scipy would raise an opaque QhullError
+        raise ValueError(
+            "find_ls_triplets: 3-D triangulation needs >= 4 loudspeaker "
+            f"directions, got {np.asarray(ls_dirs_deg).shape[0]} "
+            "(saf_vbap.c findLsTriplets)")
     if method == "c_parity":
         from spatial_audio_framework_tpu.utils.convhull3d import convhull_3d_build
 

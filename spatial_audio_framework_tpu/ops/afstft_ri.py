@@ -318,7 +318,9 @@ def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
     (tests/test_afstft_ri.py).  With ``use_pallas=False`` it simply calls
     the XLA reference path.
     """
-    if not use_pallas:
+    if not use_pallas or bank.hop != 128:
+        # the fused kernels hard-code hop=128; every other hop must take
+        # the generic einsum path rather than produce garbage
         return render_tf_matrix_ri(bank, state, x, Mre, Mim,
                                    use_pallas=False, interpret=interpret)
     from spatial_audio_framework_tpu.ops.pallas_afstft import (

@@ -51,6 +51,16 @@ def glibc_rand(seed: int = 1):
         i += 1
 
 
+def glibc_rand_at(offset: int, seed: int = 1):
+    """A :func:`glibc_rand` stream advanced past ``offset`` draws — models a
+    C process whose earlier components already consumed that many ``rand()``
+    calls (decorrelator/spreader C-parity design paths)."""
+    s = glibc_rand(seed)
+    for _ in range(offset):
+        next(s)
+    return s
+
+
 def _det_4x4(m: np.ndarray) -> float:
     """Exact expansion used by the C (convhull_3d.c:216 ``det_4x4``);
     m: flat row-major 16."""

@@ -320,12 +320,6 @@ def lattice_apply_ri(dec: "LatticeDecorrelator", design: dict,
                      fim: jax.Array):
     """LatticeDecorrelator.apply on an (re, im) pair: (nBands, nCH, T) each
     → ((yre, yim), state)."""
-    from spatial_audio_framework_tpu.ops.iir import (
-    iir_filter_batched_block as iir_filter_batched,  # exact block form:
-    # the order-20 lattice allpasses as dense Toeplitz/state matmuls
-    # instead of an associative scan of 19x19 companion products
-)
-
     x2 = jnp.stack([fre, fim], axis=0)            # (2, nBands, nCH, T)
     T = x2.shape[-1]
     md = state.delay_buf.shape[-1]

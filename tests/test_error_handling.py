@@ -36,6 +36,25 @@ def test_config_validation_channels_fs_enums():
         ambi_bin.AmbiBinConfig(ch_ordering="wxyz")
 
 
+def test_config_validation_non_integer():
+    from spatial_audio_framework_tpu.models import ambi_enc, panner
+
+    with pytest.raises(C.SafConfigError, match="integer"):
+        ambi_enc.AmbiEncConfig(order=2.5)
+    with pytest.raises(C.SafConfigError, match="integer"):
+        panner.PannerConfig(n_sources=1.5)
+
+
+def test_find_ls_triplets_too_few_speakers():
+    """The C saf_print_error's on a failed hull (saf_vbap.c:533-537); here
+    a clear ValueError instead of an opaque NoneType/QhullError."""
+    from spatial_audio_framework_tpu.modules import vbap
+
+    with pytest.raises(ValueError, match="4 loudspeaker"):
+        vbap.find_ls_triplets(np.array([[0.0, 0.0], [90.0, 0.0],
+                                        [-90.0, 0.0]]))
+
+
 def test_load_hrirs_fallback_on_bad_path():
     from spatial_audio_framework_tpu.modules import hrir as hrir_mod
 
