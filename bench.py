@@ -490,10 +490,11 @@ def main():
     # closed-form 2x2 decompositions throughout, and the scan-free
     # time-batched chunk (modules/hades.py HadesPipeline.chunk: the two
     # one-pole recurrences run as triangular matmuls, so all blocks of a
-    # chunk are one batched graph).  Headline number = NB independent
-    # hearing-device instances per dispatch (the per-band matrices are
-    # 133×2×2 — a single instance cannot load the chip); the
-    # single-instance number is kept as _1x for transparency.
+    # chunk are one batched graph).  Headline = ONE instance, 64 blocks
+    # per dispatch (measured fastest: long chunks amortise the per-op
+    # launch cost better than vmapping instances, whose per-instance
+    # filterbank states defeat the batched layouts); the NB-instance
+    # concurrent-streams configuration is kept as _32x.
     try:
         from spatial_audio_framework_tpu.modules import hades as HDS
         hana = HDS.HadesAnalysis()
@@ -501,7 +502,7 @@ def main():
                                   beam_option=HDS.HADES_BEAMFORMER_BMVDR)
         hpipe = HDS.HadesPipeline(hana, hsyn)
         heq, hbal = hpipe._controls()
-        NBH = 8
+        NBH = 64
         hx = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
             jnp.arange(NBH)))(jnp.asarray(rng.uniform(
                 -1, 1, (hana.n_mics, hana.blocksize)).astype(np.float32)))
@@ -512,12 +513,16 @@ def main():
 
         hst0 = hpipe.init_state()
         hcost = probe_cost(hstep, hst0, hx, trips=1)
-        config_rtfs["hades_binaural_bmvdr_1x"] = fenced_rtf(
-            hstep, hst0, hx, NBH * hana.blocksize / FS, cost=hcost)
+        entry = fenced_rtf(hstep, hst0, hx, NBH * hana.blocksize / FS,
+                           cost=hcost)
+        entry["n_instances"] = 1
+        config_rtfs["hades_binaural_bmvdr"] = entry
 
+        NBHB = 8   # batched instances prefer short chunks (working set)
+        hxb = hx[:NBHB]
         hbst = hpipe.init_state_batched(NB)
         hbxs = jax.jit(lambda x: jax.vmap(
-            lambda i: jnp.roll(x, 13 * (i + 1), -1))(jnp.arange(NB)))(hx)
+            lambda i: jnp.roll(x, 13 * (i + 1), -1))(jnp.arange(NB)))(hxb)
 
         def hstep_b(st, xs):
             st, ys = jax.vmap(hpipe._chunk_fn,
@@ -526,9 +531,9 @@ def main():
 
         hbcost = probe_cost(hstep_b, hbst, hbxs, trips=1)
         entry = fenced_rtf(hstep_b, hbst, hbxs,
-                           NB * NBH * hana.blocksize / FS, cost=hbcost)
+                           NB * NBHB * hana.blocksize / FS, cost=hbcost)
         entry["n_instances"] = NB
-        config_rtfs["hades_binaural_bmvdr"] = entry
+        config_rtfs[f"hades_binaural_bmvdr_{NB}x"] = entry
     except Exception:
         pass
 

@@ -158,6 +158,28 @@ def test_spreader_chunk_parity():
                                        atol=3e-4, err_msg=mode)
 
 
+def test_spreader_chunk_vmap_instances():
+    """vmapping process_chunk over independent instances (the bench's
+    chip-loaded _32x config) equals running each instance alone."""
+    from spatial_audio_framework_tpu.models import spreader as SP
+
+    rng = np.random.default_rng(2)
+    N, nF, F = 2, 3, 512
+    x = rng.uniform(-1, 1, (N, nF, 1, F)).astype(np.float32)
+    dirs = jnp.asarray(np.array([[30.0, 0.0]], np.float32))
+    spread = jnp.asarray(np.array([45.0], np.float32))
+    cfg = SP.SpreaderConfig(n_sources=1, mode=SP.MODE_OM)
+    w = SP.design(cfg)
+    st0 = SP.init_state(cfg, w)
+    chunk = lambda s, xx: SP.process_chunk(cfg, w, s, xx, dirs, spread)
+    bst = jax.tree_util.tree_map(lambda a: jnp.stack([a] * N), st0)
+    yb, _ = jax.jit(jax.vmap(chunk))(bst, jnp.asarray(x))
+    for i in range(N):
+        yi, _ = jax.jit(chunk)(st0, jnp.asarray(x[i]))
+        np.testing.assert_allclose(np.asarray(yb[i]), np.asarray(yi),
+                                   atol=1e-5)  # vmap changes einsum lowering
+
+
 def test_profiling_utils():
     """Timer laps / progress reporter / trace annotation (SURVEY §5 aux)."""
     import time as _t
