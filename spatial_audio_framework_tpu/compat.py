@@ -512,6 +512,10 @@ from spatial_audio_framework_tpu.utils.geometry import (  # noqa: E402
     crossProduct3,
     L2_norm,
     sph_delaunay as sphDelaunay,
+    sph_voronoi as sphVoronoi,
+    sph_voronoi_areas as sphVoronoiAreas,
+    euler2quaternion as euler2Quaternion,
+    quaternion2euler,
     get_voronoi_weights as getVoronoiWeights,
 )
 

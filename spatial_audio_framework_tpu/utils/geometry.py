@@ -155,6 +155,58 @@ def rotation_matrix2quaternion(R):
     return xp.stack([w, x, y, z], -1)
 
 
+def euler2quaternion(alpha, beta, gamma, degrees: bool = False,
+                     convention: str = EULER_ROTATION_YAW_PITCH_ROLL):
+    """Euler angles → quaternion (..., 4) [w, x, y, z]
+    (saf_utility_geometry.c:123-161 ``euler2Quaternion``)."""
+    xp = _xp(alpha)
+    if convention == EULER_ROTATION_YAW_PITCH_ROLL:
+        a_y, a_p, a_r = alpha, beta, gamma
+    elif convention == EULER_ROTATION_ROLL_PITCH_YAW:
+        a_y, a_p, a_r = gamma, beta, alpha
+    else:
+        raise ValueError(f"convention {convention!r} not supported "
+                         "(saf: saf_print_error)")
+    if degrees:
+        a_y, a_p, a_r = (xp.radians(a_y), xp.radians(a_p), xp.radians(a_r))
+    cy, sy = xp.cos(a_y * 0.5), xp.sin(a_y * 0.5)
+    cp, sp = xp.cos(a_p * 0.5), xp.sin(a_p * 0.5)
+    cr, sr = xp.cos(a_r * 0.5), xp.sin(a_r * 0.5)
+    return xp.stack([cy * cr * cp + sy * sr * sp,
+                     cy * sr * cp - sy * cr * sp,
+                     cy * cr * sp + sy * sr * cp,
+                     sy * cr * cp - cy * sr * sp], -1)
+
+
+def quaternion2euler(q, degrees: bool = False,
+                     convention: str = EULER_ROTATION_YAW_PITCH_ROLL):
+    """Quaternion (..., 4) [w, x, y, z] → (alpha, beta, gamma)
+    (saf_utility_geometry.c:163-213 ``quaternion2euler``)."""
+    xp = _xp(q)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    sinr_cosp = 2.0 * (w * x + y * z)
+    cosr_cosp = 1.0 - 2.0 * (x * x + y * y)
+    sinp = 2.0 * (w * y - z * x)
+    siny_cosp = 2.0 * (w * z + x * y)
+    cosy_cosp = 1.0 - 2.0 * (y * y + z * z)
+    beta = xp.where(xp.abs(sinp) >= 1.0,
+                    xp.sign(sinp) * (np.pi / 2.0),
+                    xp.arcsin(xp.clip(sinp, -1.0, 1.0)))
+    if convention == EULER_ROTATION_YAW_PITCH_ROLL:
+        gamma = xp.arctan2(sinr_cosp, cosr_cosp)
+        alpha = xp.arctan2(siny_cosp, cosy_cosp)
+    elif convention == EULER_ROTATION_ROLL_PITCH_YAW:
+        alpha = xp.arctan2(sinr_cosp, cosr_cosp)
+        gamma = xp.arctan2(siny_cosp, cosy_cosp)
+    else:
+        raise ValueError(f"convention {convention!r} not supported "
+                         "(saf: saf_print_error)")
+    if degrees:
+        alpha, beta, gamma = (xp.degrees(alpha), xp.degrees(beta),
+                              xp.degrees(gamma))
+    return alpha, beta, gamma
+
+
 def crossProduct3(a, b):
     xp = _xp(a, b)
     return xp.cross(a, b)
@@ -174,6 +226,72 @@ def sph_delaunay(dirs_deg):
     verts = np.asarray(unit_sph2cart(np.asarray(dirs_deg, np.float64), degrees=True))
     hull = ConvexHull(verts)
     return hull.simplices.astype(int), verts
+
+
+def sph_voronoi(faces, vertices):
+    """Spherical Voronoi diagram from a spherical Delaunay triangulation
+    (saf_utility_geometry.c:693-868 ``sphVoronoi``): each triangle's
+    circumcentre on the unit sphere — its outward unit normal — is a
+    Voronoi vertex; each input direction's cell is the ring of its incident
+    triangles' vertices, here ordered by angle in the direction's tangent
+    plane (the C sorts by shared-edge adjacency; same polygon).
+
+    faces: (nF, 3) int; vertices: (nDirs, 3) unit →
+    (vor_verts (nF, 3), cells: list of nDirs index lists into vor_verts)."""
+    faces = np.asarray(faces, int)
+    verts = np.asarray(vertices, np.float64)
+    v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
+    normal = np.cross(v1 - v0, v2 - v0)
+    vor = normal / np.linalg.norm(normal, axis=-1, keepdims=True)
+    # orient outward (the circumcentre on the triangle's side of the
+    # sphere): scipy's simplices — unlike the C's convhull_3d faces — have
+    # arbitrary winding
+    flip = (vor * v0).sum(-1) < 0.0
+    vor[flip] = -vor[flip]
+    cells = []
+    for m in range(verts.shape[0]):
+        inc = np.nonzero((faces == m).any(axis=1))[0]
+        d = verts[m]
+        # tangent-plane basis at d
+        a = np.array([1.0, 0.0, 0.0]) if abs(d[0]) < 0.9 \
+            else np.array([0.0, 1.0, 0.0])
+        t1 = np.cross(d, a)
+        t1 /= np.linalg.norm(t1)
+        t2 = np.cross(d, t1)
+        ang = np.arctan2(vor[inc] @ t2, vor[inc] @ t1)
+        ring = inc[np.argsort(ang)]
+        # drop consecutive duplicates (triangles sharing a circumscribed
+        # circle produce coincident vertices; C dedups at 1e-5)
+        keep = [i for k, i in enumerate(ring)
+                if np.abs(vor[i] - vor[ring[k - 1]]).max() >= 1e-5]
+        cells.append(keep if keep else list(ring[:1]))
+    return vor, cells
+
+
+def sph_voronoi_areas(vor_verts, cells):
+    """Areas of spherical Voronoi polygons via the spherical excess
+    Σ interior angles − (N−2)π (saf_utility_geometry.c:870-945
+    ``sphVoronoiAreas``).  → (nDirs,) float32, summing to 4π."""
+    vor = np.asarray(vor_verts, np.float64)
+    areas = np.empty(len(cells), np.float32)
+    for m, cell in enumerate(cells):
+        N = len(cell)
+        if N < 3:
+            areas[m] = 0.0
+            continue
+        theta = 0.0
+        for n in range(N):
+            p0 = vor[cell[n - 1]]
+            p1 = vor[cell[n]]
+            p2 = vor[cell[(n + 1) % N]]
+            # tangents at p1 toward p0 and p2 along the great circles
+            t10 = np.cross(np.cross(p1, p0), p1)
+            t12 = np.cross(np.cross(p1, p2), p1)
+            t10 /= np.linalg.norm(t10)
+            t12 /= np.linalg.norm(t12)
+            theta += np.arccos(np.clip(t10 @ t12, -1.0, 1.0))
+        areas[m] = theta - (N - 2) * np.pi
+    return areas
 
 
 def get_voronoi_weights(dirs_deg):

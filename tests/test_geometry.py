@@ -46,3 +46,49 @@ def test_euler_conventions_compose():
     Ry = geo.euler2rotation_matrix(0, b, 0, convention=geo.EULER_ROTATION_YAW_PITCH_ROLL)
     Rx = geo.euler2rotation_matrix(0, 0, g, convention=geo.EULER_ROTATION_YAW_PITCH_ROLL)
     np.testing.assert_allclose(R, Rx @ Ry @ Rz, atol=1e-12)
+
+
+def test_euler_quaternion_roundtrip():
+    """euler2quaternion/quaternion2euler (saf_utility_geometry.c:123-213):
+    round trip both supported conventions; quaternion consistent with the
+    rotation-matrix path."""
+    rng = np.random.default_rng(7)
+    for conv in (geo.EULER_ROTATION_YAW_PITCH_ROLL,
+                 geo.EULER_ROTATION_ROLL_PITCH_YAW):
+        for _ in range(16):
+            a, b, g = rng.uniform(-np.pi, np.pi, 3) * [1, 0.49, 1]
+            q = geo.euler2quaternion(a, b, g, convention=conv)
+            a2, b2, g2 = geo.quaternion2euler(q, convention=conv)
+            np.testing.assert_allclose([a2, b2, g2], [a, b, g], atol=1e-10)
+            # the C's euler2Quaternion relates to its euler2rotationMatrix
+            # by a transposed YPR matrix with the z-angle in the alpha slot
+            # (a quirk of the reference, mirrored verbatim:
+            # saf_utility_geometry.c:123-161 labels alpha's half-angles as
+            # the x-axis pair for YPR and the z-axis pair for RPY)
+            za, ya, xa = (g, b, a) if conv == geo.EULER_ROTATION_YAW_PITCH_ROLL \
+                else (a, b, g)
+            np.testing.assert_allclose(
+                geo.quaternion2rotation_matrix(q),
+                geo.euler2rotation_matrix(
+                    za, ya, xa,
+                    convention=geo.EULER_ROTATION_YAW_PITCH_ROLL).T,
+                atol=1e-10)
+    # degrees flag
+    q = geo.euler2quaternion(30.0, 20.0, -40.0, degrees=True)
+    np.testing.assert_allclose(
+        geo.quaternion2euler(q, degrees=True), [30.0, 20.0, -40.0],
+        atol=1e-10)
+
+
+def test_sph_voronoi_areas_match_scipy():
+    """sphVoronoi + sphVoronoiAreas (saf_utility_geometry.c:693-945) agree
+    with the SphericalVoronoi-based getVoronoiWeights and tile the sphere."""
+    from spatial_audio_framework_tpu.utils.presets import tdesign
+
+    dirs = tdesign(9)                      # 48-point t-design
+    faces, verts = geo.sph_delaunay(dirs)
+    vor, cells = geo.sph_voronoi(faces, verts)
+    areas = geo.sph_voronoi_areas(vor, cells)
+    assert abs(areas.sum() - 4.0 * np.pi) < 1e-4
+    np.testing.assert_allclose(areas, geo.get_voronoi_weights(dirs),
+                               atol=5e-5)
