@@ -207,6 +207,10 @@ def main():
     est = ambi_enc.init_state(ecfg, np.asarray(edirs))
     ex = jnp.asarray(rng.uniform(
         -1, 1, (4, ecfg.frame_size)).astype(np.float32))
+    # one warm-up frame: the reference encodes the PREVIOUS frame's input
+    # (one-frame latency), so the very first output frame is silence and
+    # a 0.0 peak would not prove the encoder works
+    est = ambi_enc.process(ecfg, eout, est, ex, edirs)[1]
     fe = jax.jit(lambda s, x: jnp.max(jnp.abs(
         ambi_enc.process(ecfg, eout, s, x, edirs)[0])))
     results.append(("ambi_enc",) + fenced(fe, est, ex))
