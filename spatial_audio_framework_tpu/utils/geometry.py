@@ -156,10 +156,10 @@ def rotation_matrix2quaternion(R):
 
 
 def euler2quaternion(alpha, beta, gamma, degrees: bool = False,
-                     convention: str = EULER_ROTATION_YAW_PITCH_ROLL):
+                     convention: int = EULER_ROTATION_YAW_PITCH_ROLL):
     """Euler angles → quaternion (..., 4) [w, x, y, z]
     (saf_utility_geometry.c:123-161 ``euler2Quaternion``)."""
-    xp = _xp(alpha)
+    xp = _xp(alpha, beta, gamma)
     if convention == EULER_ROTATION_YAW_PITCH_ROLL:
         a_y, a_p, a_r = alpha, beta, gamma
     elif convention == EULER_ROTATION_ROLL_PITCH_YAW:
@@ -179,7 +179,7 @@ def euler2quaternion(alpha, beta, gamma, degrees: bool = False,
 
 
 def quaternion2euler(q, degrees: bool = False,
-                     convention: str = EULER_ROTATION_YAW_PITCH_ROLL):
+                     convention: int = EULER_ROTATION_YAW_PITCH_ROLL):
     """Quaternion (..., 4) [w, x, y, z] → (alpha, beta, gamma)
     (saf_utility_geometry.c:163-213 ``quaternion2euler``)."""
     xp = _xp(q)
@@ -243,10 +243,14 @@ def sph_voronoi(faces, vertices):
     v0, v1, v2 = verts[faces[:, 0]], verts[faces[:, 1]], verts[faces[:, 2]]
     normal = np.cross(v1 - v0, v2 - v0)
     vor = normal / np.linalg.norm(normal, axis=-1, keepdims=True)
-    # orient outward (the circumcentre on the triangle's side of the
-    # sphere): scipy's simplices — unlike the C's convhull_3d faces — have
-    # arbitrary winding
-    flip = (vor * v0).sum(-1) < 0.0
+    # orient outward: scipy's simplices — unlike the C's convhull_3d faces,
+    # whose winding quickhull keeps consistently outward — have arbitrary
+    # winding.  "Outward" must be judged against an interior point of the
+    # hull (its vertex centroid), NOT the origin: for cap-confined layouts
+    # (e.g. a dome) the origin lies outside the hull and the large back
+    # face's circumcentre sits on the far side of the sphere.
+    centroid = verts.mean(axis=0)
+    flip = (vor * (v0 - centroid)).sum(-1) < 0.0
     vor[flip] = -vor[flip]
     cells = []
     for m in range(verts.shape[0]):

@@ -92,3 +92,31 @@ def test_sph_voronoi_areas_match_scipy():
     assert abs(areas.sum() - 4.0 * np.pi) < 1e-4
     np.testing.assert_allclose(areas, geo.get_voronoi_weights(dirs),
                                atol=5e-5)
+
+
+def test_sph_voronoi_dome_layout():
+    """Cap-confined (dome) layouts put the origin OUTSIDE the convex hull,
+    so circumcentre orientation must be judged against an interior point of
+    the hull, not the origin (the big back face's circumcentre lies near the
+    opposite pole).  Areas must still be positive and tile the sphere."""
+    rng = np.random.default_rng(3)
+    dirs = np.stack([rng.uniform(-180, 180, 24),
+                     rng.uniform(20, 88, 24)], -1)
+    faces, verts = geo.sph_delaunay(dirs)
+    vor, cells = geo.sph_voronoi(faces, verts)
+    areas = geo.sph_voronoi_areas(vor, cells)
+    assert (areas > 0).all()
+    assert abs(areas.sum() - 4.0 * np.pi) < 1e-4
+
+
+def test_euler2quaternion_backend_dispatch():
+    """Backend selection looks at ALL three angles (like
+    euler2rotation_matrix), so mixed python-scalar / traced arguments work
+    under jit and return jax arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    q = jax.jit(lambda b: geo.euler2quaternion(0.0, b, 0.0))(jnp.float32(0.3))
+    assert isinstance(q, jnp.ndarray)
+    np.testing.assert_allclose(
+        np.asarray(q), geo.euler2quaternion(0.0, 0.3, 0.0), atol=1e-6)
