@@ -92,8 +92,10 @@ def input_conversion_mtx(order: int, ch_ordering: str, norm: str):
     M = np.eye(nsh, dtype=np.float32)
     if _CH[ch_ordering] == _CH[CH_FUMA]:
         P = np.zeros((nsh, nsh), np.float32)
-        # FuMa WXYZ → ACN WYZX (saf_hoa.c:58-61); FuMa is 1st order only.
-        P[0, 0] = P[1, 3] = P[2, 1] = P[3, 2] = 1.0
+        # FuMa WXYZ → ACN WYZX (saf_hoa.c:58-61: swap 1↔3 then 1↔2, i.e.
+        # acn[1]=fuma[2], acn[2]=fuma[3], acn[3]=fuma[1]); FuMa is 1st
+        # order only — rows ≥ 4 stay zero (saf_hoa.c:67-69 memset).
+        P[0, 0] = P[1, 2] = P[2, 3] = P[3, 1] = 1.0
         M = P @ M
     g = hoa.norm_gains(order, _NORM[norm], _NORM[NORM_N3D])
     return (g[:, None] * M).astype(np.float32)
@@ -110,8 +112,9 @@ def output_conversion_mtx(order: int, ch_ordering: str, norm: str):
     M = np.eye(nsh, dtype=np.float32)
     if _CH[ch_ordering] == _CH[CH_FUMA]:
         P = np.zeros((nsh, nsh), np.float32)
-        # ACN WYZX → FuMa WXYZ
-        P[0, 0] = P[3, 1] = P[1, 2] = P[2, 3] = 1.0
+        # ACN WYZX → FuMa WXYZ (saf_hoa.c:63-66: fuma[1]=acn[3],
+        # fuma[2]=acn[1], fuma[3]=acn[2]); rows ≥ 4 stay zero.
+        P[0, 0] = P[1, 3] = P[2, 1] = P[3, 2] = 1.0
         M = P @ M
     g = hoa.norm_gains(order, _NORM[NORM_N3D], _NORM[norm])
     return (M * g[None, :]).astype(np.float32)

@@ -22,7 +22,8 @@ class DecorrelatorConfig:
     n_channels: int = 1
     fs: float = 48000.0
     decor_amount: float = 1.0       # decorrelator.h 'decorrelationAmount'
-    enable_transient_ducker: bool = True
+    enable_transient_ducker: bool = False  # decorrelator.c:38 (off by default)
+    compensate_level: bool = False         # decorrelator.c:40 (off by default)
     hop: int = 128
 
     @property
@@ -77,12 +78,22 @@ def process(cfg: DecorrelatorConfig, design_data: dict,
     bank = cfg.afstft
     spec, bank_st = bank.analysis(state.bank, x)   # (nBands, nCH, H)
     frame = spec.transpose(0, 1, 2)
+    orig = frame
     ducker_st = state.ducker
-    trans = jnp.zeros_like(frame)
+    trans = None
     if cfg.enable_transient_ducker:
+        # decorrelate only the residual (decorrelator.c:196-200)
         frame, trans, ducker_st = decor.transient_ducker_apply(ducker_st, frame)
-    wet, lat_st = cfg.lattice.apply(design_data, state.lattice, frame)
-    out = cfg.decor_amount * wet + (1.0 - cfg.decor_amount) * frame + trans * 0
+    # the C's ducker path calls the lattice in place (decorrelator.c:199),
+    # which flips the input-energy EWMA onto the delayed signal
+    wet, lat_st = cfg.lattice.apply(design_data, state.lattice, frame,
+                                    aliased_energy=cfg.enable_transient_ducker)
+    if cfg.compensate_level:                       # decorrelator.c:205-208
+        wet = wet * (0.75 * cfg.n_channels / np.sqrt(cfg.n_channels))
+    if trans is not None:
+        wet = wet + trans                          # decorrelator.c:211-215
+    # wet/dry mix against the ORIGINAL input frame (decorrelator.c:218-221)
+    out = cfg.decor_amount * wet + (1.0 - cfg.decor_amount) * orig
     y, bank_st = bank.synthesis(bank_st, out)
     return y, DecorrelatorState(bank=bank_st, lattice=lat_st, ducker=ducker_st)
 
@@ -124,19 +135,27 @@ def process_ri_batched(cfg: DecorrelatorConfig, design_data: dict,
     # → per-stream (nBands, nCH, H) frames
     fre = jnp.moveaxis(sre, -1, 1)       # (S, nBands, nCH, H)
     fim = jnp.moveaxis(sim, -1, 1)
+    orig_re, orig_im = fre, fim
     ducker_st = state.ducker
+    tre = tim = None
     if cfg.enable_transient_ducker:
-        res, ducker_st = jax.vmap(
-            lambda st, a, b: (lambda r: (r[0], r[2]))(
-                decor.transient_ducker_apply_ri(st, a, b)))(
-            state.ducker, fre, fim)
-        fre, fim = res
+        # decorrelate only the residual (decorrelator.c:196-200)
+        res, tr, ducker_st = jax.vmap(
+            decor.transient_ducker_apply_ri)(state.ducker, fre, fim)
+        (fre, fim), (tre, tim) = res, tr
     (wre, wim), lat_st = jax.vmap(
-        lambda st, a, b: decor.lattice_apply_ri(cfg.lattice, design_data,
-                                                st, a, b))(
+        lambda st, a, b: decor.lattice_apply_ri(
+            cfg.lattice, design_data, st, a, b,
+            aliased_energy=cfg.enable_transient_ducker))(
         state.lattice, fre, fim)
-    out_re = cfg.decor_amount * wre + (1.0 - cfg.decor_amount) * fre
-    out_im = cfg.decor_amount * wim + (1.0 - cfg.decor_amount) * fim
+    if cfg.compensate_level:             # decorrelator.c:205-208
+        comp = 0.75 * cfg.n_channels / np.sqrt(cfg.n_channels)
+        wre, wim = wre * comp, wim * comp
+    if tre is not None:                  # decorrelator.c:211-215
+        wre, wim = wre + tre, wim + tim
+    # wet/dry mix against the ORIGINAL input frame (decorrelator.c:218-221)
+    out_re = cfg.decor_amount * wre + (1.0 - cfg.decor_amount) * orig_re
+    out_im = cfg.decor_amount * wim + (1.0 - cfg.decor_amount) * orig_im
     Yre = jnp.moveaxis(out_re, 1, -1)    # (S, nCH, H, nBands)
     Yim = jnp.moveaxis(out_im, 1, -1)
     y, bank_st = ri.synthesis_ri_batched(bank, bank_st, (Yre, Yim),

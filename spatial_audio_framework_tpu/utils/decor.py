@@ -227,8 +227,17 @@ class LatticeDecorrelator:
             in_energy=jnp.zeros((n_bands, self.n_ch), jnp.float32),
             out_energy=jnp.zeros((n_bands, self.n_ch), jnp.float32))
 
-    def apply(self, design: dict, state: LatticeDecorState, frame: jax.Array):
-        """frame: (nBands, nCH, T) complex → (decorrelated frame, state)."""
+    def apply(self, design: dict, state: LatticeDecorState, frame: jax.Array,
+              aliased_energy: bool = False):
+        """frame: (nBands, nCH, T) complex → (decorrelated frame, state).
+
+        ``aliased_energy`` mirrors an upstream C quirk: when the caller
+        passes the SAME buffer as inFrame and decorFrame
+        (decorrelator.c:199, the transient-ducker path), the delay stage
+        overwrites "inFrame" before the filter loop reads it for the
+        input-energy EWMA, so in_energy tracks the DELAYED signal.  With
+        distinct buffers (decorrelator.c:202, spreader.c:470) it tracks the
+        pre-delay input.  See docs/C_PARITY.md."""
         n_bands, n_ch, T = frame.shape
         md = state.delay_buf.shape[-1]
         # 1) fixed per-(band,ch) delays via static gathers
@@ -243,7 +252,8 @@ class LatticeDecorrelator:
         lam = self.en_comp_coeff
         one_pole = np.array([1.0 - lam, 0.0])
         den = np.array([1.0, -lam])
-        ein, zin = iir_filter_batched(one_pole, den, jnp.abs(frame) ** 2,
+        e_src = delayed if aliased_energy else frame
+        ein, zin = iir_filter_batched(one_pole, den, jnp.abs(e_src) ** 2,
                                       zi=state.in_energy[..., None])
         eout, zout = iir_filter_batched(one_pole, den, jnp.abs(y_uncomp) ** 2,
                                         zi=state.out_energy[..., None])
@@ -317,9 +327,10 @@ def lattice_init_state_ri(dec: "LatticeDecorrelator", design: dict,
 
 def lattice_apply_ri(dec: "LatticeDecorrelator", design: dict,
                      state: LatticeDecorStateRI, fre: jax.Array,
-                     fim: jax.Array):
+                     fim: jax.Array, aliased_energy: bool = False):
     """LatticeDecorrelator.apply on an (re, im) pair: (nBands, nCH, T) each
-    → ((yre, yim), state)."""
+    → ((yre, yim), state).  ``aliased_energy`` as in
+    LatticeDecorrelator.apply (the C's in-place call sites)."""
     x2 = jnp.stack([fre, fim], axis=0)            # (2, nBands, nCH, T)
     T = x2.shape[-1]
     md = state.delay_buf.shape[-1]
@@ -332,7 +343,10 @@ def lattice_apply_ri(dec: "LatticeDecorrelator", design: dict,
     lam = dec.en_comp_coeff
     one_pole = np.array([1.0 - lam, 0.0])
     den = np.array([1.0, -lam])
-    pin = fre * fre + fim * fim
+    if aliased_energy:   # C in-place call: in_energy sees the DELAYED signal
+        pin = delayed[0] ** 2 + delayed[1] ** 2
+    else:
+        pin = fre * fre + fim * fim
     pout = y2[0] ** 2 + y2[1] ** 2
     ein, zin = iir_filter_batched(one_pole, den, pin,
                                   zi=state.in_energy[..., None])

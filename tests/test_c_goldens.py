@@ -1089,3 +1089,63 @@ def test_binaural_diffuse_coherence_vs_c(g):
     fv = AfSTFT(hop=128, hybrid=True).centre_freqs(48000.0)
     coh = hrir_mod.binaural_diffuse_coherence(fb, itds, fv)
     assert np.abs(coh - g["mu_bin_coh"]).max() <= TOL
+
+
+# -- round-3 extension, part 11: ducker-on decorrelator + FuMa conversions ---
+# (tools/c_goldens/gen_goldens11.c)
+
+def test_decorrelator_ducker_end_to_end_vs_c(g):
+    """The transient-ducker path pinned sample-exact end-to-end
+    (decorrelator.c:195-221): ducker residual → lattice, level compensation
+    0.75·nCH/√nCH on the wet stream, transients re-introduced, and the
+    wet/dry mix taken against the ORIGINAL input frame.  Regression: the
+    transient stream was once discarded and the dry mix used the ducked
+    residual.  Also pins upstream quirk #9 (docs/C_PARITY.md): the ducker
+    path applies the lattice IN PLACE, flipping the input-energy EWMA onto
+    the delayed signal (aliased_energy=True).  The generator runs this
+    golden first in its process, so the lattice rand() draws start at
+    glibc offset 0."""
+    from spatial_audio_framework_tpu.models import decorrelator as DCR
+
+    cfg = DCR.DecorrelatorConfig(n_channels=4, decor_amount=0.8,
+                                 enable_transient_ducker=True,
+                                 compensate_level=True)
+    w = DCR.design(cfg, c_rand_offset=0)
+    st = DCR.init_state(cfg, w)
+    x = np.asarray(g["dkr_in"], np.float32)
+    proc = jax.jit(lambda s, xx: DCR.process(cfg, w, s, xx))
+    outs = []
+    for f in range(64):
+        y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
+        outs.append(np.asarray(y))
+    out = np.concatenate(outs, -1)
+    assert np.abs(out - np.asarray(g["dkr_out"])).max() <= 1e-4  # obs 1.2e-6
+
+
+def test_fuma_conversions_vs_c(g):
+    """convertHOAChannelConvention (saf_hoa.c:40-70) both directions on an
+    order-2 signal (channels ≥ 4 zeroed), as a free function and as the
+    folded conversion matrices in models/_common; convertHOANormConvention's
+    maxN (FuMa) gains both directions."""
+    from spatial_audio_framework_tpu.models import _common as MC
+    from spatial_audio_framework_tpu.modules import hoa
+
+    sig = np.asarray(g["fuma_sig"], np.float32)
+    to_acn = hoa.convert_hoa_channel_convention(
+        sig, 2, hoa.HOA_CH_ORDER_FUMA, hoa.HOA_CH_ORDER_ACN)
+    assert np.abs(to_acn - g["fuma_to_acn"]).max() == 0.0
+    to_fuma = hoa.convert_hoa_channel_convention(
+        sig, 2, hoa.HOA_CH_ORDER_ACN, hoa.HOA_CH_ORDER_FUMA)
+    assert np.abs(to_fuma - g["acn_to_fuma"]).max() == 0.0
+    # the folded matrices (N3D norm so only the permutation acts)
+    M_in = MC.input_conversion_mtx(2, MC.CH_FUMA, MC.NORM_N3D)
+    assert np.abs(M_in @ sig - g["fuma_to_acn"]).max() <= TOL
+    M_out = MC.output_conversion_mtx(2, MC.CH_FUMA, MC.NORM_N3D)
+    assert np.abs(M_out @ sig - g["acn_to_fuma"]).max() <= TOL
+    # maxN norm gains (order 1)
+    g_f2n = hoa.norm_gains(1, hoa.HOA_NORM_FUMA, hoa.HOA_NORM_N3D)
+    assert np.abs(g_f2n[:, None] * np.ones((4, 4), np.float32)
+                  - g["fuma_norm_to_n3d"]).max() <= TOL
+    g_n2f = hoa.norm_gains(1, hoa.HOA_NORM_N3D, hoa.HOA_NORM_FUMA)
+    assert np.abs(g_n2f[:, None] * np.ones((4, 4), np.float32)
+                  - g["n3d_norm_to_fuma"]).max() <= TOL

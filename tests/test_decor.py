@@ -127,3 +127,53 @@ def test_lattice_and_ducker_ri_equivalence():
         dst, jnp.asarray(fr), jnp.asarray(fi))
     np.testing.assert_allclose(np.asarray(rre), np.real(res_c), atol=1e-5)
     np.testing.assert_allclose(np.asarray(tim), np.imag(tr_c), atol=1e-5)
+
+    # aliased-energy variant (C's in-place ducker path, C_PARITY #9):
+    # RI and complex implementations must also agree there, and differ
+    # from the default pre-delay-energy path
+    st_c = dec.init_state(design, n_bands)
+    st_r = lattice_init_state_ri(dec, design, n_bands)
+    ya = None
+    for _ in range(3):  # run past the delays so the EWMAs actually differ
+        ya, st_c = dec.apply(design, st_c, jnp.asarray(frame),
+                             aliased_energy=True)
+        (yar, yai), st_r = lattice_apply_ri(dec, design, st_r,
+                                            jnp.asarray(fr), jnp.asarray(fi),
+                                            aliased_energy=True)
+    np.testing.assert_allclose(np.asarray(yar), np.real(ya), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(yai), np.imag(ya), atol=2e-5)
+    assert np.abs(np.asarray(yre2) - np.asarray(yar)).max() > 1e-4
+
+
+def test_decorrelator_model_ri_batched_matches_process_ducker():
+    """models/decorrelator: the RI-batched multi-stream path equals the
+    complex single-stream path with the ducker + level compensation on
+    (exercises aliased_energy through both pipelines)."""
+    import jax
+
+    from spatial_audio_framework_tpu.models import decorrelator as DCR
+
+    cfg = DCR.DecorrelatorConfig(n_channels=2, decor_amount=0.7,
+                                 enable_transient_ducker=True,
+                                 compensate_level=True)
+    w = DCR.design(cfg)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 8 * 128)).astype(np.float32) * 0.25
+    x[:, 300] += 3.0  # a transient so the ducker engages
+    st = DCR.init_state(cfg, w)
+    outs = []
+    for f in range(8):
+        y, st = DCR.process(cfg, w, st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
+        outs.append(np.asarray(y))
+    ref = np.concatenate(outs, -1)
+
+    stb = DCR.init_state_batched(cfg, w, n_streams=2)
+    outs_b = []
+    xb = jnp.asarray(np.stack([x, x]))           # two identical streams
+    for f in range(8):
+        yb, stb = DCR.process_ri_batched(cfg, w, stb,
+                                         xb[..., f * 128:(f + 1) * 128])
+        outs_b.append(np.asarray(yb))
+    out_b = np.concatenate(outs_b, -1)
+    for s in range(2):
+        np.testing.assert_allclose(out_b[s], ref, atol=3e-5)

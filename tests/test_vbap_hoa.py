@@ -186,3 +186,26 @@ def test_truncation_eq():
     assert abs(g[0] - 1.0) < 0.05          # no EQ needed at low freq
     assert g[-1] > 1.0                     # boosts highs
     assert g.max() <= 2.0 * 10 ** (12.0 / 20.0) + 1e-3  # soft-clipped
+
+
+def test_conversion_mtx_fuma_matches_hoa_swaps():
+    """models/_common's folded conversion matrices agree with the
+    swap-sequence semantics of convertHOAChannelConvention
+    (saf_hoa.c:58-66): FuMa WXYZ → ACN WYZX on input, the inverse on
+    output, channels ≥ 4 zeroed.  Regression: the two permutations were
+    once transposed (round-trip tests cancel the error)."""
+    from spatial_audio_framework_tpu.models import _common as C
+
+    sig = (np.arange(9, dtype=np.float32) + 1.0).reshape(9, 1)
+    M_in = C.input_conversion_mtx(2, C.CH_FUMA, C.NORM_N3D)
+    ref = hoa.convert_hoa_channel_convention(
+        sig, 2, hoa.HOA_CH_ORDER_FUMA, hoa.HOA_CH_ORDER_ACN)
+    np.testing.assert_allclose(M_in @ sig, ref, atol=0)
+    # acn[1]=fuma[2] (Y), acn[2]=fuma[3] (Z), acn[3]=fuma[1] (X)
+    np.testing.assert_allclose((M_in @ sig)[:4, 0], [1.0, 3.0, 4.0, 2.0])
+
+    M_out = C.output_conversion_mtx(2, C.CH_FUMA, C.NORM_N3D)
+    ref_o = hoa.convert_hoa_channel_convention(
+        sig, 2, hoa.HOA_CH_ORDER_ACN, hoa.HOA_CH_ORDER_FUMA)
+    np.testing.assert_allclose(M_out @ sig, ref_o, atol=0)
+    np.testing.assert_allclose((M_out @ sig)[:4, 0], [1.0, 4.0, 2.0, 3.0])

@@ -115,6 +115,15 @@ cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
   "$BUILD/framework/libsaf.a" \
   "$OB" -lm -o "$OUT/gen_goldens10"
 
+cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
+  -I"$SRC/framework/include" -I"$SRC/examples/include" \
+  -I"$HERE/shim" \
+  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
+  "$HERE/gen_goldens11.c" "$HERE/shim/lapacke_fix.c" \
+  "$BUILD/examples/libsaf_example_decorrelator.a" \
+  "$BUILD/framework/libsaf.a" \
+  "$OB" -lm -o "$OUT/gen_goldens11"
+
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens2" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens3" "$OUT"
@@ -125,4 +134,5 @@ LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens7" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens8" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens9" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens10" "$OUT"
+LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens11" "$OUT"
 python "$HERE/pack_goldens.py" "$OUT" "$HERE/../../tests/goldens/c_goldens.npz"
