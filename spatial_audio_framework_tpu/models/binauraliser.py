@@ -185,7 +185,9 @@ def process(cfg: BinauraliserConfig, w: BinauraliserWeights, state: AfSTFTState,
     if cfg.enable_rotation and ypr is not None:
         R = geo.yaw_pitch_roll2_rzyx(ypr[0], ypr[1], ypr[2]).astype(x.dtype)
         u = geo.unit_sph2cart(src_dirs_deg, degrees=True)
-        src_dirs_deg = geo.unit_cart2sph(u @ R.T, degrees=True)
+        # C applies the ROW convention: src_rot = src_row @ Rzyx, i.e.
+        # R^T acting on column vectors (binauraliser.c:238-241)
+        src_dirs_deg = geo.unit_cart2sph(u @ R, degrees=True)
     H = interp_hrtfs(cfg, w, src_dirs_deg)            # (nBands, 2, nSrc)
     bank = cfg.afstft
     spec, state = bank.analysis(state, x)             # (nBands, nSrc, H)
@@ -224,7 +226,7 @@ def process_ri_batched(cfg: BinauraliserConfig, w: BinauraliserWeightsRI,
         R = jax.vmap(lambda r: geo.yaw_pitch_roll2_rzyx(r[0], r[1], r[2]))(
             ypr).astype(x.dtype)                        # (S, 3, 3)
         u = geo.unit_sph2cart(src_dirs_deg, degrees=True)  # (S, nSrc, 3)
-        u = jnp.einsum("zij,zsj->zsi", R, u)
+        u = jnp.einsum("zsj,zji->zsi", u, R)  # row convention, as above
         src_dirs_deg = geo.unit_cart2sph(u, degrees=True)
     Hre, Him = jax.vmap(lambda d: interp_hrtfs_ri(cfg, w, d))(src_dirs_deg)
     # (S, nBands, 2, nSrc) per-stream mixing matrices, complex-free

@@ -76,7 +76,9 @@ def process(cfg: BinauraliserNFConfig, w: B.BinauraliserWeights,
     if cfg.enable_rotation and ypr is not None:
         R = geo.yaw_pitch_roll2_rzyx(ypr[0], ypr[1], ypr[2]).astype(x.dtype)
         u = geo.unit_sph2cart(src_dirs_deg, degrees=True)
-        src_dirs_deg = geo.unit_cart2sph(u @ R.T, degrees=True)
+        # C applies the ROW convention: src_rot = src_row @ Rzyx, i.e.
+        # R^T acting on column vectors (binauraliser.c:238-241)
+        src_dirs_deg = geo.unit_cart2sph(u @ R, degrees=True)
     H = B.interp_hrtfs(cfg, w, src_dirs_deg)            # (nBands, 2, nSrc)
     H = H * _dvf_band_gains(cfg, w.freqs, src_dirs_deg,
                             src_dists_m).astype(H.dtype)
@@ -142,7 +144,7 @@ def process_ri_batched(cfg: BinauraliserNFConfig, w, state, x: jax.Array,
         R = jax.vmap(lambda r: geo.yaw_pitch_roll2_rzyx(r[0], r[1], r[2]))(
             ypr).astype(x.dtype)
         u = geo.unit_sph2cart(src_dirs_deg, degrees=True)
-        u = jnp.einsum("zij,zsj->zsi", R, u)
+        u = jnp.einsum("zsj,zji->zsi", u, R)  # row convention, as above
         src_dirs_deg = geo.unit_cart2sph(u, degrees=True)
 
     def per_stream(d, dist):

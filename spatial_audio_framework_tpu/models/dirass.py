@@ -166,7 +166,11 @@ def analysis(cfg: DirassConfig, w: DirassWeights, state: DirassState,
                                jnp.cos(elev) * jnp.sin(azi),
                                jnp.sin(elev)], -1)  # (nGrid, 3)
             nearest = jnp.argmax(u_est @ w.interp_u.T, axis=-1)  # (nGrid,)
-            e = (ss ** 2).sum(-1)
+            # upstream quirk (C_PARITY #10): dirass.c:378-379 ASSIGNS
+            # pmap[i] = ss[i,j]^2 inside the sample loop (OFF/UPSCALE use
+            # +=), so NEAREST carries only the LAST sample's energy per
+            # sector, not the frame sum.  Mirrored for parity.
+            e = ss[:, -1] ** 2
             e = lam * state.prev_energy + (1.0 - lam) * e
             pmap = jnp.zeros(w.interp_table.shape[0], e.dtype).at[nearest].add(e)
         new_state = DirassState(hpf_z=hpf_z, lpf_z=lpf_z, prev_energy=e,

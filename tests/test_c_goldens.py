@@ -671,15 +671,24 @@ def test_panner_end_to_end_vs_c(g):
 
 
 def test_powermap_end_to_end_vs_c(g):
-    """8 blocks of a two-source SH scene through the powermap example
-    (order 3 MUSIC, geosphere-ico-9 analysis grid, covAvg 0.5, mapAvg 0.666)
-    reproduce the C's normalised display map on its own pixel grid."""
+    """A two-source SH scene through the powermap example (MUSIC,
+    geosphere-ico-9 analysis grid, covAvg 0.5, mapAvg 0.666) reproduces
+    the C's normalised display map on its own pixel grid.
+
+    Round-3 understanding (see test_powermap_modes_end_to_end_vs_c): the
+    part-7 generator neither re-arms recalcPmap (the C's map froze after
+    block 1) nor applies a source preset (so despite setMasterOrder(3) the
+    analysis ran at the create-time per-band order 1, powermap.c:47+398).
+    Comparing our block-1 map at analysis order 1 is then EXACT (obs
+    3.2e-6); the remaining blocks are run to confirm the streaming map
+    stays close to the frozen C snapshot (stationary scene)."""
     from spatial_audio_framework_tpu.models import powermap as PM
     from spatial_audio_framework_tpu.modules import vbap
 
     cfg = PM.PowermapConfig(master_order=3, mode=PM.PM_MUSIC, n_sources=2,
                             norm="n3d", cov_avg_coeff=0.5,
-                            pmap_avg_coeff=0.666)
+                            pmap_avg_coeff=0.666,
+                            analysis_order_per_band=(1,) * 133)
     w = PM.design(cfg)
     c_grid = np.asarray(g["pm_grid_dirs"], np.float64)
     gt = vbap.generate_vbap_gain_table_3d_srcs(c_grid, w.grid_dirs_deg)
@@ -688,9 +697,10 @@ def test_powermap_end_to_end_vs_c(g):
                    interp_dirs_deg=c_grid)
     st = PM.init_state(cfg, w)
     x = np.asarray(g["pm_in"], np.float32)
-    for blk in range(8):
+    pmap, st = PM.analysis(cfg, w, st, jnp.asarray(x[0]))
+    assert np.abs(np.asarray(pmap) - g["pm_pmap"]).max() <= 1e-4
+    for blk in range(1, 8):
         pmap, st = PM.analysis(cfg, w, st, jnp.asarray(x[blk]))
-    # [0,1]-normalised map; residual is 1/x-amplified MUSIC + f32 interp
     assert np.abs(np.asarray(pmap) - g["pm_pmap"]).max() <= 2e-2
 
 
@@ -1149,3 +1159,132 @@ def test_fuma_conversions_vs_c(g):
     g_n2f = hoa.norm_gains(1, hoa.HOA_NORM_N3D, hoa.HOA_NORM_FUMA)
     assert np.abs(g_n2f[:, None] * np.ones((4, 4), np.float32)
                   - g["n3d_norm_to_fuma"]).max() <= TOL
+
+
+# -- round-3 extension, part 12: unpinned option branches --------------------
+# (tools/c_goldens/gen_goldens12.c)
+
+def test_binauraliser_rotation_end_to_end_vs_c(g):
+    """48 frames of the binauraliser with head rotation engaged
+    (yaw 40, pitch -15, roll 10): the C rotates source directions with the
+    ROW convention src_rot = src_row @ Rzyx (binauraliser.c:238-241), i.e.
+    Rzyx^T acting on column vectors.  Regression: the rebuild once applied
+    the un-transposed Rzyx; the part-1 ambi_bin pin (yaw=180, a symmetric
+    rotation matrix) could not catch it."""
+    from spatial_audio_framework_tpu.models import binauraliser as BIN
+
+    x = np.asarray(g["brot_in"])
+    ref = np.asarray(g["brot_out"])
+    cfg = BIN.BinauraliserConfig(n_sources=2, enable_rotation=True)
+    w = BIN.design(cfg)
+    dirs = jnp.asarray(np.array([[30.0, 0.0], [-45.0, 10.0]], np.float32))
+    ypr = jnp.asarray(np.deg2rad([40.0, -15.0, 10.0]).astype(np.float32))
+    st = BIN.init_state(cfg)
+    proc = jax.jit(lambda s, blk: BIN.process(cfg, w, s, blk, dirs, ypr=ypr))
+    outs = []
+    for f in range(x.shape[1] // 128):
+        y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
+        outs.append(np.asarray(y))
+    assert np.abs(np.concatenate(outs, -1) - ref).max() <= TOL
+
+
+def _dense_itab(g, key, n_grid):
+    """Rebuild a dense (nDisp, nGrid) VBAP interpolation table from the
+    sparse top-3 dump (gen_goldens12.c dump_itab_sparse)."""
+    iti = np.asarray(g[f"{key}_iti"])
+    itw = np.asarray(g[f"{key}_itw"], np.float32)
+    T = np.zeros((iti.shape[0], n_grid), np.float32)
+    np.add.at(T, (np.arange(iti.shape[0])[:, None], iti), itw)
+    return T
+
+
+@pytest.mark.parametrize("tag,mode", [("pmp", "pwd"), ("pmv", "mvdr")])
+def test_powermap_modes_end_to_end_vs_c(g, tag, mode):
+    """The PWD and MVDR powermap modes (powermap_internal.c; part 7 pinned
+    only MUSIC) on the part-7 recipe: 8 blocks, order 3, two planted
+    sources, covAvg 0.5, mapAvg 0.666, [0,1]-normalised display map.
+
+    Two reference quirks pinned here: (a) powermap_setMasterOrder does NOT
+    update analysisOrderPerBand (powermap.c:398-411) — those stay at the
+    create-time order 1 unless a source preset is applied, so the C's
+    analysis effectively runs at ORDER 1 (analysis_order_per_band below);
+    (b) the display interpolation table is the C handle's own (dumped
+    sparse), since its convhull jitter depends on the rand() position."""
+    from spatial_audio_framework_tpu.models import powermap as PM
+
+    cfg = PM.PowermapConfig(master_order=3, mode=mode, n_sources=2,
+                            norm="n3d", cov_avg_coeff=0.5,
+                            pmap_avg_coeff=0.666,
+                            analysis_order_per_band=(1,) * 133)
+    w = PM.design(cfg)
+    c_grid = np.asarray(g["pm_grid_dirs"], np.float64)
+    T = _dense_itab(g, f"{tag}_pmap", w.interp_table.shape[1])
+    w = w._replace(interp_table=jnp.asarray(T), interp_dirs_deg=c_grid)
+    st = PM.init_state(cfg, w)
+    x = np.asarray(g[f"{tag}_in"], np.float32)
+    for blk in range(8):
+        pmap, st = PM.analysis(cfg, w, st, jnp.asarray(x[blk]))
+    assert np.abs(np.asarray(pmap) - g[f"{tag}_pmap"]).max() <= 2e-3
+
+
+def test_ambi_bin_ls_and_ta_end_to_end_vs_c(g):
+    """ambi_bin with the LS decoder — which activates the truncation-EQ
+    path (ambi_bin.c:310-364) — under a GENERAL rotation (yaw 25, pitch
+    -10, roll 35; pins the M_dec @ M_rot baking order with an asymmetric
+    M_rot), and with the TA (time-alignment) decoder, rotation off.  Both
+    order 3, N3D, 64 frames of SH noise."""
+    from spatial_audio_framework_tpu.models import ambi_bin
+
+    x = np.asarray(g["abls_in"], np.float32)
+    for method, ref_key, rot in [("ls", "abls_out", True),
+                                 ("ta", "abta_out", False)]:
+        cfg = ambi_bin.AmbiBinConfig(order=3, method=method, norm="n3d",
+                                     enable_rotation=rot)
+        w = ambi_bin.design(cfg)
+        st = ambi_bin.init_state(cfg)
+        ypr = jnp.asarray(np.deg2rad([25.0, -10.0, 35.0]).astype(np.float32)) \
+            if rot else None
+        proc = jax.jit(lambda s, xx: ambi_bin.process(cfg, w, s, xx, ypr))
+        outs = []
+        for f in range(64):
+            y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
+            outs.append(np.asarray(y))
+        err = np.abs(np.concatenate(outs, -1) - np.asarray(g[ref_key])).max()
+        assert err <= TOL, (method, err)
+
+
+@pytest.mark.parametrize("tag,mode", [("dirn", "nearest"), ("diro", "off"),
+                                      ("diru", "upscale")])
+def test_dirass_modes_end_to_end_vs_c(g, tag, mode):
+    """All three dirass modes pinned tightly: the generator re-arms
+    recalcPmap every block (dirass.c:261-262 otherwise consumes it once,
+    freezing the display map at block 1 — the source of the part-8 pin's
+    3.7% residual) and dumps each handle's own display interpolation
+    table.  NEAREST additionally mirrors upstream quirk #10
+    (docs/C_PARITY.md): its per-sector energy is the LAST sample's only
+    (dirass.c:378-379 assigns instead of accumulating)."""
+    from spatial_audio_framework_tpu.models import dirass as DI
+    from spatial_audio_framework_tpu.modules import vbap
+    from spatial_audio_framework_tpu.utils.geometry import unit_sph2cart
+
+    cfg = DI.DirassConfig(input_order=2, upscale_order=6,
+                          mode=mode, beam_type="maxre",
+                          grid_tdesign=18, min_freq_hz=100.0,
+                          max_freq_hz=8000.0, pmap_avg_coeff=0.25,
+                          norm="n3d")
+    w = DI.design(cfg)
+    c_grid = np.asarray(g["dir_grid_dirs"], np.float64)
+    T = _dense_itab(g, f"{tag}_pmap", w.interp_table.shape[1])
+    w = w._replace(interp_table=jnp.asarray(T),
+                   interp_dirs_deg=c_grid,
+                   interp_u=jnp.asarray(np.asarray(
+                       unit_sph2cart(c_grid, degrees=True), np.float32)))
+    st = DI.init_state(cfg, w)
+    x = np.asarray(g[f"{tag}_in"], np.float32)
+    for blk in range(6):
+        pmap, st = DI.analysis(cfg, w, st, jnp.asarray(x[blk]))
+    pmap = np.asarray(pmap)
+    ref = np.asarray(g[f"{tag}_pmap"])
+    # obs: off 6.2e-5, nearest 2.2e-3 (EWMA of single-sample energies),
+    # upscale measured below after regeneration
+    assert np.abs(pmap - ref).max() <= (1e-3 if mode == "off" else 1e-2)
