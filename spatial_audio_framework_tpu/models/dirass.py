@@ -166,7 +166,7 @@ def analysis(cfg: DirassConfig, w: DirassWeights, state: DirassState,
                                jnp.cos(elev) * jnp.sin(azi),
                                jnp.sin(elev)], -1)  # (nGrid, 3)
             nearest = jnp.argmax(u_est @ w.interp_u.T, axis=-1)  # (nGrid,)
-            # upstream quirk (C_PARITY #10): dirass.c:378-379 ASSIGNS
+            # upstream quirk (C_PARITY #11): dirass.c:378-379 ASSIGNS
             # pmap[i] = ss[i,j]^2 inside the sample loop (OFF/UPSCALE use
             # +=), so NEAREST carries only the LAST sample's energy per
             # sector, not the frame sum.  Mirrored for parity.

@@ -113,7 +113,13 @@ def design(cfg: PowermapConfig) -> PowermapWeights:
     dirs_rad = np.stack([np.radians(grid[:, 0]),
                          np.pi / 2 - np.radians(grid[:, 1])], -1)
     max_order = cfg.max_analysis_order
-    Y = sh.get_sh_real(max_order, dirs_rad) * np.sqrt(4.0 * np.pi)
+    # the C scales the scanning-grid SH by 1/nSH (powermap_initAna,
+    # powermap_internal.c:63 scaleY).  All maps except CroPaC are invariant
+    # to this scale after the [0,1] display normalisation; CroPaC is NOT
+    # (its MVDR base map scales as α⁻² while the LCMV cross-spectrum is
+    # α-invariant, so the per-direction gain G mixes the two scalings).
+    nsh_max = (max_order + 1) ** 2
+    Y = sh.get_sh_real(max_order, dirs_rad) * np.sqrt(4.0 * np.pi) / nsh_max
     # display interpolation grid + amplitude-normalised VBAP table
     az = np.arange(-180, 180 + cfg.interp_res_deg, cfg.interp_res_deg)
     el = np.arange(-90, 90 + cfg.interp_res_deg, cfg.interp_res_deg)

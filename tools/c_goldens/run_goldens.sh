@@ -136,6 +136,29 @@ cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
   "$BUILD/framework/libsaf.a" \
   "$OB" -lm -o "$OUT/gen_goldens12"
 
+cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
+  -I"$SRC/framework/include" -I"$SRC/examples/include" \
+  -I"$SRC/examples/src/powermap" \
+  -I"$HERE/shim" \
+  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
+  "$HERE/gen_goldens13.c" "$HERE/shim/lapacke_fix.c" \
+  "$BUILD/examples/libsaf_example_binauraliser_nf.a" \
+  "$BUILD/examples/libsaf_example_powermap.a" \
+  "$BUILD/examples/libsaf_example_ambi_bin.a" \
+  "$BUILD/examples/libsaf_example_beamformer.a" \
+  "$BUILD/framework/libsaf.a" \
+  "$OB" -lm -o "$OUT/gen_goldens13"
+
+cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
+  -I"$SRC/framework/include" -I"$SRC/examples/include" \
+  -I"$HERE/shim" \
+  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
+  "$HERE/gen_goldens14.c" "$HERE/shim/lapacke_fix.c" \
+  "$SRC/examples/src/roombinauraliser/roombinauraliser.c" \
+  "$SRC/examples/src/roombinauraliser/roombinauraliser_internal.c" \
+  "$BUILD/framework/libsaf.a" \
+  "$OB" -lm -o "$OUT/gen_goldens14"
+
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens2" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens3" "$OUT"
@@ -148,4 +171,6 @@ LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens9" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens10" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens11" "$OUT"
 LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens12" "$OUT"
+LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens13" "$OUT"
+LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens14" "$OUT"
 python "$HERE/pack_goldens.py" "$OUT" "$HERE/../../tests/goldens/c_goldens.npz"
