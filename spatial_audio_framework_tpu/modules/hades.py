@@ -289,11 +289,20 @@ class HadesRadialEditor:
         self.grid_dirs_deg = np.asarray(grid_dirs_deg)
 
     def apply(self, params: HadesParams, dir_gains_db: np.ndarray):
-        """dir_gains_db: (360,) azimuth-dependent gains in dB."""
-        azi = np.mod(np.round(self.grid_dirs_deg[params.doa_idx, 0]),
-                     360).astype(int)
-        params.gains_dir = (10.0 ** (np.asarray(dir_gains_db)[azi] / 20.0)
-                            ).astype(np.float32)
+        """dir_gains_db: (360,) azimuth-dependent gains in dB.
+
+        Mirrors hades_radial_editor_apply (saf_hades_synthesis.c:77-99)
+        exactly: looks up the azimuth of ``gains_idx`` (== doa_idx after
+        analysis), shifts -180..180 to 0..360, rounds half-up and clamps to
+        [0, 359], clamps the dB edit to [-60, +12], and MULTIPLIES onto the
+        existing per-band direct gains (edits accumulate)."""
+        azi = self.grid_dirs_deg[params.gains_idx, 0].astype(np.float64)
+        azi = np.where(azi < 0.0, azi + 360.0, azi)
+        edit_idx = np.clip(np.floor(azi + 0.5).astype(int), 0, 359)
+        g_db = np.clip(np.asarray(dir_gains_db, np.float64)[edit_idx],
+                       -60.0, 12.0)
+        params.gains_dir = (params.gains_dir *
+                            (10.0 ** (g_db / 20.0))).astype(np.float32)
         return params
 
 

@@ -138,10 +138,21 @@ def interp_hrtfs(hrtfs: np.ndarray, interp_table: np.ndarray, itds=None,
         return np.einsum("bed,nd->ben", H, T).astype(np.complex64)
     mags = np.abs(H)  # (nBands, 2, nDirs)
     mags_i = np.einsum("bed,nd->ben", mags, T)
-    itd_i = T @ np.asarray(itds, np.float64)  # (nInterp,)
-    f = np.asarray(freq_vector, np.float64)
-    ipd = (np.mod(2.0 * np.pi * f[:, None] * itd_i[None, :] + np.pi,
-                  2.0 * np.pi) - np.pi) / 2.0  # (nBands, nInterp)
+    # The IPD chain must mirror the C's f32 arithmetic exactly
+    # (saf_hrir.c:302-303): ipd = (matlab_fmodf(2pi*f*itd + pi, 2pi) - pi)/2.
+    # When 2pi*f*itd lands on an odd multiple of pi (e.g. integer-sample
+    # ITDs at band fs/4), the fmod sits on its wrap boundary and the ipd
+    # sign — hence e^{±i*pi/2} — is decided by the last f32 ULP; computing
+    # in f64 flips it and the interpolated HRTF moves by 2x its magnitude.
+    f32 = np.float32
+    PI, TWO_PI = f32(np.pi), f32(2.0) * f32(np.pi)
+    itd_i32 = (np.asarray(interp_table, np.float32)
+               @ np.asarray(itds, np.float32))  # sgemm, f32 (nInterp,)
+    f_b = np.asarray(freq_vector, np.float32)
+    x = (TWO_PI * f_b)[:, None] * itd_i32[None, :] + PI  # (nBands, nInterp)
+    m = np.fmod(x, TWO_PI)
+    m = np.where(m >= 0.0, m, m + TWO_PI)                # matlab_fmodf
+    ipd = ((m - PI) / f32(2.0)).astype(np.float64)
     phase = np.stack([ipd, -ipd], axis=1)  # (nBands, 2, nInterp)
     return (mags_i * np.exp(1j * phase)).astype(np.complex64)
 

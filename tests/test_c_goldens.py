@@ -1437,3 +1437,111 @@ def test_beamformer_types_end_to_end_vs_c(g, tag, btype):
         y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
         outs.append(np.asarray(y))
     assert np.abs(np.concatenate(outs, -1) - g[tag]).max() <= TOL
+
+
+# -- round-3 extension, part 15: HADES option branches + binauraliser TRI_PS
+# (tools/c_goldens/gen_goldens15.c)
+
+def _hades_run_vs_c(g, pfx, *, hybrid, low_delay, beam, interp, enable_cm,
+                    hrirs=None, hrir_dirs=None, n_blocks, redit=False,
+                    out_tol):
+    """Shared recipe for the part-15 HADES variant pins (same structure as
+    test_hades_end_to_end_vs_c; deterministic 6-mic array on the 36-dir
+    t-design grid, source at a fixed grid direction)."""
+    from spatial_audio_framework_tpu.modules import hades as HD
+    from spatial_audio_framework_tpu.modules import hrir as hrir_mod
+
+    h = np.asarray(g[f"{pfx}_h_array"], np.float32)
+    grid = np.asarray(g["hds_grid_dirs_deg"], np.float64)
+    ana = HD.HadesAnalysis(fs=48000.0, hop=64, h_array=h, grid_dirs_deg=grid,
+                           blocksize=256, hybrid=hybrid, low_delay=low_delay)
+    assert np.abs(ana.freq_vector - g[f"{pfx}_freq_vector"]).max() <= 1e-2
+
+    if hrirs is None:
+        hrirs, hrir_dirs, hfs = hrir_mod.default_hrirs()
+    else:
+        # the synthetic set declares hrir_fs=44100 (see gen_goldens15.c:
+        # it only feeds estimateITDs, and integer-sample ITDs at the
+        # analysis fs would sit exactly on interpHRTFs' f32 fmod boundary)
+        hfs = 44100.0
+    syn = HD.HadesSynthesis(ana, hrirs=hrirs, hrir_dirs_deg=hrir_dirs,
+                            hrir_fs=hfs, beam_option=beam,
+                            ref_indices=(1, 5), enable_cm=enable_cm,
+                            interp_option=interp)
+    assert np.abs(syn.H_bin - g[f"{pfx}_H_bin"]).max() <= 2e-5
+    assert np.abs(syn.diff_eq - g[f"{pfx}_diff_eq"]).max() <= 1e-5
+
+    ed = HD.HadesRadialEditor(ana.grid_dirs_deg) if redit else None
+    ramp = -70.0 + 0.45 * np.arange(360)          # crosses both dB clamps
+    x = np.asarray(g[f"{pfx}_in"], np.float32)
+    ref_diff = np.asarray(g[f"{pfx}_diffuseness"])
+    ref_doa = np.asarray(g[f"{pfx}_doa_idx"]).astype(int)
+    outs = []
+    for blk in range(n_blocks):
+        params, sigs = ana.apply(x[:, blk * 256:(blk + 1) * 256])
+        assert np.abs(params.diffuseness - ref_diff[blk]).max() <= 1e-5, blk
+        assert (params.doa_idx == ref_doa[blk]).all(), blk
+        if ed is not None:
+            params = ed.apply(params, ramp)
+        outs.append(syn.apply(params, sigs))
+    if redit:
+        assert np.abs(params.gains_dir - g[f"{pfx}_gains_dir"]).max() <= 1e-6
+    out = np.concatenate(outs, -1)
+    ref_out = np.asarray(g[f"{pfx}_out"]).reshape(2, -1)
+    assert np.abs(out - ref_out).max() <= out_tol
+
+
+def test_hades_triangular_none_end_to_end_vs_c(g):
+    """HADES with BEAMFORMER_NONE + TRIANGULAR HRTF interpolation, using a
+    synthetic HRIR set on the SAME 36-dir grid as the analysis grid — the
+    one configuration where the C's triangular path is well defined (its
+    nTargetDirs-length Voronoi weights are consumed over nHRIR HRTFs,
+    saf_hades_internal.c:93-101), so the intentional weights deviation
+    documented in docs/C_PARITY.md vanishes and the pin is exact."""
+    _hades_run_vs_c(
+        g, "hdt", hybrid=False, low_delay=True,
+        beam="none", interp="triangular", enable_cm=False,
+        hrirs=np.asarray(g["hdt_hrirs"], np.float32),
+        hrir_dirs=np.asarray(g["hds_grid_dirs_deg"], np.float64),
+        n_blocks=12, out_tol=1e-3)
+
+
+def test_hades_fas_radial_editor_end_to_end_vs_c(g):
+    """HADES with FILTER_AND_SUM beamforming and the radial editor applied
+    between analysis and synthesis each block (a dB ramp crossing both the
+    -60 and +12 clamps of hades_radial_editor_apply,
+    saf_hades_synthesis.c:77-99); the edited per-band direct gains are
+    pinned exactly, the binaural output within the HADES budget."""
+    _hades_run_vs_c(
+        g, "hdr", hybrid=False, low_delay=True,
+        beam="filter_and_sum", interp="nearest", enable_cm=True,
+        n_blocks=12, redit=True, out_tol=1e-3)
+
+
+def test_hades_hybrid_afstft_end_to_end_vs_c(g):
+    """HADES with the hybrid-mode afSTFT in the NON-low-delay variant
+    (HADES_USE_AFSTFT: 69 bands at hop 64) and BMVDR — pins the hybrid
+    filterbank branch of the HADES chain."""
+    _hades_run_vs_c(
+        g, "hdh", hybrid=True, low_delay=False,
+        beam="bmvdr", interp="nearest", enable_cm=True,
+        n_blocks=8, out_tol=1e-3)
+
+
+def test_binauraliser_tri_ps_end_to_end_vs_c(g):
+    """binauraliser example with INTERP_TRI_PS (magnitude+ITD triangular
+    interpolation with phase synthesis, binauraliser_internal.c:90)."""
+    from spatial_audio_framework_tpu.models import binauraliser as BIN
+
+    x = np.asarray(g["btp_in"], np.float32)
+    ref = np.asarray(g["btp_out"])
+    cfg = BIN.BinauraliserConfig(n_sources=2, interp_mode=BIN.INTERP_TRI_PS)
+    w = BIN.design(cfg)
+    dirs = jnp.asarray(np.array([[20.0, -30.0], [-70.0, 35.0]], np.float32))
+    st = BIN.init_state(cfg)
+    proc = jax.jit(lambda s, blk: BIN.process(cfg, w, s, blk, dirs))
+    outs = []
+    for f in range(48):
+        y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
+        outs.append(np.asarray(y))
+    assert np.abs(np.concatenate(outs, -1) - ref).max() <= TOL
