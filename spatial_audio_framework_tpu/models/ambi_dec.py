@@ -95,11 +95,21 @@ def design(cfg: AmbiDecConfig, ls_dirs_deg: np.ndarray,
         order_per_band = np.full(n_bands, mo, int)
     order_per_band = np.clip(np.asarray(order_per_band, int), 1, mo)
 
+    # One glibc rand() stream shared across the whole design, consumed in
+    # the C's initCodec order: the ALLRAD triangulations for d=0 then d=1
+    # (ambi_dec.c:258-276) BEFORE the HRTF VBAP table (ambi_dec.c:402) — the
+    # near-regular default-HRIR grid's triangulation is jitter-sensitive, so
+    # the stream position at that third hull build matters for parity.
+    from spatial_audio_framework_tpu.utils.convhull3d import glibc_rand
+
+    rand_stream = glibc_rand()
+
     # per-decoder, per-order truncated + maxRE + norm variants
     M_full = {}
     for d in range(2):
         M_master = hoa.get_loudspeaker_decoder_mtx(ls_dirs_deg,
-                                                   cfg.dec_method[d], mo)
+                                                   cfg.dec_method[d], mo,
+                                                   rand_stream=rand_stream)
         for n in range(1, mo + 1):
             nsh_n = (n + 1) ** 2
             M_n = M_master[:, :nsh_n]
@@ -122,15 +132,21 @@ def design(cfg: AmbiDecConfig, ls_dirs_deg: np.ndarray,
         if cfg.binauralise_ls:
             from spatial_audio_framework_tpu.models import binauraliser as _b
 
+            # ambi_dec_interpHRTFs (ambi_dec_internal.c:59-115) is the
+            # mag+ITD interpolation with IPD resynthesis below 1.5 kHz —
+            # i.e. binauraliser's TRI_PS mode, always.
             bcfg = _b.BinauraliserConfig(n_sources=n_ls, fs=cfg.fs,
-                                         hop=cfg.hop)
-            bwri = _b.design_ri(bcfg, hrirs, hrir_dirs_deg, hrir_fs)
+                                         hop=cfg.hop,
+                                         interp_mode=_b.INTERP_TRI_PS)
+            bwri = _b.design_ri(bcfg, hrirs, hrir_dirs_deg, hrir_fs,
+                                rand_stream=rand_stream)
             Hre, Him = _b.interp_hrtfs_ri(
                 bcfg, bwri, jnp.asarray(ls_dirs_deg, jnp.float32))
-            Mre = jnp.einsum("bel,bls->bes", Hre,
-                             jnp.asarray(M.astype(np.float32)))
-            Mim = jnp.einsum("bel,bls->bes", Him,
-                             jnp.asarray(M.astype(np.float32)))
+            scale = 1.0 / np.sqrt(n_ls)  # ambi_dec.c:563 sqrt(nLS) scaling
+            Mre = scale * jnp.einsum("bel,bls->bes", Hre,
+                                     jnp.asarray(M.astype(np.float32)))
+            Mim = scale * jnp.einsum("bel,bls->bes", Him,
+                                     jnp.asarray(M.astype(np.float32)))
             return AmbiDecWeightsRI(M_re=Mre, M_im=Mim)
         return AmbiDecWeightsRI(M_re=jnp.asarray(M.astype(np.float32)),
                                 M_im=None)
@@ -139,10 +155,13 @@ def design(cfg: AmbiDecConfig, ls_dirs_deg: np.ndarray,
     if cfg.binauralise_ls:
         from spatial_audio_framework_tpu.models import binauraliser as _bin
 
-        bcfg = _bin.BinauraliserConfig(n_sources=n_ls, fs=cfg.fs, hop=cfg.hop)
-        bw = _bin.design(bcfg, hrirs, hrir_dirs_deg, hrir_fs)
+        # TRI_PS always + 1/sqrt(nLS) — see the RI branch above.
+        bcfg = _bin.BinauraliserConfig(n_sources=n_ls, fs=cfg.fs, hop=cfg.hop,
+                                       interp_mode=_bin.INTERP_TRI_PS)
+        bw = _bin.design(bcfg, hrirs, hrir_dirs_deg, hrir_fs,
+                         rand_stream=rand_stream)
         H = _bin.interp_hrtfs(bcfg, bw, jnp.asarray(ls_dirs_deg, jnp.float32))
-        weights = weights._replace(H_bin=H)
+        weights = weights._replace(H_bin=H / np.sqrt(n_ls))
     return weights
 
 

@@ -57,7 +57,8 @@ class BinauraliserWeights(NamedTuple):
 def _design_host(cfg: BinauraliserConfig, hrirs: Optional[np.ndarray] = None,
                  hrir_dirs_deg: Optional[np.ndarray] = None,
                  hrir_fs: Optional[int] = None,
-                 sofa_filepath: Optional[str] = None):
+                 sofa_filepath: Optional[str] = None,
+                 rand_stream=None):
     if hrirs is None:
         # SOFA path with the reference's bad-file → default-set fallback
         # (binauraliser_internal.c: same block as ambi_bin.c:209-218)
@@ -74,7 +75,8 @@ def _design_host(cfg: BinauraliserConfig, hrirs: Optional[np.ndarray] = None,
             hrtf_fb, itds, freqs, weights, apply_eq=True, apply_phase=False)
     gtable = vbap.generate_vbap_gain_table_3d(
         np.asarray(hrir_dirs_deg, np.float64), cfg.azi_res, cfg.elev_res,
-        omit_large_triangles=True, enable_dummies=False)
+        omit_large_triangles=True, enable_dummies=False,
+        rand_stream=rand_stream)
     comp, idx = vbap.compress_vbap_gain_table_3d(gtable)
     return hrtf_fb, itds, comp, idx, freqs
 
@@ -82,9 +84,11 @@ def _design_host(cfg: BinauraliserConfig, hrirs: Optional[np.ndarray] = None,
 def design(cfg: BinauraliserConfig, hrirs: Optional[np.ndarray] = None,
            hrir_dirs_deg: Optional[np.ndarray] = None,
            hrir_fs: Optional[int] = None,
-           sofa_filepath: Optional[str] = None) -> BinauraliserWeights:
+           sofa_filepath: Optional[str] = None,
+           rand_stream=None) -> BinauraliserWeights:
     hrtf_fb, itds, comp, idx, freqs = _design_host(cfg, hrirs, hrir_dirs_deg,
-                                                   hrir_fs, sofa_filepath)
+                                                   hrir_fs, sofa_filepath,
+                                                   rand_stream=rand_stream)
     return BinauraliserWeights(
         hrtf_fb=jnp.asarray(hrtf_fb),
         hrtf_mag=jnp.asarray(np.abs(hrtf_fb).astype(np.float32)),
@@ -108,10 +112,12 @@ class BinauraliserWeightsRI(NamedTuple):
 def design_ri(cfg: BinauraliserConfig, hrirs: Optional[np.ndarray] = None,
               hrir_dirs_deg: Optional[np.ndarray] = None,
               hrir_fs: Optional[int] = None,
-              sofa_filepath: Optional[str] = None) -> BinauraliserWeightsRI:
+              sofa_filepath: Optional[str] = None,
+              rand_stream=None) -> BinauraliserWeightsRI:
     """design() for the complex-free fast path (host-side re/im split)."""
     hrtf_fb, itds, comp, idx, freqs = _design_host(cfg, hrirs, hrir_dirs_deg,
-                                                   hrir_fs, sofa_filepath)
+                                                   hrir_fs, sofa_filepath,
+                                                   rand_stream=rand_stream)
     return BinauraliserWeightsRI(
         hrtf_re=jnp.asarray(hrtf_fb.real.astype(np.float32)),
         hrtf_im=jnp.asarray(hrtf_fb.imag.astype(np.float32)),

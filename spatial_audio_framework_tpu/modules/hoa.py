@@ -155,20 +155,23 @@ def _get_epad(order: int, ls_dirs_deg: np.ndarray) -> np.ndarray:
     return (dec * np.sqrt(4.0 * np.pi / n_ls)).astype(np.float32)
 
 
-def _get_allrad(order: int, ls_dirs_deg: np.ndarray) -> np.ndarray:
+def _get_allrad(order: int, ls_dirs_deg: np.ndarray,
+                rand_stream=None) -> np.ndarray:
     """AllRAD (saf_hoa_internal.c:100 ``getAllRAD``): VBAP gains of a dense
     t-design (degree 100, 5100 points) times its SH matrix / nDirs."""
     from spatial_audio_framework_tpu.modules.vbap import generate_vbap_gain_table_3d_srcs
 
     t_dirs = _presets.tdesign(100)
-    G = generate_vbap_gain_table_3d_srcs(t_dirs, ls_dirs_deg)  # (nTD, nLS)
+    G = generate_vbap_gain_table_3d_srcs(t_dirs, ls_dirs_deg,
+                                         rand_stream=rand_stream)  # (nTD, nLS)
     Y_td = _sh.get_rsh(order, t_dirs) / np.sqrt(4.0 * np.pi)   # (nSH, nTD)
     dec = (G.T @ Y_td.T) * (4.0 * np.pi / t_dirs.shape[0])
     return dec.astype(np.float32)
 
 
 def get_loudspeaker_decoder_mtx(ls_dirs_deg: np.ndarray, method: str, order: int,
-                                enable_max_re_weighting: bool = False) -> np.ndarray:
+                                enable_max_re_weighting: bool = False,
+                                rand_stream=None) -> np.ndarray:
     """Ambisonic loudspeaker decoder, (nLS, nSH)
     (saf_hoa.c ``getLoudspeakerDecoderMtx``)."""
     ls_dirs_deg = np.asarray(ls_dirs_deg, np.float64)
@@ -182,7 +185,7 @@ def get_loudspeaker_decoder_mtx(ls_dirs_deg: np.ndarray, method: str, order: int
     elif method == LOUDSPEAKER_DECODER_EPAD:
         dec = _get_epad(order, ls_dirs_deg)
     elif method == LOUDSPEAKER_DECODER_ALLRAD:
-        dec = _get_allrad(order, ls_dirs_deg)
+        dec = _get_allrad(order, ls_dirs_deg, rand_stream=rand_stream)
     else:
         raise ValueError(method)
     if enable_max_re_weighting:

@@ -173,7 +173,8 @@ def generate_vbap_gain_table_3d_srcs(src_dirs_deg: np.ndarray,
                                      ls_dirs_deg: np.ndarray,
                                      omit_large_triangles: bool = False,
                                      enable_dummies: bool = False,
-                                     spread: float = 0.0) -> np.ndarray:
+                                     spread: float = 0.0,
+                                     rand_stream=None) -> np.ndarray:
     """(nSrc, L) VBAP gain table (saf_vbap.c:52 ``generateVBAPgainTable3D_srcs``)."""
     ls_dirs_deg = np.asarray(ls_dirs_deg, np.float64)
     L = ls_dirs_deg.shape[0]
@@ -188,7 +189,8 @@ def generate_vbap_gain_table_3d_srcs(src_dirs_deg: np.ndarray,
             extra.append([0.0, 90.0])
         if extra:
             dirs = np.concatenate([ls_dirs_deg, np.asarray(extra)], axis=0)
-    verts, faces = find_ls_triplets(dirs, omit_large_triangles)
+    verts, faces = find_ls_triplets(dirs, omit_large_triangles,
+                                    rand_stream=rand_stream)
     inv_mtx = invert_ls_mtx_3d(verts, faces)
     g = vbap_3d(src_dirs_deg, verts, faces, inv_mtx, spread)
     return g[:, :L]  # drop dummy columns
@@ -198,7 +200,8 @@ def generate_vbap_gain_table_3d(ls_dirs_deg: np.ndarray, az_res_deg: int = 1,
                                 el_res_deg: int = 1,
                                 omit_large_triangles: bool = False,
                                 enable_dummies: bool = False,
-                                spread: float = 0.0) -> np.ndarray:
+                                spread: float = 0.0,
+                                rand_stream=None) -> np.ndarray:
     """Regular-grid gain table (saf_vbap.c:171 ``generateVBAPgainTable3D``):
     grid azi -180..180 (step az_res), elev -90..90 (step el_res), azimuth
     varying fastest.  → (N_azi*N_ele, L)."""
@@ -209,7 +212,8 @@ def generate_vbap_gain_table_3d(ls_dirs_deg: np.ndarray, az_res_deg: int = 1,
     grid = np.stack(np.meshgrid(azi, ele), -1).reshape(-1, 2)
     return generate_vbap_gain_table_3d_srcs(grid, ls_dirs_deg,
                                             omit_large_triangles,
-                                            enable_dummies, spread)
+                                            enable_dummies, spread,
+                                            rand_stream=rand_stream)
 
 
 def compress_vbap_gain_table_3d(gtable: np.ndarray):

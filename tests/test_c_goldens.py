@@ -839,6 +839,124 @@ def test_ambi_dec_end_to_end_vs_c(g):
     assert np.abs(np.concatenate(outs, -1) - g["dec_e2e_out"]).max() <= TOL
 
 
+def _run_ambi_dec(cfg, ls, x, n_out, order_per_band=None):
+    from spatial_audio_framework_tpu.models import ambi_dec as DEC
+
+    w = DEC.design(cfg, ls, order_per_band)
+    st = DEC.init_state(cfg, 9)
+    proc = jax.jit(lambda s, xx: DEC.process(cfg, w, s, xx))
+    outs = []
+    for f in range(32):
+        y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
+        outs.append(np.asarray(y))
+    out = np.concatenate(outs, -1)
+    assert out.shape[0] == n_out
+    return out
+
+
+def test_ambi_dec_binaural_vs_c(g):
+    """binauraliseLS headphone preview (ambi_dec.c:543-563): per-loudspeaker
+    TRI_PS HRTF interpolation (mag+ITD, ambi_dec_internal.c:59-115) folded
+    onto the ALLRAD dual-band decode, scaled by 1/sqrt(nLS)."""
+    from spatial_audio_framework_tpu.models import ambi_dec as DEC
+
+    ls = np.asarray(g["ad16_ls_dirs"], np.float64)
+    cfg = DEC.AmbiDecConfig(master_order=3, norm="n3d",
+                            dec_method=("allrad", "allrad"),
+                            re_weight=(False, True), transition_freq=800.0,
+                            binauralise_ls=True)
+    out = _run_ambi_dec(cfg, ls, np.asarray(g["adb_in"], np.float32), 2)
+    assert np.abs(out - g["adb_out"]).max() <= TOL
+
+
+def test_ambi_dec_hrtf_vbap_table_vs_c(g):
+    """The compressed HRTF VBAP interpolation table inside the binauraliseLS
+    codec (all 6697 rows) matches the C exactly — including the glibc rand()
+    stream position at the HRIR-grid hull build (two ALLRAD triangulations
+    of the LS layout consume the stream first, ambi_dec.c:258-276)."""
+    from spatial_audio_framework_tpu.models import binauraliser as B
+    from spatial_audio_framework_tpu.modules import hoa
+    from spatial_audio_framework_tpu.utils.convhull3d import glibc_rand
+
+    ls = np.asarray(g["ad16_ls_dirs"], np.float64)
+    rs = glibc_rand()
+    for _ in range(2):
+        hoa.get_loudspeaker_decoder_mtx(ls, "allrad", 3, rand_stream=rs)
+    bcfg = B.BinauraliserConfig(n_sources=9, interp_mode=B.INTERP_TRI_PS)
+    _, _, comp, idx, _ = B._design_host(bcfg, rand_stream=rs)
+    # Compare dense reconstructions: the C computes raw gains in f32, so
+    # ~1e-7 gains straddle compressVBAPgainTable3D's >1e-7 keep-threshold
+    # differently than this f64 design pipeline — the kept-entry SETS can
+    # differ by entries that are zero to 2e-6.
+    n_dirs = 836
+    mine = np.zeros((comp.shape[0], n_dirs), np.float32)
+    ref = np.zeros_like(mine)
+    rows = np.arange(comp.shape[0])[:, None]
+    np.add.at(mine, (rows, np.asarray(idx, int)), np.asarray(comp))
+    np.add.at(ref, (rows, np.asarray(g["adb_vbap_idx"], int)),
+              np.asarray(g["adb_vbap_w"]))
+    assert np.abs(mine - ref).max() <= 5e-6
+
+
+def test_ambi_dec_sad_epad_amplitude_vs_c(g):
+    """SAD below / EPAD above the transition frequency with the
+    AMPLITUDE_PRESERVING diffuse-field EQ branch (M_norm[..][0],
+    ambi_dec.c:539)."""
+    from spatial_audio_framework_tpu.models import ambi_dec as DEC
+
+    ls = np.asarray(g["ad16_ls_dirs"], np.float64)
+    cfg = DEC.AmbiDecConfig(master_order=3, norm="n3d",
+                            dec_method=("sad", "epad"),
+                            re_weight=(False, False), transition_freq=800.0,
+                            diff_eq_mode=(DEC.AMPLITUDE_PRESERVING,
+                                          DEC.AMPLITUDE_PRESERVING))
+    out = _run_ambi_dec(cfg, ls, np.asarray(g["ada_in"], np.float32), 9)
+    assert np.abs(out - g["ada_out"]).max() <= TOL
+
+
+def test_ambi_dec_per_band_order_vs_c(g):
+    """Per-band decoding-order truncation (orderPerBand=1 below band 40,
+    ambi_dec.c:520-522) with MMD decoders + maxrE both bands."""
+    from spatial_audio_framework_tpu.models import ambi_dec as DEC
+
+    ls = np.asarray(g["ad16_ls_dirs"], np.float64)
+    opb = np.asarray(g["adm_order_per_band"], int)
+    cfg = DEC.AmbiDecConfig(master_order=3, norm="n3d",
+                            dec_method=("mmd", "mmd"),
+                            re_weight=(True, True), transition_freq=800.0)
+    out = _run_ambi_dec(cfg, ls, np.asarray(g["adm_in"], np.float32), 9,
+                        order_per_band=opb)
+    assert np.abs(out - g["adm_out"]).max() <= TOL
+
+
+def test_ambi_enc_gains_solo_vs_c(g):
+    """Per-source gains changed mid-stream + setSourceSolo/setUnSolo
+    (ambi_enc.c:135-137): gains multiply the input frame that feeds the
+    NEXT output frame (the encode reads prev_inputFrameTD)."""
+    from spatial_audio_framework_tpu.models import ambi_enc as ENC
+
+    cfg = ENC.AmbiEncConfig(order=2, n_sources=3, norm="n3d", frame_size=64)
+    dirs = jnp.asarray(np.asarray(g["aeg_dirs"], np.float32))
+    conv = ENC.design(cfg)
+    st = ENC.init_state(cfg, np.asarray(g["aeg_dirs"], np.float64))
+    x = np.asarray(g["aeg_in"], np.float32)
+    proc = jax.jit(lambda s, xx, gg: ENC.process(cfg, conv, s, xx, dirs,
+                                                 src_gains=gg))
+    gains = np.ones(3, np.float32)
+    outs = []
+    for f in range(32):
+        if f == 8:
+            gains = np.array([0.5, 2.0, 1.0], np.float32)
+        elif f == 16:
+            gains = np.array([0.0, 0.0, 1.0], np.float32)  # solo src 2
+        elif f == 24:
+            gains = np.ones(3, np.float32)                 # unSolo
+        y, st = proc(st, jnp.asarray(x[:, f * 64:(f + 1) * 64]),
+                     jnp.asarray(gains))
+        outs.append(np.asarray(y))
+    assert np.abs(np.concatenate(outs, -1) - g["aeg_out"]).max() <= TOL
+
+
 def test_dirass_end_to_end_vs_c(g):
     """6 blocks through the dirass example (order 2, T-design-18 grid,
     UPSCALE reassignment to order 6) reproduce the C's display map on its

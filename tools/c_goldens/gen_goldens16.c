@@ -1,0 +1,258 @@
+/* Golden-fixture generator, part 16: the ambi_dec option branches that
+ * stage 8's end-to-end pin (ALLRAD dual-band, loudspeaker out) left
+ * uncovered —
+ *   A) binauraliseLS: headphone preview of the decoded loudspeaker feeds
+ *      (per-LS TRI_PS HRTF interpolation + 1/sqrt(nLS), ambi_dec.c:543-563)
+ *   B) SAD/EPAD decoders with AMPLITUDE_PRESERVING diffuse-field EQ
+ *      (the M_norm[..][0] branch, ambi_dec.c:539)
+ *   C) per-band decoding-order truncation (orderPerBand < masterOrder,
+ *      ambi_dec.c:520-522) with MMD decoders
+ */
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+#include <math.h>
+
+#include "saf.h"
+#include "ambi_dec.h"
+#include "ambi_dec_internal.h"
+#include "ambi_enc.h"
+
+static FILE* manifest;
+static const char* outdir;
+
+static void dump(const char* name, const void* data, size_t n_elem,
+                 const char* dtype, const char* shape)
+{
+    char path[512];
+    size_t esz = strcmp(dtype, "c8") == 0 ? 8 : 4;
+    snprintf(path, sizeof(path), "%s/%s.bin", outdir, name);
+    FILE* f = fopen(path, "wb");
+    if (!f) { perror(path); exit(1); }
+    fwrite(data, esz, n_elem, f);
+    fclose(f);
+    fprintf(manifest, "%s %s %s\n", name, dtype, shape);
+}
+
+static unsigned int lcg_state = 161616u;
+static float lcg_noise(void)
+{
+    lcg_state = lcg_state * 1664525u + 1013904223u;
+    return (float)(lcg_state >> 8) / 8388608.0f - 1.0f;
+}
+
+static void fill_noise(float** buf, int nch, int len)
+{
+    int i, t;
+    for (i = 0; i < nch; i++)
+        for (t = 0; t < len; t++)
+            buf[i][t] = lcg_noise();
+}
+
+#define RUN_FRAMES(procfn, h, in, out, nIn, nOut, frame, nFrames, inF, outF) \
+    do {                                                                     \
+        int f_, i_;                                                          \
+        for (f_ = 0; f_ < (nFrames); f_++) {                                 \
+            for (i_ = 0; i_ < (nIn); i_++)                                   \
+                memcpy((inF)[i_], &(in)[i_][f_ * (frame)],                   \
+                       (frame) * sizeof(float));                             \
+            procfn((h), (const float* const*)(inF), (outF), (nIn), (nOut),   \
+                   (frame));                                                 \
+            for (i_ = 0; i_ < (nOut); i_++)                                  \
+                memcpy(&(out)[(size_t)i_ * (nFrames) * (frame)               \
+                              + f_ * (frame)], (outF)[i_],                   \
+                       (frame) * sizeof(float));                             \
+        }                                                                    \
+    } while (0)
+
+static const float ls_dirs[9][2] = {
+    {0.0f, -3.0f}, {47.0f, 2.0f}, {-42.0f, 1.0f}, {88.0f, -2.0f},
+    {-93.0f, 0.0f}, {132.0f, 3.0f}, {-138.0f, -1.0f},
+    {30.0f, 40.0f}, {-60.0f, 28.0f}};
+
+/* One configured ambi_dec run: pfx_{in,out} dumped, nOut channels. */
+static void ambi_dec_run(const char* pfx, unsigned int seed, int binauralise,
+                         int dec_low, int dec_high, int maxre_low,
+                         int maxre_high, int diffeq_low, int diffeq_high,
+                         const int* order_per_band)
+{
+    const int order = 3, nsh = 16, nLS = 9, nFrames = 32;
+    const int frame = ambi_dec_getFrameSize();
+    const int nBands = ambi_dec_getNumberOfBands();
+    const int nOut = binauralise ? 2 : nLS;
+    int i;
+    void* h;
+    lcg_state = seed;
+    ambi_dec_create(&h);
+    ambi_dec_init(h, 48000);
+    ambi_dec_setMasterDecOrder(h, order);
+    if (order_per_band) {
+        for (i = 0; i < nBands; i++)
+            ambi_dec_setDecOrder(h, order_per_band[i], i);
+    } else
+        ambi_dec_setDecOrderAllBands(h, order);
+    ambi_dec_setNormType(h, NORM_N3D);
+    ambi_dec_setNumLoudspeakers(h, nLS);
+    for (i = 0; i < nLS; i++) {
+        ambi_dec_setLoudspeakerAzi_deg(h, i, ls_dirs[i][0]);
+        ambi_dec_setLoudspeakerElev_deg(h, i, ls_dirs[i][1]);
+    }
+    ambi_dec_setBinauraliseLSflag(h, binauralise);
+    ambi_dec_setDecMethod(h, 0, dec_low);
+    ambi_dec_setDecMethod(h, 1, dec_high);
+    ambi_dec_setDecEnableMaxrE(h, 0, maxre_low);
+    ambi_dec_setDecEnableMaxrE(h, 1, maxre_high);
+    ambi_dec_setDecNormType(h, 0, diffeq_low);
+    ambi_dec_setDecNormType(h, 1, diffeq_high);
+    ambi_dec_setTransitionFreq(h, 800.0f);
+    ambi_dec_initCodec(h);
+
+    float** in = (float**)malloc2d(nsh, nFrames * frame, sizeof(float));
+    float** inF = (float**)malloc2d(nsh, frame, sizeof(float));
+    float** outF = (float**)malloc2d(nOut, frame, sizeof(float));
+    float* out = malloc1d((size_t)nOut * nFrames * frame * sizeof(float));
+    fill_noise(in, nsh, nFrames * frame);
+    RUN_FRAMES(ambi_dec_process, h, in, out, nsh, nOut, frame, nFrames,
+               inF, outF);
+    if (binauralise) {
+        /* dump the per-LS interpolated HRTFs actually used (filled during
+         * process by ambi_dec_interpHRTFs) to isolate design-time parity */
+        ambi_dec_data* pData = (ambi_dec_data*)h;
+        float_complex* hi = malloc1d((size_t)nLS * HYBRID_BANDS * NUM_EARS
+                                     * sizeof(float_complex));
+        int ch, b, e;
+        for (ch = 0; ch < nLS; ch++)
+            for (b = 0; b < HYBRID_BANDS; b++)
+                for (e = 0; e < NUM_EARS; e++)
+                    hi[((size_t)ch * HYBRID_BANDS + b) * NUM_EARS + e] =
+                        pData->pars->hrtf_interp[ch][b][e];
+        char nm2[64], sh2[32];
+        snprintf(nm2, sizeof(nm2), "%s_hinterp", pfx);
+        snprintf(sh2, sizeof(sh2), "%d,%d,%d", nLS, HYBRID_BANDS, NUM_EARS);
+        dump(nm2, hi, (size_t)nLS * HYBRID_BANDS * NUM_EARS, "c8", sh2);
+        free(hi);
+        /* the compressed VBAP interpolation table (weights + HRIR indices) */
+        {
+            int nT = pData->pars->N_hrtf_vbap_gtable;
+            float* idx_f = malloc1d((size_t)nT * 3 * sizeof(float));
+            for (b = 0; b < nT * 3; b++)
+                idx_f[b] = (float)pData->pars->hrtf_vbap_gtableIdx[b];
+            snprintf(nm2, sizeof(nm2), "%s_vbap_w", pfx);
+            snprintf(sh2, sizeof(sh2), "%d,3", nT);
+            dump(nm2, pData->pars->hrtf_vbap_gtableComp, (size_t)nT * 3,
+                 "f4", sh2);
+            snprintf(nm2, sizeof(nm2), "%s_vbap_idx", pfx);
+            dump(nm2, idx_f, (size_t)nT * 3, "f4", sh2);
+            free(idx_f);
+        }
+    }
+    char nm[64], sh[32];
+    snprintf(nm, sizeof(nm), "%s_in", pfx);
+    snprintf(sh, sizeof(sh), "%d,%d", nsh, nFrames * frame);
+    dump(nm, FLATTEN2D(in), (size_t)nsh * nFrames * frame, "f4", sh);
+    snprintf(nm, sizeof(nm), "%s_out", pfx);
+    snprintf(sh, sizeof(sh), "%d,%d", nOut, nFrames * frame);
+    dump(nm, out, (size_t)nOut * nFrames * frame, "f4", sh);
+    ambi_dec_destroy(&h);
+    free(in); free(inF); free(outF); free(out);
+    printf("%s done\n", pfx);
+}
+
+/* per-source gain + solo/unsolo changes mid-stream (ambi_enc.c:135-137,
+ * setSourceSolo/setUnSolo): gains hit the input frame that feeds the NEXT
+ * output frame (the encode gemm reads prev_inputFrameTD) */
+static void golden_ambi_enc_gains(void)
+{
+    const int order = 2, nsh = 9, nSrc = 3, nFrames = 32;
+    const int frame = ambi_enc_getFrameSize();
+    const float dirs[3][2] = {{30.0f, 0.0f}, {-45.0f, 12.0f}, {110.0f, -25.0f}};
+    int i, f;
+    void* h;
+    lcg_state = 171717u;
+    ambi_enc_create(&h);
+    ambi_enc_init(h, 48000);
+    ambi_enc_setOutputOrder(h, order);
+    ambi_enc_setNormType(h, NORM_N3D);
+    ambi_enc_setNumSources(h, nSrc);
+    for (i = 0; i < nSrc; i++) {
+        ambi_enc_setSourceAzi_deg(h, i, dirs[i][0]);
+        ambi_enc_setSourceElev_deg(h, i, dirs[i][1]);
+    }
+    float** in = (float**)malloc2d(nSrc, nFrames * frame, sizeof(float));
+    float** inF = (float**)malloc2d(nSrc, frame, sizeof(float));
+    float** outF = (float**)malloc2d(nsh, frame, sizeof(float));
+    float* out = malloc1d((size_t)nsh * nFrames * frame * sizeof(float));
+    fill_noise(in, nSrc, nFrames * frame);
+    for (f = 0; f < nFrames; f++) {
+        if (f == 8) {
+            ambi_enc_setSourceGain(h, 0, 0.5f);
+            ambi_enc_setSourceGain(h, 1, 2.0f);
+        } else if (f == 16)
+            ambi_enc_setSourceSolo(h, 2);
+        else if (f == 24)
+            ambi_enc_setUnSolo(h);
+        for (i = 0; i < nSrc; i++)
+            memcpy(inF[i], &in[i][f * frame], frame * sizeof(float));
+        ambi_enc_process(h, (const float* const*)inF, outF, nSrc, nsh,
+                         frame);
+        for (i = 0; i < nsh; i++)
+            memcpy(&out[(size_t)i * nFrames * frame + f * frame], outF[i],
+                   frame * sizeof(float));
+    }
+    char sh[32];
+    snprintf(sh, sizeof(sh), "%d,%d", nSrc, nFrames * frame);
+    dump("aeg_in", FLATTEN2D(in), (size_t)nSrc * nFrames * frame, "f4", sh);
+    snprintf(sh, sizeof(sh), "%d,%d", nsh, nFrames * frame);
+    dump("aeg_out", out, (size_t)nsh * nFrames * frame, "f4", sh);
+    dump("aeg_dirs", dirs, 6, "f4", "3,2");
+    ambi_enc_destroy(&h);
+    free(in); free(inF); free(outF); free(out);
+    printf("aeg done\n");
+}
+
+/* -------------------------------------------------------------------- */
+int main(int argc, char** argv)
+{
+    if (argc != 2) { fprintf(stderr, "usage: %s <outdir>\n", argv[0]); return 1; }
+    outdir = argv[1];
+    char mpath[512];
+    snprintf(mpath, sizeof(mpath), "%s/manifest.txt", outdir);
+    manifest = fopen(mpath, "a");
+    if (!manifest) { perror(mpath); return 1; }
+
+    /* A) binauraliseLS headphone preview, ALLRAD dual-band as in stage 8 */
+    ambi_dec_run("adb", 161617u, 1,
+                 LOUDSPEAKER_DECODER_ALLRAD, LOUDSPEAKER_DECODER_ALLRAD,
+                 0, 1, ENERGY_PRESERVING, ENERGY_PRESERVING, NULL);
+
+    /* B) SAD low / EPAD high, amplitude-preserving EQ, no maxrE */
+    ambi_dec_run("ada", 161618u, 0,
+                 LOUDSPEAKER_DECODER_SAD, LOUDSPEAKER_DECODER_EPAD,
+                 0, 0, AMPLITUDE_PRESERVING, AMPLITUDE_PRESERVING, NULL);
+
+    /* C) MMD both bands, per-band order: 1 below band 40, 3 above */
+    {
+        const int nBands = ambi_dec_getNumberOfBands();
+        int* opb = malloc1d(nBands * sizeof(int));
+        int b;
+        float* opb_f = malloc1d(nBands * sizeof(float));
+        for (b = 0; b < nBands; b++)
+            opb[b] = b < 40 ? 1 : 3;
+        ambi_dec_run("adm", 161619u, 0,
+                     LOUDSPEAKER_DECODER_MMD, LOUDSPEAKER_DECODER_MMD,
+                     1, 1, ENERGY_PRESERVING, ENERGY_PRESERVING, opb);
+        for (b = 0; b < nBands; b++)
+            opb_f[b] = (float)opb[b];
+        char sh[16];
+        snprintf(sh, sizeof(sh), "%d", nBands);
+        dump("adm_order_per_band", opb_f, nBands, "f4", sh);
+        free(opb); free(opb_f);
+    }
+    dump("ad16_ls_dirs", ls_dirs, 18, "f4", "9,2");
+
+    /* D) ambi_enc per-source gains + solo */
+    golden_ambi_enc_gains();
+
+    fclose(manifest);
+    return 0;
+}
