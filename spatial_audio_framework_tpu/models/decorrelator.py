@@ -77,8 +77,7 @@ def process(cfg: DecorrelatorConfig, design_data: dict,
     """x: (nCH, T) → ((nCH, T), state)."""
     bank = cfg.afstft
     spec, bank_st = bank.analysis(state.bank, x)   # (nBands, nCH, H)
-    frame = spec.transpose(0, 1, 2)
-    orig = frame
+    frame = orig = spec
     ducker_st = state.ducker
     trans = None
     if cfg.enable_transient_ducker:

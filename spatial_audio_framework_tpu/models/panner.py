@@ -76,7 +76,7 @@ def process(cfg: PannerConfig, weights: PannerWeights, state: AfSTFTState,
     if ypr is not None:
         R = geo.yaw_pitch_roll2_rzyx(ypr[0], ypr[1], ypr[2]).astype(x.dtype)
         u = geo.unit_sph2cart(src_dirs_deg, degrees=True)
-        u_rot = u @ R.T  # panner.c:220-223 (dirs as rows × Rxyzᵀ)
+        u_rot = u @ R  # panner.c:220-223 NoTrans sgemm: dirs as rows × Rzyx
         src_dirs_deg = geo.unit_cart2sph(u_rot, degrees=True)
     g = _table_lookup(cfg, weights.gtable, src_dirs_deg)  # (nSrc, nLS)
     p = weights.p_values  # (nBands,)
@@ -116,7 +116,7 @@ def process_ri_batched(cfg: PannerConfig, weights: PannerWeights, state,
         R = jax.vmap(lambda r: geo.yaw_pitch_roll2_rzyx(r[0], r[1], r[2]))(
             ypr).astype(x.dtype)
         u = geo.unit_sph2cart(src_dirs_deg, degrees=True)
-        u = jnp.einsum("zsj,zij->zsi", u, R)
+        u = jnp.einsum("zsj,zji->zsi", u, R)  # rows × Rzyx (panner.c:220)
         src_dirs_deg = geo.unit_cart2sph(u, degrees=True)
     g = jax.vmap(lambda d: _table_lookup(cfg, weights.gtable, d))(
         src_dirs_deg)                                   # (S, nSrc, nLS)

@@ -128,7 +128,6 @@ def design(cfg: PowermapConfig) -> PowermapWeights:
     g = vbap.vbap_gain_table_to_interp_table(g)
     # order-truncation masks: band b contributes Cx rows/cols < (order_b+1)²
     orders = cfg.orders_per_band()
-    nsh_max = (max_order + 1) ** 2
     mask = (np.arange(nsh_max)[None, :]
             < ((orders + 1) ** 2)[:, None]).astype(np.float32)
     return PowermapWeights(

@@ -252,11 +252,25 @@ def sph_voronoi(faces, vertices):
     centroid = verts.mean(axis=0)
     flip = (vor * (v0 - centroid)).sum(-1) < 0.0
     vor[flip] = -vor[flip]
+    # Global duplicate canonicalisation (C:731-746): an unclaimed vertex n
+    # claims every m (componentwise within 1e-5) — NOT a consecutive-chain
+    # dedup, so A≈A'≈A'' with |A-A''|>1e-5 keeps both A and A''.  The C
+    # stores the canonical index in duplicates[m], where 0 doubles as
+    # "not a duplicate" — so vertices claimed by vertex 0 are never
+    # remapped; mirrored here (the `if dup[i] != 0` below).
+    n_vert = vor.shape[0]
+    dup = np.zeros(n_vert, int)
+    for n in range(n_vert):
+        if dup[n] == 0:
+            close = (np.abs(vor - vor[n]) < 1e-5).all(axis=1)
+            close[n] = False
+            dup[close] = n
     cells = []
     for m in range(verts.shape[0]):
         inc = np.nonzero((faces == m).any(axis=1))[0]
         d = verts[m]
-        # tangent-plane basis at d
+        # tangent-plane basis at d (the C walks shared-edge adjacency;
+        # angle-sorting in the tangent plane yields the same cyclic polygon)
         a = np.array([1.0, 0.0, 0.0]) if abs(d[0]) < 0.9 \
             else np.array([0.0, 1.0, 0.0])
         t1 = np.cross(d, a)
@@ -264,11 +278,15 @@ def sph_voronoi(faces, vertices):
         t2 = np.cross(d, t1)
         ang = np.arctan2(vor[inc] @ t2, vor[inc] @ t1)
         ring = inc[np.argsort(ang)]
-        # drop consecutive duplicates (triangles sharing a circumscribed
-        # circle produce coincident vertices; C dedups at 1e-5)
-        keep = [i for k, i in enumerate(ring)
-                if np.abs(vor[i] - vor[ring[k - 1]]).max() >= 1e-5]
-        cells.append(keep if keep else list(ring[:1]))
+        # remap to canonical vertices, keep first occurrences in ring order
+        # (C:842-858 unique_i + ascending position sort)
+        keep, seen = [], set()
+        for i in ring:
+            i = int(dup[i]) if dup[i] != 0 else int(i)
+            if i not in seen:
+                seen.add(i)
+                keep.append(i)
+        cells.append(keep)
     return vor, cells
 
 
@@ -300,14 +318,11 @@ def sph_voronoi_areas(vor_verts, cells):
 
 def get_voronoi_weights(dirs_deg):
     """Spherical Voronoi cell areas per direction, summing to 4π
-    (saf_utility_geometry.c ``getVoronoiWeights`` via sphVoronoi/Areas;
-    implemented with scipy.spatial.SphericalVoronoi).  → (nDirs,)."""
-    from scipy.spatial import SphericalVoronoi
-
-    verts = np.asarray(unit_sph2cart(np.asarray(dirs_deg, np.float64), degrees=True))
-    sv = SphericalVoronoi(verts, radius=1.0)
-    sv.sort_vertices_of_regions()
-    return sv.calculate_areas().astype(np.float32)
+    (saf_utility_geometry.c:930-990 ``getVoronoiWeights``): composed exactly
+    as the C — sphDelaunay → sphVoronoi → sphVoronoiAreas.  → (nDirs,)."""
+    faces, verts = sph_delaunay(dirs_deg)
+    vor, cells = sph_voronoi(faces, verts)
+    return sph_voronoi_areas(vor, cells)
 
 
 def rodrigues(axis, theta):

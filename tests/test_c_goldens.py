@@ -670,6 +670,37 @@ def test_panner_end_to_end_vs_c(g):
     assert np.abs(np.concatenate(outs, -1) - g["pan_out"]).max() <= TOL
 
 
+def test_panner_ypr_end_to_end_vs_c(g):
+    """Panner under a general (yaw, pitch, roll) head rotation
+    (panner.c:212-223): source unit vectors as ROWS times Rzyx (NoTrans
+    sgemm) — a transposed rotation is symmetric under yaw-only pins, so
+    this uses all three angles.  Also checks the stream-batched RI path
+    against the single-instance output."""
+    from spatial_audio_framework_tpu.models import panner as PAN
+
+    ls = np.asarray(g["pan_ls_dirs"], np.float64)
+    src = jnp.asarray(np.asarray(g["pan_src_dirs"], np.float32))
+    ypr = jnp.asarray(np.radians(np.asarray(g["pyr_ypr_deg"], np.float32)))
+    x = np.asarray(g["pyr_in"], np.float32)
+    cfg = PAN.PannerConfig(n_sources=2, n_loudspeakers=9)
+    w = PAN.design(cfg, ls)
+    st = PAN.init_state(cfg)
+    proc = jax.jit(lambda s, xx: PAN.process(cfg, w, s, xx, src, ypr=ypr))
+    outs = []
+    for f in range(32):
+        y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
+        outs.append(np.asarray(y))
+    out = np.concatenate(outs, -1)
+    assert np.abs(out - g["pyr_out"]).max() <= TOL
+
+    # batched path agrees with the single-instance path under rotation
+    stb = PAN.init_state_batched(cfg, 1, 9)
+    yb, _ = PAN.process_ri_batched(cfg, w, stb, jnp.asarray(x)[None],
+                                   src[None], ypr=ypr[None],
+                                   use_pallas=False)
+    assert np.abs(np.asarray(yb)[0] - out).max() <= 1e-4
+
+
 def test_powermap_end_to_end_vs_c(g):
     """A two-source SH scene through the powermap example (MUSIC,
     geosphere-ico-9 analysis grid, covAvg 0.5, mapAvg 0.666) reproduces

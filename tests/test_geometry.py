@@ -82,7 +82,11 @@ def test_euler_quaternion_roundtrip():
 
 def test_sph_voronoi_areas_match_scipy():
     """sphVoronoi + sphVoronoiAreas (saf_utility_geometry.c:693-945) agree
-    with the SphericalVoronoi-based getVoronoiWeights and tile the sphere."""
+    with an independent scipy.spatial.SphericalVoronoi computation and tile
+    the sphere.  (getVoronoiWeights IS this composition now, so the scipy
+    cross-check must be explicit.)"""
+    from scipy.spatial import SphericalVoronoi
+
     from spatial_audio_framework_tpu.utils.presets import tdesign
 
     dirs = tdesign(9)                      # 48-point t-design
@@ -90,8 +94,11 @@ def test_sph_voronoi_areas_match_scipy():
     vor, cells = geo.sph_voronoi(faces, verts)
     areas = geo.sph_voronoi_areas(vor, cells)
     assert abs(areas.sum() - 4.0 * np.pi) < 1e-4
-    np.testing.assert_allclose(areas, geo.get_voronoi_weights(dirs),
-                               atol=5e-5)
+    sv = SphericalVoronoi(verts, radius=1.0)
+    sv.sort_vertices_of_regions()
+    np.testing.assert_allclose(areas, sv.calculate_areas(), atol=5e-5)
+    np.testing.assert_allclose(geo.get_voronoi_weights(dirs), areas,
+                               atol=1e-7)
 
 
 def test_sph_voronoi_dome_layout():

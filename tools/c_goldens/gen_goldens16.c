@@ -17,6 +17,7 @@
 #include "ambi_dec.h"
 #include "ambi_dec_internal.h"
 #include "ambi_enc.h"
+#include "panner.h"
 
 static FILE* manifest;
 static const char* outdir;
@@ -210,6 +211,64 @@ static void golden_ambi_enc_gains(void)
     printf("aeg done\n");
 }
 
+/* panner with a general yaw/pitch/roll head rotation (panner.c:212-223):
+ * source unit vectors as ROWS times Rzyx (NoTrans) — a transposed rotation
+ * is symmetric under yaw-only pins, so use all three angles */
+static void golden_panner_ypr(void)
+{
+    const float ls_dirs[9][2] = {
+        {0.0f, -3.0f}, {47.0f, 2.0f}, {-42.0f, 1.0f}, {88.0f, -2.0f},
+        {-93.0f, 0.0f}, {132.0f, 3.0f}, {-138.0f, -1.0f},
+        {30.0f, 40.0f}, {-60.0f, 28.0f}};
+    const float src_dirs[2][2] = {{20.0f, 10.0f}, {-75.0f, -5.0f}};
+    const float ypr_deg[3] = {20.0f, -10.0f, 5.0f};
+    const int nLS = 9, nSrc = 2, frame = 128, nFrames = 32;
+    const int sigLen = frame * nFrames;
+    int i, f;
+    void* h;
+    lcg_state = 181818u;
+    panner_create(&h);
+    panner_init(h, 48000);
+    panner_setNumLoudspeakers(h, nLS);
+    for (i = 0; i < nLS; i++) {
+        panner_setLoudspeakerAzi_deg(h, i, ls_dirs[i][0]);
+        panner_setLoudspeakerElev_deg(h, i, ls_dirs[i][1]);
+    }
+    panner_setNumSources(h, nSrc);
+    for (i = 0; i < nSrc; i++) {
+        panner_setSourceAzi_deg(h, i, src_dirs[i][0]);
+        panner_setSourceElev_deg(h, i, src_dirs[i][1]);
+    }
+    panner_setDTT(h, 0.5f);
+    panner_setSpread(h, 0.0f);
+    panner_setYaw(h, ypr_deg[0]);
+    panner_setPitch(h, ypr_deg[1]);
+    panner_setRoll(h, ypr_deg[2]);
+    panner_initCodec(h);
+
+    float** in = (float**)malloc2d(nSrc, sigLen, sizeof(float));
+    for (i = 0; i < nSrc; i++)
+        for (f = 0; f < sigLen; f++)
+            in[i][f] = lcg_noise();
+    float** inF = (float**)malloc2d(nSrc, frame, sizeof(float));
+    float** outF = (float**)malloc2d(nLS, frame, sizeof(float));
+    float* out = malloc1d((size_t)nLS * sigLen * sizeof(float));
+    for (f = 0; f < nFrames; f++) {
+        for (i = 0; i < nSrc; i++)
+            memcpy(inF[i], &in[i][f * frame], frame * sizeof(float));
+        panner_process(h, (const float* const*)inF, outF, nSrc, nLS, frame);
+        for (i = 0; i < nLS; i++)
+            memcpy(&out[(size_t)i * sigLen + f * frame], outF[i],
+                   frame * sizeof(float));
+    }
+    panner_destroy(&h);
+    dump("pyr_in", FLATTEN2D(in), (size_t)nSrc * sigLen, "f4", "2,4096");
+    dump("pyr_out", out, (size_t)nLS * sigLen, "f4", "9,4096");
+    dump("pyr_ypr_deg", ypr_deg, 3, "f4", "3");
+    free(in); free(inF); free(outF); free(out);
+    printf("pyr done\n");
+}
+
 /* -------------------------------------------------------------------- */
 int main(int argc, char** argv)
 {
@@ -252,6 +311,9 @@ int main(int argc, char** argv)
 
     /* D) ambi_enc per-source gains + solo */
     golden_ambi_enc_gains();
+
+    /* E) panner under a general head rotation */
+    golden_panner_ypr();
 
     fclose(manifest);
     return 0;

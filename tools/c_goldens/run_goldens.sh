@@ -1,5 +1,5 @@
 #!/bin/bash
-# Compile + run the golden generator against the built reference, then pack
+# Compile + run the golden generators against the built reference, then pack
 # the outputs into tests/goldens/c_goldens.npz.  Requires build_ref.sh first.
 set -euo pipefail
 
@@ -11,190 +11,50 @@ OB=/opt/venv/lib/python3.12/site-packages/opencv_python.libs/libopenblasp-r0-59f
 
 mkdir -p "$OUT"
 rm -f "$OUT/manifest.txt"   # generators append; start clean
-cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
-  -I"$SRC/framework/include" -I"$SRC/examples/include" \
-  -I"$HERE/shim" \
-  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens.c" "$HERE/shim/lapacke_fix.c" \
-  "$BUILD/examples/libsaf_example_ambi_bin.a" \
-  "$BUILD/framework/libsaf.a" \
-  "$OB" -lm -o "$OUT/gen_goldens"
 
-cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
-  -I"$SRC/framework/include" -I"$SRC/examples/include" \
-  -I"$SRC/framework/modules/saf_reverb" \
-  -I"$HERE/shim" \
-  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens2.c" "$HERE/shim/lapacke_fix.c" \
-  "$BUILD/examples/libsaf_example_binauraliser.a" \
-  "$BUILD/framework/libsaf.a" \
-  "$OB" -lm -o "$OUT/gen_goldens2"
+CFLAGS=(-O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H
+        -I"$SRC/framework/include" -I"$HERE/shim"
+        -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc)
+EX=(-I"$SRC/examples/include")
+TRK=(-DSAF_ENABLE_TRACKER_MODULE=1 -DSAF_ENABLE_HADES_MODULE=1)
+ROOMBIN=("$SRC/examples/src/roombinauraliser/roombinauraliser.c"
+         "$SRC/examples/src/roombinauraliser/roombinauraliser_internal.c")
 
-cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
-  -I"$SRC/framework/include" \
-  -I"$HERE/shim" \
-  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens3.c" "$HERE/shim/lapacke_fix.c" \
-  "$BUILD/framework/libsaf.a" \
-  "$OB" -lm -o "$OUT/gen_goldens3"
+# exlib a b c → the example static libs for those names
+exlib() { local n out=(); for n in "$@"; do out+=("$BUILD/examples/libsaf_example_$n.a"); done; printf '%s\n' "${out[@]}"; }
 
-cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
-  -DSAF_ENABLE_TRACKER_MODULE=1 -DSAF_ENABLE_HADES_MODULE=1 \
-  -I"$SRC/framework/include" \
-  -I"$SRC/framework/modules/saf_tracker" \
-  -I"$HERE/shim" \
-  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens4.c" "$HERE/shim/lapacke_fix.c" \
-  "$BUILD/framework/libsaf.a" \
-  "$OB" -lm -o "$OUT/gen_goldens4"
+# build <suffix> [extra cc args: -I/-D flags, extra sources, example libs]
+build() {
+    local n="$1"; shift
+    cc "${CFLAGS[@]}" "$HERE/gen_goldens$n.c" "$HERE/shim/lapacke_fix.c" \
+       "$@" "$BUILD/framework/libsaf.a" "$OB" -lm -o "$OUT/gen_goldens$n"
+}
 
-cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
-  -DSAF_ENABLE_TRACKER_MODULE=1 -DSAF_ENABLE_HADES_MODULE=1 \
-  -I"$SRC/framework/include" \
-  -I"$SRC/framework/modules/saf_hades" \
-  -I"$HERE/shim" \
-  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens5.c" "$HERE/shim/lapacke_fix.c" \
-  "$BUILD/framework/libsaf.a" \
-  "$OB" -lm -o "$OUT/gen_goldens5"
+build ""  "${EX[@]}" $(exlib ambi_bin)
+build 2   "${EX[@]}" -I"$SRC/framework/modules/saf_reverb" $(exlib binauraliser)
+build 3
+build 4   "${TRK[@]}" -I"$SRC/framework/modules/saf_tracker"
+build 5   "${TRK[@]}" -I"$SRC/framework/modules/saf_hades"
+build 6   "${EX[@]}" $(exlib ambi_drc)
+build 7   "${EX[@]}" -I"$SRC/examples/src/array2sh" \
+          $(exlib array2sh panner powermap sldoa spreader)
+build 8   "${EX[@]}" "${ROOMBIN[@]}" \
+          $(exlib ambi_enc rotator beamformer ambi_dec dirass)
+build 9   "${EX[@]}" $(exlib binauraliser_nf decorrelator ambi_roomsim)
+build 10
+build 11  "${EX[@]}" $(exlib decorrelator)
+build 12  "${EX[@]}" -I"$SRC/examples/src/powermap" \
+          -I"$SRC/examples/src/dirass" \
+          $(exlib binauraliser powermap ambi_bin dirass)
+build 13  "${EX[@]}" -I"$SRC/examples/src/powermap" \
+          $(exlib binauraliser_nf powermap ambi_bin beamformer)
+build 14  "${EX[@]}" "${ROOMBIN[@]}"
+build 15  "${TRK[@]}" "${EX[@]}" -I"$SRC/framework/modules/saf_hades" \
+          $(exlib binauraliser)
+build 16  "${EX[@]}" -I"$SRC/examples/src/ambi_dec" \
+          $(exlib ambi_dec ambi_enc panner)
 
-cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
-  -I"$SRC/framework/include" -I"$SRC/examples/include" \
-  -I"$HERE/shim" \
-  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens6.c" "$HERE/shim/lapacke_fix.c" \
-  "$BUILD/examples/libsaf_example_ambi_drc.a" \
-  "$BUILD/framework/libsaf.a" \
-  "$OB" -lm -o "$OUT/gen_goldens6"
-
-cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
-  -I"$SRC/framework/include" -I"$SRC/examples/include" \
-  -I"$SRC/examples/src/array2sh" \
-  -I"$HERE/shim" \
-  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens7.c" "$HERE/shim/lapacke_fix.c" \
-  "$BUILD/examples/libsaf_example_array2sh.a" \
-  "$BUILD/examples/libsaf_example_panner.a" \
-  "$BUILD/examples/libsaf_example_powermap.a" \
-  "$BUILD/examples/libsaf_example_sldoa.a" \
-  "$BUILD/examples/libsaf_example_spreader.a" \
-  "$BUILD/framework/libsaf.a" \
-  "$OB" -lm -o "$OUT/gen_goldens7"
-
-cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
-  -I"$SRC/framework/include" -I"$SRC/examples/include" \
-  -I"$HERE/shim" \
-  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens8.c" "$HERE/shim/lapacke_fix.c" \
-  "$SRC/examples/src/roombinauraliser/roombinauraliser.c" \
-  "$SRC/examples/src/roombinauraliser/roombinauraliser_internal.c" \
-  "$BUILD/examples/libsaf_example_ambi_enc.a" \
-  "$BUILD/examples/libsaf_example_rotator.a" \
-  "$BUILD/examples/libsaf_example_beamformer.a" \
-  "$BUILD/examples/libsaf_example_ambi_dec.a" \
-  "$BUILD/examples/libsaf_example_dirass.a" \
-  "$BUILD/framework/libsaf.a" \
-  "$OB" -lm -o "$OUT/gen_goldens8"
-
-cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
-  -I"$SRC/framework/include" -I"$SRC/examples/include" \
-  -I"$HERE/shim" \
-  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens9.c" "$HERE/shim/lapacke_fix.c" \
-  "$BUILD/examples/libsaf_example_binauraliser_nf.a" \
-  "$BUILD/examples/libsaf_example_decorrelator.a" \
-  "$BUILD/examples/libsaf_example_ambi_roomsim.a" \
-  "$BUILD/framework/libsaf.a" \
-  "$OB" -lm -o "$OUT/gen_goldens9"
-
-cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
-  -I"$SRC/framework/include" \
-  -I"$HERE/shim" \
-  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens10.c" "$HERE/shim/lapacke_fix.c" \
-  "$BUILD/framework/libsaf.a" \
-  "$OB" -lm -o "$OUT/gen_goldens10"
-
-cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
-  -I"$SRC/framework/include" -I"$SRC/examples/include" \
-  -I"$HERE/shim" \
-  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens11.c" "$HERE/shim/lapacke_fix.c" \
-  "$BUILD/examples/libsaf_example_decorrelator.a" \
-  "$BUILD/framework/libsaf.a" \
-  "$OB" -lm -o "$OUT/gen_goldens11"
-
-cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
-  -I"$SRC/framework/include" -I"$SRC/examples/include" \
-  -I"$HERE/shim" \
-  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens12.c" "$HERE/shim/lapacke_fix.c" \
-  "$BUILD/examples/libsaf_example_binauraliser.a" \
-  "$BUILD/examples/libsaf_example_powermap.a" \
-  "$BUILD/examples/libsaf_example_ambi_bin.a" \
-  "$BUILD/examples/libsaf_example_dirass.a" \
-  "$BUILD/framework/libsaf.a" \
-  "$OB" -lm -o "$OUT/gen_goldens12"
-
-cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
-  -I"$SRC/framework/include" -I"$SRC/examples/include" \
-  -I"$SRC/examples/src/powermap" \
-  -I"$HERE/shim" \
-  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens13.c" "$HERE/shim/lapacke_fix.c" \
-  "$BUILD/examples/libsaf_example_binauraliser_nf.a" \
-  "$BUILD/examples/libsaf_example_powermap.a" \
-  "$BUILD/examples/libsaf_example_ambi_bin.a" \
-  "$BUILD/examples/libsaf_example_beamformer.a" \
-  "$BUILD/framework/libsaf.a" \
-  "$OB" -lm -o "$OUT/gen_goldens13"
-
-cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
-  -I"$SRC/framework/include" -I"$SRC/examples/include" \
-  -I"$HERE/shim" \
-  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens14.c" "$HERE/shim/lapacke_fix.c" \
-  "$SRC/examples/src/roombinauraliser/roombinauraliser.c" \
-  "$SRC/examples/src/roombinauraliser/roombinauraliser_internal.c" \
-  "$BUILD/framework/libsaf.a" \
-  "$OB" -lm -o "$OUT/gen_goldens14"
-
-cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
-  -DSAF_ENABLE_TRACKER_MODULE=1 -DSAF_ENABLE_HADES_MODULE=1 \
-  -I"$SRC/framework/include" -I"$SRC/examples/include" \
-  -I"$SRC/framework/modules/saf_hades" \
-  -I"$HERE/shim" \
-  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  "$HERE/gen_goldens15.c" "$HERE/shim/lapacke_fix.c" \
-  "$BUILD/examples/libsaf_example_binauraliser.a" \
-  "$BUILD/framework/libsaf.a" \
-  "$OB" -lm -o "$OUT/gen_goldens15"
-
-cc -O2 -std=gnu99 -DSAF_USE_OPEN_BLAS_AND_LAPACKE=1 -DHAVE_LAPACK_CONFIG_H \
-  -I"$SRC/framework/include" -I"$SRC/examples/include" \
-  -I"$HERE/shim" \
-  -I/opt/venv/lib/python3.12/site-packages/tensorflow/include/Eigen/src/misc \
-  -I"$SRC/examples/src/ambi_dec" \
-  "$HERE/gen_goldens16.c" "$HERE/shim/lapacke_fix.c" \
-  "$BUILD/examples/libsaf_example_ambi_dec.a" \
-  "$BUILD/examples/libsaf_example_ambi_enc.a" \
-  "$BUILD/framework/libsaf.a" \
-  "$OB" -lm -o "$OUT/gen_goldens16"
-
-LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens" "$OUT"
-LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens2" "$OUT"
-LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens3" "$OUT"
-LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens4" "$OUT"
-LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens5" "$OUT"
-LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens6" "$OUT"
-LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens7" "$OUT"
-LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens8" "$OUT"
-LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens9" "$OUT"
-LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens10" "$OUT"
-LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens11" "$OUT"
-LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens12" "$OUT"
-LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens13" "$OUT"
-LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens14" "$OUT"
-LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens15" "$OUT"
-LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens16" "$OUT"
+for n in "" 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16; do
+    LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens$n" "$OUT"
+done
 python "$HERE/pack_goldens.py" "$OUT" "$HERE/../../tests/goldens/c_goldens.npz"
