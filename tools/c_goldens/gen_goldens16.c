@@ -315,6 +315,7 @@ int main(int argc, char** argv)
     /* E) panner under a general head rotation */
     golden_panner_ypr();
 
+
     fclose(manifest);
     return 0;
 }
