@@ -896,8 +896,16 @@ def test_ambi_dec_binaural_vs_c(g):
                             dec_method=("allrad", "allrad"),
                             re_weight=(False, True), transition_freq=800.0,
                             binauralise_ls=True)
-    out = _run_ambi_dec(cfg, ls, np.asarray(g["adb_in"], np.float32), 2)
+    x = np.asarray(g["adb_in"], np.float32)
+    out = _run_ambi_dec(cfg, ls, x, 2)
     assert np.abs(out - g["adb_out"]).max() <= TOL
+
+    # the stream-batched RI path folds H_bin·M on host — same output
+    wri = DEC.design_ri(cfg, ls)
+    stb = DEC.init_state_batched(cfg, 1, 9)
+    yb, _ = DEC.process_ri_batched(cfg, wri, stb, jnp.asarray(x)[None],
+                                   use_pallas=False)
+    assert np.abs(np.asarray(yb)[0] - g["adb_out"]).max() <= 2e-4
 
 
 def test_ambi_dec_hrtf_vbap_table_vs_c(g):
