@@ -47,9 +47,10 @@ def init_state_ri(bank: AfSTFT, n_ch_in: int, n_ch_out: int) -> AfSTFTStateRI:
         ola_tail=jnp.zeros((n_ch_out, h_len - hop), jnp.float32))
 
 
-def _hybrid_forward_ri(fre, fim, H: int):
-    """Real-pair version of afstft._hybrid_forward: f*: (..., 6+H, hop+1)
-    (any number of leading batch dims)."""
+def _hybrid_segments_ri(fre, fim, H: int):
+    """Shared core of the real-pair hybrid filterbank (afstft._hybrid_forward):
+    f*: (..., 6+H, hop+1) → ([re segments], [im segments]), each a 3-list
+    [band0, split-pairs, bands 5:] to be concatenated on the last axis."""
     b = slice(1, 5)
     d3_re = fre[..., 3:3 + H, :]
     d3_im = fim[..., 3:3 + H, :]
@@ -63,14 +64,22 @@ def _hybrid_forward_ri(fre, fim, H: int):
     hb_im = inner(fre)
     s = jnp.asarray(np.array([-1.0, 1.0, -1.0, 1.0], np.float32))
 
-    def assemble(d3, hb):
+    def halves(d3, hb):
         c = 0.5 * d3[..., b]
         lo = c + s * hb
         hi = c - s * hb
         pairs = jnp.stack([lo, hi], axis=-1).reshape(*lo.shape[:-1], 8)
-        return jnp.concatenate([d3[..., :1], pairs, d3[..., 5:]], axis=-1)
+        return [d3[..., :1], pairs, d3[..., 5:]]
 
-    return assemble(d3_re, hb_re), assemble(d3_im, hb_im)
+    return halves(d3_re, hb_re), halves(d3_im, hb_im)
+
+
+def _hybrid_forward_ri(fre, fim, H: int):
+    """Real-pair version of afstft._hybrid_forward: f*: (..., 6+H, hop+1)
+    (any number of leading batch dims)."""
+    seg_re, seg_im = _hybrid_segments_ri(fre, fim, H)
+    return (jnp.concatenate(seg_re, axis=-1),
+            jnp.concatenate(seg_im, axis=-1))
 
 
 def _hybrid_inverse_ri(Y):
@@ -82,27 +91,8 @@ def _hybrid_forward_ri_packed(fre, fim, H: int):
     """_hybrid_forward_ri emitting one packed (..., H, 2·nHyb) tensor
     ([re | im] on the last axis) so downstream consumers read the spectrum
     once — the packing shares the assemble-concat, costing nothing extra."""
-    b = slice(1, 5)
-    d3_re = fre[..., 3:3 + H, :]
-    d3_im = fim[..., 3:3 + H, :]
-
-    def inner(f):
-        return (_COEFF1 * (f[..., 6:6 + H, b] - f[..., 0:H, b])
-                + _COEFF2 * (f[..., 4:4 + H, b] - f[..., 2:2 + H, b]))
-
-    hb_re = -inner(fim)
-    hb_im = inner(fre)
-    s = jnp.asarray(np.array([-1.0, 1.0, -1.0, 1.0], np.float32))
-
-    def halves(d3, hb):
-        c = 0.5 * d3[..., b]
-        lo = c + s * hb
-        hi = c - s * hb
-        pairs = jnp.stack([lo, hi], axis=-1).reshape(*lo.shape[:-1], 8)
-        return [d3[..., :1], pairs, d3[..., 5:]]
-
-    return jnp.concatenate(halves(d3_re, hb_re) + halves(d3_im, hb_im),
-                           axis=-1)
+    seg_re, seg_im = _hybrid_segments_ri(fre, fim, H)
+    return jnp.concatenate(seg_re + seg_im, axis=-1)
 
 
 # -- natively stream-batched path (used with the pallas front-end) -----------
@@ -176,19 +166,17 @@ def analysis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
     buf = jnp.concatenate([state.in_tail, x], axis=-1)   # (S,C,(H+15)·hop)
     new_in_tail = buf[..., H * hop:]
     flat = buf.reshape(S * n_ch, -1)
-    if True:
-        from spatial_audio_framework_tpu.ops.fft import _rdft_mats as _m
-        w_ana, _ = _windows(hop, bank.low_delay)
-        C, Smat, _, _ = _m(2 * hop)
-        He = H + 6
-        hops = flat.reshape(S * n_ch, H + _TAIL_HOPS, hop)
-        seg = jnp.stack([hops[:, k:k + He] for k in range(_TOTAL_HOPS)],
-                        axis=2)
-        frames = seg.reshape(S * n_ch, He, bank.h_len) * jnp.asarray(w_ana)
-        folded = frames.reshape(S * n_ch, He, _TOTAL_HOPS // 2,
-                                2 * hop).sum(axis=2)
-        sre = jnp.matmul(folded, jnp.asarray(C), precision=_HP)
-        sim = jnp.matmul(folded, jnp.asarray(Smat), precision=_HP)
+    w_ana, _ = _windows(hop, bank.low_delay)
+    C, Smat, _, _ = _rdft_mats(2 * hop)
+    He = H + 6
+    hops = flat.reshape(S * n_ch, H + _TAIL_HOPS, hop)
+    seg = jnp.stack([hops[:, k:k + He] for k in range(_TOTAL_HOPS)],
+                    axis=2)
+    frames = seg.reshape(S * n_ch, He, bank.h_len) * jnp.asarray(w_ana)
+    folded = frames.reshape(S * n_ch, He, _TOTAL_HOPS // 2,
+                            2 * hop).sum(axis=2)
+    sre = jnp.matmul(folded, jnp.asarray(C), precision=_HP)
+    sim = jnp.matmul(folded, jnp.asarray(Smat), precision=_HP)
     sre = sre.reshape(S, n_ch, H + 6, hop + 1)
     sim = sim.reshape(S, n_ch, H + 6, hop + 1)
     state = state._replace(in_tail=new_in_tail)

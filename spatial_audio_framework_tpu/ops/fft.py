@@ -37,7 +37,9 @@ def _resolve_impl() -> str:
     impl = _DFT_IMPL.get()
     if impl != "auto":
         return impl
-    return "fft" if jax.default_backend() == "cpu" else "matmul"
+    # native XLA FFT exists on CPU and GPU; it is UNIMPLEMENTED on the axon
+    # TPU runtime (and the matmul DFT is MXU-native there anyway)
+    return "fft" if jax.default_backend() in ("cpu", "gpu") else "matmul"
 
 
 @contextlib.contextmanager

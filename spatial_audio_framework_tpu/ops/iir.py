@@ -110,13 +110,11 @@ def iir_filter(b, a, x, zi=None):
     xt = jnp.moveaxis(x, -1, 0)  # (T, ...)
     bvec = xt[..., None] * Bx_  # (T, ..., d)
     if zi is not None:
-        z0 = jnp.moveaxis(zi, -1, 0)  # (d, ...)
-        init = jnp.moveaxis(z0, 0, -1)  # (..., d)
-        bvec = bvec.at[0].add(jnp.einsum("ij,...j->...i", A_, init))
+        bvec = bvec.at[0].add(jnp.einsum("ij,...j->...i", A_, zi))
     s = _affine_scan(A_, bvec)  # (T, ..., d) = state AFTER sample t
     s_prev0 = jnp.concatenate(
         [jnp.zeros_like(s[:1, ..., 0]) if zi is None else
-         jnp.moveaxis(zi, -1, 0)[0][None], s[:-1, ..., 0]], axis=0)
+         zi[..., 0][None], s[:-1, ..., 0]], axis=0)
     y = jnp.asarray(b[0], dtype) * xt + s_prev0
     y = jnp.moveaxis(y, 0, -1)
     zf = jnp.moveaxis(s[-1], -1, 0)  # (d, ...)

@@ -133,19 +133,30 @@ class SmbPitchShift:
             spec_im = Oim.reshape(-1, h2 * N1)[:, :half]
             magn = 2.0 * jnp.sqrt(spec_re ** 2 + spec_im ** 2)
             phase = jnp.arctan2(spec_im, spec_re)
-            # phase-difference → true frequency (smb analysis)
+            # phase-difference → true frequency (smb analysis).  The C wraps
+            # with the qpd idiom (truncate-and-evenize, saf_utility_pitch.c
+            # ~283-287), which differs from round() only at exact odd
+            # multiples of π — reachable in f32 at the DC bin — so mirror it.
             tmp = phase - last_ph - k * expct
-            tmp = tmp - 2.0 * jnp.pi * jnp.round(tmp / (2.0 * jnp.pi))
+            qpd = (tmp / jnp.pi).astype(jnp.int32)
+            qpd = qpd + jnp.where(qpd >= 0, qpd & 1, -(qpd & 1))
+            tmp = tmp - jnp.pi * qpd.astype(tmp.dtype)
             true_freq = k * freq_per_bin + (osamp * tmp / (2 * jnp.pi)) * freq_per_bin
-            # reassign bins: index = floor(k * shift)
+            # reassign bins: index = (int)(k * shift); the C SKIPS invalid
+            # indices (no write, saf_utility_pitch.c:310-316) and its
+            # gSynFreq assignment is last-k-wins on duplicates.  idx is
+            # monotone in k, so keeping only the last k of each run makes
+            # the scatter duplicate-free (deterministic); invalid ks are
+            # routed out of bounds and dropped.
             idx = jnp.floor(k * shift_factor).astype(jnp.int32)
-            valid = idx <= (N // 2)
-            idx_c = jnp.clip(idx, 0, half - 1)
-            syn_mag = jnp.zeros_like(magn).at[:, idx_c].add(
-                jnp.where(valid, magn, 0.0))
-            syn_freq = jnp.zeros_like(true_freq * magn)
-            syn_freq = syn_freq.at[:, idx_c].set(
-                jnp.where(valid, true_freq * shift_factor, 0.0))
+            idx_f = jnp.where(idx <= (N // 2), idx, half)  # oob sentinel
+            syn_mag = jnp.zeros_like(magn).at[:, idx_f].add(
+                magn, mode="drop")
+            last_of_run = jnp.concatenate(
+                [idx_f[:-1] != idx_f[1:], jnp.ones((1,), bool)])
+            idx_set = jnp.where(last_of_run, idx_f, half)
+            syn_freq = jnp.zeros_like(true_freq).at[:, idx_set].set(
+                true_freq * shift_factor, mode="drop")
             # synthesis phases
             tmp2 = ((syn_freq - k * freq_per_bin) / freq_per_bin
                     ) * 2.0 * jnp.pi / osamp + k * expct

@@ -105,7 +105,7 @@ class QMF:
             in_tail=jnp.zeros((n_ch_in, 9 * hop), jnp.float32),
             hyb_tail=jnp.zeros((n_ch_in, HYB_LEN - 1, N_SUBDIV), jnp.complex64),
             delay_tail=jnp.zeros((n_ch_in, _HYB_DELAY, hop - N_SUBDIV), jnp.complex64),
-            syn_tail=jnp.zeros((n_ch_out, 9, 2 * hop), jnp.complex64).real.astype(jnp.float32),
+            syn_tail=jnp.zeros((n_ch_out, 9, 2 * hop), jnp.float32),
         )
 
     # -- analysis ------------------------------------------------------------

@@ -25,16 +25,26 @@ def _xp(*arrays):
 
 # -- index of min/max (utility_siminv/simaxv and friends) --------------------
 
+def _cabs1(x, xp):
+    """BLAS's complex 'absolute value' |Re|+|Im| (cabs1), used by
+    icamin/icamax — NOT the modulus; real inputs are |x|."""
+    if xp.iscomplexobj(x):
+        return xp.abs(xp.real(x)) + xp.abs(xp.imag(x))
+    return xp.abs(x)
+
+
 def iminv(x):
-    """Index of the element with the minimum absolute value (utility_?iminv)."""
+    """Index of the element with the minimum absolute value (utility_?iminv).
+    Complex inputs compare by cabs1 = |Re|+|Im| as cblas_icamin does."""
     xp = _xp(x)
-    return xp.argmin(xp.abs(x), axis=-1)
+    return xp.argmin(_cabs1(x, xp), axis=-1)
 
 
 def imaxv(x):
-    """Index of the element with the maximum absolute value (utility_?imaxv)."""
+    """Index of the element with the maximum absolute value (utility_?imaxv).
+    Complex inputs compare by cabs1 = |Re|+|Im| as cblas_icamax does."""
     xp = _xp(x)
-    return xp.argmax(xp.abs(x), axis=-1)
+    return xp.argmax(_cabs1(x, xp), axis=-1)
 
 
 # -- elementwise (utility_?vabs/vmod/vrecip/vconj/vvcopy/vvadd/...) ----------
@@ -109,8 +119,7 @@ def slslv(A, B):
 
 def pinv(A, rcond: float = 1e-15):
     """Moore-Penrose pseudo-inverse (utility_?pinv)."""
-    xp = _xp(A)
-    return xp.linalg.pinv(A, rcond=rcond) if xp is np else xp.linalg.pinv(A)
+    return _xp(A).linalg.pinv(A, rcond=rcond)
 
 
 def chol(A):

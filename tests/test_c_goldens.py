@@ -390,6 +390,22 @@ def test_smb_pitch_shifter_vs_c(g):
     assert np.abs(np.asarray(y)[0] - ref).max() <= 1e-3
 
 
+@pytest.mark.parametrize("tag,shift", [("pitch_out_0p5", 0.5),
+                                       ("pitch_out_2p0", 2.0)])
+def test_smb_pitch_shifter_extreme_shifts_vs_c(g, tag, shift):
+    """0.5 collapses analysis-bin pairs onto one synthesis bin (the C's
+    gSynFreq write is last-k-wins, saf_utility_pitch.c:310-316, mirrored by
+    the run-deduplicated scatter); 2.0 maps half the bins out of range,
+    which the C SKIPS — it never writes — rather than zeroing."""
+    from spatial_audio_framework_tpu.ops.pitch import SmbPitchShift
+
+    ps = SmbPitchShift(fs=48000.0, n_ch=1, fft_size=4096, osamp=4)
+    st = ps.init_state()
+    x = jnp.asarray(g["pitch_in"])[None]
+    y, _ = jax.jit(lambda s, xx: ps.apply(s, xx, jnp.float32(shift)))(st, x)
+    assert np.abs(np.asarray(y)[0] - g[tag]).max() <= 1e-3
+
+
 # -- round-2 extension, part 4: beam/sector weights, array processing, ------
 # -- tracker core + end-to-end (tools/c_goldens/gen_goldens4.c) -------------
 

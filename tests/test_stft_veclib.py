@@ -64,3 +64,14 @@ def test_sort_and_grid_search():
     grid = np.radians(np.array([[0, 0], [90, 0], [0, 90.0]]))
     t = np.radians(np.array([[85.0, 5.0]]))
     assert S.find_closest_grid_points(grid, t)[0] == 1
+
+
+def test_iminv_imaxv_complex_cabs1():
+    """Complex min/max-index selection compares by cabs1 = |Re|+|Im|
+    (cblas_icamin/icamax semantics, used by utility_ciminv/cimaxv), NOT the
+    modulus: [2.2, 1.5+1.5j] has cabs1 [2.2, 3.0] but modulus [2.2, 2.12]."""
+    a = np.array([2.2 + 0.0j, 1.5 + 1.5j])
+    assert V.imaxv(a) == 1
+    assert V.iminv(a) == 0
+    r = np.array([3.0, -5.0, 1.0])
+    assert V.imaxv(r) == 1 and V.iminv(r) == 2

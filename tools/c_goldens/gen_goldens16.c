@@ -269,6 +269,31 @@ static void golden_panner_ypr(void)
     printf("pyr done\n");
 }
 
+/* SMB pitch shifter at a DOWNSHIFT (0.5: several analysis bins collapse
+ * onto one synthesis bin — the C's gSynFreq assignment is last-k-wins,
+ * saf_utility_pitch.c:310-316) and a 2.0 upshift (half the bins map out of
+ * range and are SKIPPED, not zeroed); stage 3 pinned only 1.5 */
+static void golden_pitch_shifts(void)
+{
+    const int T = 8192, fftsize = 4096, osamp = 4;
+    float* in = malloc1d(T * sizeof(float));
+    float* out = malloc1d(T * sizeof(float));
+    int i;
+    for (i = 0; i < T; i++)
+        in[i] = 0.5f * sinf(2.0f * (float)M_PI * 220.5f * i / 48000.0f);
+    void* h;
+    smb_pitchShift_create(&h, 1, fftsize, osamp, 48000.0f);
+    smb_pitchShift_apply(h, 0.5f, T, in, out);
+    dump("pitch_out_0p5", out, T, "f4", "8192");
+    smb_pitchShift_destroy(&h);
+    smb_pitchShift_create(&h, 1, fftsize, osamp, 48000.0f);
+    smb_pitchShift_apply(h, 2.0f, T, in, out);
+    dump("pitch_out_2p0", out, T, "f4", "8192");
+    smb_pitchShift_destroy(&h);
+    free(in); free(out);
+    printf("pitch shifts done\n");
+}
+
 /* -------------------------------------------------------------------- */
 int main(int argc, char** argv)
 {
@@ -314,6 +339,9 @@ int main(int argc, char** argv)
 
     /* E) panner under a general head rotation */
     golden_panner_ypr();
+
+    /* F) pitch shifter at 0.5 and 2.0 */
+    golden_pitch_shifts();
 
 
     fclose(manifest);
