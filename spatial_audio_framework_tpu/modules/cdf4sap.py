@@ -161,7 +161,8 @@ def formulate_M_and_Cr_cmplx(Cx, Cy, Q, use_energy: bool = False,
     """Complex variant (saf_cdf4sap.c:404) — same math via the shared
     implementation; kept for API parity."""
     xp = _xp(Cx, Cy, Q)
-    return formulate_M_and_Cr(xp.asarray(Cx).astype(complex if xp is np else None),
+    cplx = np.complex128 if xp is np else xp.complex64
+    return formulate_M_and_Cr(xp.asarray(Cx).astype(cplx),
                               Cy, Q, use_energy, reg)
 
 

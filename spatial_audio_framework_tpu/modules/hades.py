@@ -412,10 +412,8 @@ class HadesSynthesis:
 
         As = take_g(self._Ha_d, doa_idx)         # (nBands, nMics)
         h_dir = take_g(self._Hb_d, gains_idx)    # (nBands, 2)
-        eps = (jnp.full_like(As[0][:, :1], 1e-12), jnp.zeros_like(As[0][:, :1]))
         As_r0 = (As[0][:, r0:r0 + 1] + 1e-12, As[1][:, r0:r0 + 1])
         As_r1 = (As[0][:, r1:r1 + 1] + 1e-12, As[1][:, r1:r1 + 1])
-        del eps
         As_l = H.cdiv(As, As_r0)
         As_r = H.cdiv(As, As_r1)
         g_l = H.cdiv((h_dir[0][:, 0], h_dir[1][:, 0]),
@@ -569,7 +567,6 @@ class HadesPipeline:
 
         # traced eq/stream-balance: runtime edits to syn.eq /
         # syn.stream_balance are picked up per call, as in the two-stage path
-        self._block = lambda state, x: block_eq(state, x, *self._controls())
         self._jit_block = jax.jit(block_eq)
 
         def chunk_scan(state, x_blocks, eq, bal):

@@ -235,18 +235,9 @@ def get_bin_decoder_lsdiffeq(hrtfs, hrtf_dirs_deg, order, weights=None):
 
 def check_cond_number_sht_real(order, dirs_rad, weights=None):
     """Condition number of the weighted SH Gram matrix per order 0..order
-    (saf_sh.c ``checkCondNumberSHTReal``).  Returns (order+1,)."""
-    Y = _sh.get_sh_real(order, np.asarray(dirs_rad, np.float64))
-    n_dirs = Y.shape[1]
-    w = np.asarray(weights, np.float64) if weights is not None else None
-    cond = np.zeros(order + 1)
-    for n in range(order + 1):
-        nsh_n = _sh.order2nsh(n)
-        Yn = Y[:nsh_n]
-        G = (Yn * w[None, :]) @ Yn.T if w is not None else Yn @ Yn.T
-        s = np.linalg.svd(G, compute_uv=False)
-        cond[n] = s.max() / (s.min() + 2.23e-7)
-    return cond
+    (saf_sh.c ``checkCondNumberSHTReal``) — delegates to the golden-pinned
+    sh-module implementation."""
+    return _sh.check_cond_number_sht_real(order, dirs_rad, weights)
 
 
 def get_bin_decoder_spr(hrtfs, hrtf_dirs_deg, order, weights=None):
@@ -260,8 +251,7 @@ def get_bin_decoder_spr(hrtfs, hrtf_dirs_deg, order, weights=None):
     nh_max = min(int(np.sqrt(n_dirs) - 1), 20)
     dirs_rad = np.stack([np.radians(hrtf_dirs_deg[:, 0]),
                          np.pi / 2 - np.radians(hrtf_dirs_deg[:, 1])], -1)
-    cond = check_cond_number_sht_real(nh_max, dirs_rad,
-                                      weights if weights is not None else None)
+    cond = check_cond_number_sht_real(nh_max, dirs_rad, weights)
     Nh = 0
     for i in range(nh_max + 1):
         if cond[i] < 100.0:

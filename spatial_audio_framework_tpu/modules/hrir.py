@@ -115,11 +115,26 @@ def diffuse_field_equalise_hrtfs(hrtfs: np.ndarray, itds_s=None,
             np.einsum("bed,d->be", np.abs(H) ** 2, w / (4.0 * np.pi)), 1e-5))
         H = H / (diff[..., None] + 2.23e-8)
     if apply_phase:
-        f = np.asarray(centre_freqs, np.float64)
-        ipd = (np.mod(2.0 * np.pi * f[:, None] * np.asarray(itds_s)[None, :]
-                      + np.pi, 2.0 * np.pi) - np.pi) / 2.0
+        ipd = _ipd_f32(itds_s, centre_freqs)   # C f32 wrap (saf_hrir.c:228)
         H = np.abs(H) * np.exp(1j * np.stack([ipd, -ipd], axis=1))
     return H.astype(np.complex64)
+
+
+def _ipd_f32(itds_s, freq_vector) -> np.ndarray:
+    """ipd = (matlab_fmodf(2π·f·itd + π, 2π) − π)/2 in the C's exact f32
+    arithmetic and op order (sgemm f·itd first, then 2π·x + π —
+    saf_hrir.c:224-231 and :302-303).  When f·itd lands on an odd multiple
+    of π (integer-sample ITDs at band fs/4), the wrap boundary is decided
+    by the last f32 ULP; f64 can flip the ipd sign (e^{±iπ/2}), moving the
+    phased HRTF by 2× its magnitude.  → (nBands, nDirs) float64."""
+    f32 = np.float32
+    PI, TWO_PI = f32(np.pi), f32(2.0) * f32(np.pi)
+    fx = (np.asarray(freq_vector, np.float32)[:, None]
+          * np.asarray(itds_s, np.float32)[None, :])    # sgemm, f32
+    x = TWO_PI * fx + PI
+    m = np.fmod(x, TWO_PI)
+    m = np.where(m >= 0.0, m, m + TWO_PI)               # matlab_fmodf
+    return ((m - PI) / f32(2.0)).astype(np.float64)
 
 
 def interp_hrtfs(hrtfs: np.ndarray, interp_table: np.ndarray, itds=None,
@@ -138,21 +153,9 @@ def interp_hrtfs(hrtfs: np.ndarray, interp_table: np.ndarray, itds=None,
         return np.einsum("bed,nd->ben", H, T).astype(np.complex64)
     mags = np.abs(H)  # (nBands, 2, nDirs)
     mags_i = np.einsum("bed,nd->ben", mags, T)
-    # The IPD chain must mirror the C's f32 arithmetic exactly
-    # (saf_hrir.c:302-303): ipd = (matlab_fmodf(2pi*f*itd + pi, 2pi) - pi)/2.
-    # When 2pi*f*itd lands on an odd multiple of pi (e.g. integer-sample
-    # ITDs at band fs/4), the fmod sits on its wrap boundary and the ipd
-    # sign — hence e^{±i*pi/2} — is decided by the last f32 ULP; computing
-    # in f64 flips it and the interpolated HRTF moves by 2x its magnitude.
-    f32 = np.float32
-    PI, TWO_PI = f32(np.pi), f32(2.0) * f32(np.pi)
     itd_i32 = (np.asarray(interp_table, np.float32)
                @ np.asarray(itds, np.float32))  # sgemm, f32 (nInterp,)
-    f_b = np.asarray(freq_vector, np.float32)
-    x = (TWO_PI * f_b)[:, None] * itd_i32[None, :] + PI  # (nBands, nInterp)
-    m = np.fmod(x, TWO_PI)
-    m = np.where(m >= 0.0, m, m + TWO_PI)                # matlab_fmodf
-    ipd = ((m - PI) / f32(2.0)).astype(np.float64)
+    ipd = _ipd_f32(itd_i32, freq_vector)  # C f32 wrap — see _ipd_f32
     phase = np.stack([ipd, -ipd], axis=1)  # (nBands, 2, nInterp)
     return (mags_i * np.exp(1j * phase)).astype(np.complex64)
 

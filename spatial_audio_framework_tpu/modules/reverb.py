@@ -282,8 +282,22 @@ class ImsTDApplicator:
         (nSrc, nBands, nCh, nTaps).  xfade: (nSrc,) float {0,1}; where 1 the
         output ramps prev→cur over this block (set it for exactly the first
         block after an echogram update, then pass the updated taps as both
-        cur and prev with xfade=0, mirroring applyCrossFadeFLAG)."""
+        cur and prev with xfade=0, mirroring applyCrossFadeFLAG).
+
+        Every tap delay must be ≤ max_delay (the rolling-buffer depth):
+        deeper taps would silently alias onto the oldest buffered sample
+        (the traced read index is clipped), so concrete delay arrays are
+        validated here — size max_delay from the echogram's longest tap
+        (ceil(max time · fs) + 1 for the Lagrange neighbourhood)."""
         import jax.numpy as jnp
+
+        for t_ in (taps_cur, taps_prev):
+            if t_ is not None and not isinstance(t_.delays, jax.core.Tracer):
+                d_max = int(np.max(np.asarray(t_.delays)))
+                if d_max > self.max_delay:
+                    raise ValueError(
+                        f"echogram tap delay {d_max} exceeds the applicator's "
+                        f"max_delay={self.max_delay}; increase max_delay")
 
         T = x.shape[-1]
         D = self.max_delay

@@ -209,7 +209,6 @@ def get_sh_rot_mtx_real(R, order: int):
     for l in range(2, order + 1):
         ms = np.arange(-l, l + 1)
         d = (ms == 0).astype(np.float64)
-        denom = np.where(np.abs(ms)[None, :] * 0 + 1 == 1, 0, 0)  # placeholder
         denom = np.empty((2 * l + 1, 2 * l + 1))
         for j, n in enumerate(ms):
             denom[:, j] = (2 * l) * (2 * l - 1) if abs(n) == l else (l * l - n * n)
@@ -429,7 +428,7 @@ def compute_sector_coeffs(order_sec: int, pattern: str,
     sec_dirs_deg = np.atleast_2d(np.asarray(sec_dirs_deg, np.float64))
     n_sec = sec_dirs_deg.shape[0]
     if order_sec == 0:
-        return WXYZ_COEFFS.reshape(1, 4, 4).repeat(max(n_sec, 1), 0)[:1], 1.0
+        return WXYZ_COEFFS.reshape(1, 4, 4).copy(), 1.0
     nsh = (order_sec + 2) ** 2
     b_n, Q = _sector_b_n(order_sec, pattern)
     norm_sec = (Q / n_sec) if energy_preserving else (order_sec + 1) / n_sec

@@ -75,6 +75,9 @@ class SofaContainer:
     def source_dirs_deg(self) -> np.ndarray:
         """Source positions as (azi, elev) degrees (the layout ambi_bin etc.
         consume, ambi_bin.c:228-230)."""
+        if self.source_position is None:
+            raise SofaError(SAF_SOFA_ERROR_DIMENSIONS_UNEXPECTED,
+                            "SOFA file has no SourcePosition dataset")
         sp = np.asarray(self.source_position)
         if (self.source_position_type or "spherical").startswith("cart"):
             from spatial_audio_framework_tpu.utils.geometry import cart2sph

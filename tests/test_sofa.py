@@ -77,3 +77,23 @@ def test_ambi_bin_with_sofa(sofa_file):
     y = np.asarray(y)
     d = cfg.afstft.proc_delay
     assert (y[0, d:] ** 2).sum() > 1.5 * (y[1, d:] ** 2).sum()
+
+
+def test_load_hrirs_falls_back_on_missing_source_position(tmp_path, capsys):
+    """A SOFA file that parses but has no SourcePosition dataset must take
+    the default-HRIR fallback (ambi_bin.c:215-218 behaviour), not crash."""
+    from spatial_audio_framework_tpu.modules.hrir import load_hrirs
+    from spatial_audio_framework_tpu.utils import hdf5 as _h5
+
+    w = _h5.HDF5Writer()
+    w.add_root_attr("Conventions", "SOFA")
+    w.add_root_attr("SOFAConventions", "SimpleFreeFieldHRIR")
+    w.add_root_attr("DataType", "FIR")
+    w.add_dataset("Data.IR", np.zeros((4, 2, 16)))
+    w.add_dataset("Data.SamplingRate", np.asarray([48000.0]),
+                  attrs={"Units": "hertz"})
+    path = str(tmp_path / "nopos.sofa")
+    w.save(path)
+    h, d, fs, used_default = load_hrirs(sofa_filepath=path, use_default=False)
+    assert used_default
+    assert h.shape[0] == d.shape[0]
