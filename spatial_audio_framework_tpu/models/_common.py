@@ -63,7 +63,7 @@ def validate_config(cfg) -> None:
     if fs is not None and not (float(fs) > 0):
         err(f"fs={fs} must be positive")
     for f in ("n_sources", "n_channels", "n_loudspeakers", "n_receivers",
-              "n_inputs", "n_outputs"):
+              "n_inputs", "n_outputs", "n_beams", "n_ch"):
         v = getattr(cfg, f, None)
         if v is not None and not (1 <= intval(f, v) <= MAX_NUM_CHANNELS):
             err(f"{f}={v} out of range [1, MAX_NUM_CHANNELS="
@@ -77,6 +77,15 @@ def validate_config(cfg) -> None:
     hop = getattr(cfg, "hop", None)
     if hop is not None and (int(hop) <= 0 or (int(hop) & (int(hop) - 1))):
         err(f"hop={hop} must be a positive power of two")
+
+
+def round_half_up(x):
+    """The C's gain-table index rounding ``(int)(x + 0.5f)`` for x ≥ 0
+    (e.g. panner.c:242-246, binauraliser_internal.c:76-80) — round-half-UP,
+    unlike jnp.round's round-half-to-even: 112.5 → 113, not 112."""
+    import jax.numpy as jnp
+
+    return jnp.floor(x + 0.5)
 
 
 def input_conversion_mtx(order: int, ch_ordering: str, norm: str):

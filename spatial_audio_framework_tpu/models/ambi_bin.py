@@ -111,8 +111,23 @@ def _design_host(cfg: AmbiBinConfig, hrirs: Optional[np.ndarray] = None,
         dec = dec * gain[:, None, None]
 
     # Fold the input channel-order/normalisation conversion into the decoder.
+    # EXCEPTION — FuMa ordering: its order-1 channel permutation does NOT
+    # commute with the block-diagonal SH rotation, and the C converts the
+    # signal FIRST and then applies M_dec·M_rot (ambi_bin.c:420-455), so for
+    # FuMa the conversion is applied in process() AFTER the rotation instead.
+    # Pure normalisation conversions are per-order scalars and commute.
+    if cfg.ch_ordering == C.CH_FUMA:
+        return dec
     conv = C.input_conversion_mtx(cfg.order, cfg.ch_ordering, cfg.norm)
     return np.einsum("bes,st->bet", dec, conv)
+
+
+def _fuma_conv(cfg: AmbiBinConfig) -> Optional[np.ndarray]:
+    """The input conversion NOT folded at design time (FuMa only) — applied
+    right of the rotation in process/process_ri (see _design_host)."""
+    if cfg.ch_ordering != C.CH_FUMA:
+        return None
+    return C.input_conversion_mtx(cfg.order, cfg.ch_ordering, cfg.norm)
 
 
 def design(cfg: AmbiBinConfig, hrirs: Optional[np.ndarray] = None,
@@ -157,6 +172,11 @@ def process(cfg: AmbiBinConfig, weights: AmbiBinWeights, state: AfSTFTState,
         M_rot = sh.get_sh_rot_mtx_real(R.astype(jnp.float32), cfg.order)
         M = jnp.einsum("bes,st->bet", M, M_rot.astype(M.dtype),
                        precision=jax.lax.Precision.HIGHEST)
+    conv = _fuma_conv(cfg)
+    if conv is not None:
+        M = jnp.einsum("bes,st->bet", M,
+                       jnp.asarray(conv.astype(np.complex64)),
+                       precision=jax.lax.Precision.HIGHEST)
     spec, state = bank.analysis(state, x)           # (nBands, nSH, H)
     out = jnp.einsum("bes,bsh->beh", M, spec, precision=jax.lax.Precision.HIGHEST)       # batched over 133 bands
     y, state = bank.synthesis(state, out)           # (2, T)
@@ -196,6 +216,12 @@ def process_ri(cfg: AmbiBinConfig, w_ri, state, x: jax.Array,
         hp_rot = jax.lax.Precision.HIGHEST
         Mre = jnp.einsum("bes,st->bet", Mre, M_rot, precision=hp_rot)
         Mim = jnp.einsum("bes,st->bet", Mim, M_rot, precision=hp_rot)
+    conv = _fuma_conv(cfg)
+    if conv is not None:
+        cv = jnp.asarray(conv.astype(np.float32))
+        hp_c = jax.lax.Precision.HIGHEST
+        Mre = jnp.einsum("bes,st->bet", Mre, cv, precision=hp_c)
+        Mim = jnp.einsum("bes,st->bet", Mim, cv, precision=hp_c)
     (sre, sim), state = ri.analysis_ri(bank, state, x)
     hp = jax.lax.Precision.HIGHEST
     out_re = (jnp.einsum("bes,bsh->beh", Mre, sre, precision=hp)
@@ -225,6 +251,12 @@ def process_ri_batched(cfg: AmbiBinConfig, w_ri, state, x: jax.Array,
 
     bank = cfg.afstft
     Mre, Mim = w_ri
+    conv = _fuma_conv(cfg)
+    if conv is not None:  # FuMa: conversion not folded at design time
+        cv = jnp.asarray(conv.astype(np.float32))
+        hp_c = jax.lax.Precision.HIGHEST
+        Mre = jnp.einsum("bes,st->bet", Mre, cv, precision=hp_c)
+        Mim = jnp.einsum("bes,st->bet", Mim, cv, precision=hp_c)
     if use_pallas:
         # fully-fused path: hybrid + decode + synthesis in one kernel (the
         # per-band mixing collapses into uniform-band taps; see

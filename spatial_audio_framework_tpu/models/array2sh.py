@@ -285,6 +285,8 @@ def evaluate_filters(cfg: Array2SHConfig, w: Array2SHWeights,
     # conversion + gain so lSH reads ~0 dB for a perfect reconstruction in
     # every convention
     conv_out = C.output_conversion_mtx(cfg.order, cfg.ch_ordering, cfg.norm)
-    M = np.einsum("ts,bsq->btq", np.linalg.inv(conv_out), np.asarray(w.W))
+    # pinv, not inv: the FuMa conversion zeroes channels ≥ 4 at order ≥ 2
+    # (by design), making conv_out singular — evaluate the recoverable part
+    M = np.einsum("ts,bsq->btq", np.linalg.pinv(conv_out), np.asarray(w.W))
     M = M / 10.0 ** (cfg.gain_db / 20.0)
     return AP.evaluate_sht_filters(M, H_array, Y_grid)

@@ -136,8 +136,9 @@ def interp_hrtfs(cfg: BinauraliserConfig, w: BinauraliserWeights,
     """Traced per-source HRTF interpolation (binauraliser_interpHRTFs).
     dirs_deg: (nSrc, 2) → (nBands, 2, nSrc) complex."""
     n_azi = int(360.0 / cfg.azi_res + 0.5) + 1
-    azi_idx = jnp.round(jnp.mod(dirs_deg[:, 0] + 180.0, 360.0) / cfg.azi_res)
-    elev_idx = jnp.round((dirs_deg[:, 1] + 90.0) / cfg.elev_res)
+    azi_idx = C.round_half_up(
+        jnp.mod(dirs_deg[:, 0] + 180.0, 360.0) / cfg.azi_res)
+    elev_idx = C.round_half_up((dirs_deg[:, 1] + 90.0) / cfg.elev_res)
     idx3d = (elev_idx * n_azi + azi_idx).astype(jnp.int32)  # (nSrc,)
     w3 = jnp.take(w.table_w, idx3d, axis=0)    # (nSrc, 3)
     i3 = jnp.take(w.table_idx, idx3d, axis=0)  # (nSrc, 3) dir indices
@@ -161,8 +162,9 @@ def interp_hrtfs_ri(cfg: BinauraliserConfig, w: BinauraliserWeightsRI,
     """interp_hrtfs in split real/imaginary arithmetic:
     dirs_deg (nSrc, 2) → (Hre, Him) each (nBands, 2, nSrc)."""
     n_azi = int(360.0 / cfg.azi_res + 0.5) + 1
-    azi_idx = jnp.round(jnp.mod(dirs_deg[:, 0] + 180.0, 360.0) / cfg.azi_res)
-    elev_idx = jnp.round((dirs_deg[:, 1] + 90.0) / cfg.elev_res)
+    azi_idx = C.round_half_up(
+        jnp.mod(dirs_deg[:, 0] + 180.0, 360.0) / cfg.azi_res)
+    elev_idx = C.round_half_up((dirs_deg[:, 1] + 90.0) / cfg.elev_res)
     idx3d = (elev_idx * n_azi + azi_idx).astype(jnp.int32)
     w3 = jnp.take(w.table_w, idx3d, axis=0)
     i3 = jnp.take(w.table_idx, idx3d, axis=0)

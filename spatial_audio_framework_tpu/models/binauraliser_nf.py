@@ -25,9 +25,15 @@ from spatial_audio_framework_tpu.models import _common as C
 @dataclass(frozen=True)
 class BinauraliserNFConfig(B.BinauraliserConfig):
     head_radius: float = 0.09096        # binauraliser_nf.c:73
-    # sources at/beyond this distance bypass the DVF entirely
-    # (binauraliser_nf.c:75: head_radius * 34 ≈ 3.09 m)
-    far_field_thresh_m: float = 0.09096 * 34.0
+    # distances below this are clamped (the setter's floor, where the DVF
+    # shelves stay stable — binauraliser_nf.c:77,378)
+    nearfield_limit_m: float = 0.15
+
+    @property
+    def far_field_thresh_m(self) -> float:
+        """Sources at/beyond this bypass the DVF entirely — derived from
+        head_radius like the C (binauraliser_nf.c:75: head_radius·34)."""
+        return self.head_radius * 34.0
 
     def __post_init__(self):
         C.validate_config(self)
@@ -55,6 +61,9 @@ def _dvf_band_gains(cfg: BinauraliserNFConfig, freqs: jax.Array,
     * sources at ≥ farfield_thresh_m (head_radius·34) bypass the DVF."""
     alpha_lr, _ = _dvf.doa_to_ipsi_interaural(src_dirs_deg[:, 0],
                                               src_dirs_deg[:, 1])  # (nSrc, 2)
+    # the C clamps the DISTANCE to nearfield_limit_m in its setter
+    # (binauraliser_nf.c:378), not rho to 1
+    src_dists_m = jnp.maximum(src_dists_m, cfg.nearfield_limit_m)
     rho = jnp.maximum(src_dists_m / cfg.head_radius, 1.0)[:, None]
     b, a = _dvf.calc_dvf_coeffs(alpha_lr, rho, cfg.fs)  # (nSrc, 2, 2) each
     w = 2.0 * jnp.pi * freqs / cfg.fs  # (nBands,)
@@ -106,6 +115,7 @@ def _dvf_band_gains_ri(cfg: BinauraliserNFConfig, freqs: jax.Array,
     z = cos w − j sin w → (Hre, Him) each (nBands, 2, nSrc)."""
     alpha_lr, _ = _dvf.doa_to_ipsi_interaural(src_dirs_deg[:, 0],
                                               src_dirs_deg[:, 1])
+    src_dists_m = jnp.maximum(src_dists_m, cfg.nearfield_limit_m)  # c:378
     rho = jnp.maximum(src_dists_m / cfg.head_radius, 1.0)[:, None]
     b, a = _dvf.calc_dvf_coeffs(alpha_lr, rho, cfg.fs)  # (nSrc, 2, 2)
     wv = 2.0 * jnp.pi * freqs / cfg.fs

@@ -43,7 +43,10 @@ class MatrixConvExample:
     # complex-free variant (partitioned mode; see ops.afstft_ri rationale)
     def design_ri(self, H: np.ndarray):
         n_out, n_in, L = H.shape
-        conv = MatrixConv(hop=self.hop, length_h=L, n_in=n_in, n_out=n_out)
+        # forward partitioned so the RI path's partitioned-only assert fires
+        # instead of silently overriding partitioned=False with the default
+        conv = MatrixConv(hop=self.hop, length_h=L, n_in=n_in, n_out=n_out,
+                          partitioned=self.partitioned)
         return conv, conv.design_ri(H)
 
     def init_state_ri(self, conv: MatrixConv) -> MatrixConvState:
@@ -74,7 +77,8 @@ class MultiConvExample:
     # complex-free variant (partitioned mode)
     def design_ri(self, H: np.ndarray):
         n_ch, L = H.shape
-        conv = MultiConv(hop=self.hop, length_h=L, n_ch=n_ch)
+        conv = MultiConv(hop=self.hop, length_h=L, n_ch=n_ch,
+                         partitioned=self.partitioned)  # see MatrixConv note
         return conv, conv.design_ri(H)
 
     def init_state_ri(self, conv: MultiConv) -> MatrixConvState:

@@ -47,9 +47,17 @@ class PannerWeights(NamedTuple):
 
 
 def design(cfg: PannerConfig, ls_dirs_deg: np.ndarray) -> PannerWeights:
-    gtable = vbap.generate_vbap_gain_table_3d(
-        np.asarray(ls_dirs_deg, np.float64), cfg.azi_res, cfg.elev_res,
-        omit_large_triangles=True, enable_dummies=True, spread=cfg.spread_deg)
+    ls = np.asarray(ls_dirs_deg, np.float64)
+    # dimensionality: planar layouts (sum |elev| < 0.01) take the 2-D
+    # pairwise tangent-law path (panner_internal.c:62-95); _table_lookup
+    # dispatches on the table's (static) row count
+    if np.abs(ls[:, 1]).sum() < 0.01:
+        gtable = vbap.generate_vbap_gain_table_2d(ls, cfg.azi_res)
+    else:
+        gtable = vbap.generate_vbap_gain_table_3d(
+            ls, cfg.azi_res, cfg.elev_res,
+            omit_large_triangles=True, enable_dummies=True,
+            spread=cfg.spread_deg)
     freq = cfg.afstft.centre_freqs(cfg.fs)
     p = vbap.get_p_values(cfg.dtt, freq)
     return PannerWeights(gtable=jnp.asarray(gtable), p_values=jnp.asarray(p))
@@ -60,12 +68,17 @@ def init_state(cfg: PannerConfig) -> AfSTFTState:
 
 
 def _table_lookup(cfg: PannerConfig, gtable: jax.Array, dirs_deg: jax.Array):
-    """Nearest-grid lookup (panner.c:242-246): table rows are elev-major with
-    azimuths -180..180."""
+    """Nearest-grid lookup (panner.c:242-246 / :282-284 for the 2-D table):
+    table rows are elev-major with azimuths -180..180; 2-D tables (static
+    row count == nAzi) are azimuth-only."""
     n_azi = int(360.0 / cfg.azi_res + 0.5) + 1
-    azi_idx = jnp.round(jnp.mod(dirs_deg[:, 0] + 180.0, 360.0) / cfg.azi_res)
-    elev_idx = jnp.round((dirs_deg[:, 1] + 90.0) / cfg.elev_res)
-    idx = (elev_idx * n_azi + azi_idx).astype(jnp.int32)
+    azi_idx = C.round_half_up(
+        jnp.mod(dirs_deg[:, 0] + 180.0, 360.0) / cfg.azi_res)
+    if gtable.shape[0] == n_azi:  # 2-D pairwise table
+        idx = azi_idx.astype(jnp.int32)
+    else:
+        elev_idx = C.round_half_up((dirs_deg[:, 1] + 90.0) / cfg.elev_res)
+        idx = (elev_idx * n_azi + azi_idx).astype(jnp.int32)
     return jnp.take(gtable, idx, axis=0)  # (nSrc, nLS)
 
 

@@ -265,9 +265,10 @@ def interp_hrtfs(cfg: RoomBinauraliserConfig, w: RoomBinauraliserWeights,
     (roombinauraliser_interpHRTFs, roombinauraliser_internal.c:46-127).
     rot_deg: (2,) [azi, elev] degrees → (nSrc, nBands, 2) complex."""
     n_azi = int(360.0 / cfg.azi_res + 0.5) + 1
-    azi_idx = jnp.round(jnp.mod(rot_deg[0] + 180.0, 360.0) / cfg.azi_res)
+    azi_idx = C.round_half_up(
+        jnp.mod(rot_deg[0] + 180.0, 360.0) / cfg.azi_res)
     if cfg.vbap_3d:
-        elev_idx = jnp.round((rot_deg[1] + 90.0) / cfg.elev_res)
+        elev_idx = C.round_half_up((rot_deg[1] + 90.0) / cfg.elev_res)
     else:
         elev_idx = jnp.zeros(())  # roombinauraliser_internal.c:69-70
     idx3d = (elev_idx * n_azi + azi_idx).astype(jnp.int32)
@@ -293,9 +294,10 @@ def interp_hrtfs_ri(cfg: RoomBinauraliserConfig, w: RoomBinauraliserWeightsRI,
     """interp_hrtfs in split real/imaginary arithmetic:
     rot_deg (2,) → (Hre, Him) each (nSrc, nBands, 2)."""
     n_azi = int(360.0 / cfg.azi_res + 0.5) + 1
-    azi_idx = jnp.round(jnp.mod(rot_deg[0] + 180.0, 360.0) / cfg.azi_res)
+    azi_idx = C.round_half_up(
+        jnp.mod(rot_deg[0] + 180.0, 360.0) / cfg.azi_res)
     if cfg.vbap_3d:
-        elev_idx = jnp.round((rot_deg[1] + 90.0) / cfg.elev_res)
+        elev_idx = C.round_half_up((rot_deg[1] + 90.0) / cfg.elev_res)
     else:
         elev_idx = jnp.zeros(())
     idx3d = (elev_idx * n_azi + azi_idx).astype(jnp.int32)

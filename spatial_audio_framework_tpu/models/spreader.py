@@ -253,7 +253,10 @@ def process(cfg: SpreaderConfig, w: SpreaderWeights, state: SpreaderState,
 
         if cfg.mode == MODE_EVD:
             e_y = jnp.einsum("bqq->", Cy[0])
-            e_p = jnp.einsum("bqq->", Cp[0]) + 1e-6
+            # the C adds 1e-6 PER (band, channel) diagonal term
+            # (spreader.c:552: Eproto += ... + 0.000001f inside the loop)
+            e_p = (jnp.einsum("bqq->", Cp[0])
+                   + 1e-6 * (Cp[0].shape[0] * Cp[0].shape[1]))
             # Gcomp = sqrt(Eproto/Ey) (spreader.c:524) — the C scales the
             # target covariance by the SQRT of the energy ratio
             s = jnp.sqrt(e_p / (e_y + 2.23e-9))
@@ -425,7 +428,9 @@ def process_chunk(cfg: SpreaderConfig, w: SpreaderWeights,
 
         if cfg.mode == MODE_EVD:
             e_y = jnp.einsum("tbqq->t", Cy[0])
-            e_p = jnp.einsum("tbqq->t", Cp[0]) + 1e-6
+            # per-(band, channel) 1e-6, as in process() (spreader.c:552)
+            e_p = (jnp.einsum("tbqq->t", Cp[0])
+                   + 1e-6 * (Cp[0].shape[1] * Cp[0].shape[2]))
             s = jnp.sqrt(e_p / (e_y + 2.23e-9))[:, None, None, None]
             if Q == 2:
                 lam_e, V = H.cheev_2x2((Cy[0] * s, Cy[1] * s))

@@ -141,6 +141,37 @@ def test_ambi_bin_end_to_end(g):
     assert err <= TOL, err
 
 
+def test_ambi_bin_fuma_rotation_vs_c(g):
+    """FuMa input conventions + a general head rotation: the C converts the
+    signal FuMa→ACN FIRST and then applies M_dec·M_rot (ambi_bin.c:420-455);
+    the order-1 channel permutation does not commute with the SH rotation,
+    so this pin fails if the conversion is folded on the wrong side.  Both
+    the complex and the RI fast path are checked."""
+    from spatial_audio_framework_tpu.models import ambi_bin
+
+    cfg = ambi_bin.AmbiBinConfig(order=1, method="magls", norm="fuma",
+                                 ch_ordering="fuma", enable_rotation=True)
+    w = ambi_bin.design(cfg)
+    st = ambi_bin.init_state(cfg)
+    x = np.asarray(g["abf_in"], np.float32)
+    ypr = jnp.asarray(np.radians([20.0, -10.0, 5.0]).astype(np.float32))
+    proc = jax.jit(lambda s, xx: ambi_bin.process(cfg, w, s, xx, ypr))
+    outs = []
+    for f in range(32):
+        y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
+        outs.append(np.asarray(y))
+    assert np.abs(np.concatenate(outs, -1) - g["abf_out"]).max() <= TOL
+
+    wri = ambi_bin.design_ri(cfg)
+    sri = ambi_bin.init_state_ri(cfg)
+    proc_ri = jax.jit(lambda s, xx: ambi_bin.process_ri(cfg, wri, s, xx, ypr))
+    outs = []
+    for f in range(32):
+        y, sri = proc_ri(sri, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
+        outs.append(np.asarray(y))
+    assert np.abs(np.concatenate(outs, -1) - g["abf_out"]).max() <= TOL
+
+
 def test_ambi_bin_end_to_end_ri_fast_path(g):
     """The production complex-free RI fast path hits the same C golden."""
     from spatial_audio_framework_tpu.models import ambi_bin

@@ -18,6 +18,7 @@
 #include "ambi_dec_internal.h"
 #include "ambi_enc.h"
 #include "panner.h"
+#include "ambi_bin.h"
 
 static FILE* manifest;
 static const char* outdir;
@@ -294,6 +295,57 @@ static void golden_pitch_shifts(void)
     printf("pitch shifts done\n");
 }
 
+/* ambi_bin with FuMa input conventions AND head rotation: the C converts
+ * the signal FuMa->ACN FIRST, then applies M_dec*M_rot (ambi_bin.c:420-455)
+ * — the order-1 channel permutation does not commute with the SH rotation,
+ * so a decoder that folds the conversion on the wrong side of the rotation
+ * rotates about the wrong axes.  Random per-channel input (not an encoded
+ * plane wave) so the permutation actually matters. */
+static void golden_ambi_bin_fuma_rot(void)
+{
+    const int order = 1, fs = 48000, nSH = 4;
+    int i, ch, frame;
+    void* h;
+    lcg_state = 202020u;
+    ambi_bin_create(&h);
+    ambi_bin_setNormType(h, NORM_FUMA);
+    ambi_bin_setChOrder(h, CH_FUMA);
+    ambi_bin_setInputOrderPreset(h, SH_ORDER_FIRST);
+    ambi_bin_init(h, fs);
+    ambi_bin_setEnableRotation(h, 1);
+    ambi_bin_setYaw(h, 20.0f);
+    ambi_bin_setPitch(h, -10.0f);
+    ambi_bin_setRoll(h, 5.0f);
+    ambi_bin_initCodec(h);
+
+    const int framesize = ambi_bin_getFrameSize();
+    const int nFrames = 32;
+    const int sigLen = nFrames * framesize;
+    float** shSig = (float**)malloc2d(nSH, sigLen, sizeof(float));
+    for (ch = 0; ch < nSH; ch++)
+        for (i = 0; i < sigLen; i++)
+            shSig[ch][i] = lcg_noise();
+    float** binSig = (float**)calloc2d(NUM_EARS, sigLen, sizeof(float));
+    float** inFr = (float**)malloc1d(nSH * sizeof(float*));
+    float** outFr = (float**)malloc1d(NUM_EARS * sizeof(float*));
+    for (frame = 0; frame < nFrames; frame++) {
+        for (ch = 0; ch < nSH; ch++)
+            inFr[ch] = &shSig[ch][frame * framesize];
+        for (ch = 0; ch < NUM_EARS; ch++)
+            outFr[ch] = &binSig[ch][frame * framesize];
+        ambi_bin_process(h, (const float* const*)inFr, outFr, nSH,
+                         NUM_EARS, framesize);
+    }
+    char sh[32];
+    snprintf(sh, sizeof(sh), "%d,%d", nSH, sigLen);
+    dump("abf_in", FLATTEN2D(shSig), (size_t)nSH * sigLen, "f4", sh);
+    snprintf(sh, sizeof(sh), "2,%d", sigLen);
+    dump("abf_out", FLATTEN2D(binSig), (size_t)NUM_EARS * sigLen, "f4", sh);
+    ambi_bin_destroy(&h);
+    free(shSig); free(binSig); free(inFr); free(outFr);
+    printf("abf done\n");
+}
+
 /* -------------------------------------------------------------------- */
 int main(int argc, char** argv)
 {
@@ -342,6 +394,9 @@ int main(int argc, char** argv)
 
     /* F) pitch shifter at 0.5 and 2.0 */
     golden_pitch_shifts();
+
+    /* G) ambi_bin: FuMa conventions + head rotation */
+    golden_ambi_bin_fuma_rot();
 
 
     fclose(manifest);

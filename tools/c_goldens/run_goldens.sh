@@ -52,7 +52,7 @@ build 14  "${EX[@]}" "${ROOMBIN[@]}"
 build 15  "${TRK[@]}" "${EX[@]}" -I"$SRC/framework/modules/saf_hades" \
           $(exlib binauraliser)
 build 16  "${EX[@]}" -I"$SRC/examples/src/ambi_dec" \
-          $(exlib ambi_dec ambi_enc panner)
+          $(exlib ambi_dec ambi_enc panner ambi_bin)
 
 for n in "" 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16; do
     LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens$n" "$OUT"
