@@ -748,6 +748,28 @@ def test_panner_ypr_end_to_end_vs_c(g):
     assert np.abs(np.asarray(yb)[0] - out).max() <= 1e-4
 
 
+def test_panner_2d_end_to_end_vs_c(g):
+    """A planar 5.0 ring takes the 2-D pairwise tangent-law path
+    (panner_internal.c:62-95): 2-D gain table + azimuth-only lookup (the C
+    ignores source elevation entirely in 2-D — source 1 sits at 20° elev
+    to pin that)."""
+    from spatial_audio_framework_tpu.models import panner as PAN
+
+    ls = np.asarray(g["p2d_ls_dirs"], np.float64)
+    src = jnp.asarray(np.asarray(g["p2d_src_dirs"], np.float32))
+    x = np.asarray(g["p2d_in"], np.float32)
+    cfg = PAN.PannerConfig(n_sources=2, n_loudspeakers=5)
+    w = PAN.design(cfg, ls)
+    assert w.gtable.shape[0] == 361  # the 2-D table, not 361*181
+    st = PAN.init_state(cfg)
+    proc = jax.jit(lambda s, xx: PAN.process(cfg, w, s, xx, src))
+    outs = []
+    for f in range(32):
+        y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
+        outs.append(np.asarray(y))
+    assert np.abs(np.concatenate(outs, -1) - g["p2d_out"]).max() <= TOL
+
+
 def test_powermap_end_to_end_vs_c(g):
     """A two-source SH scene through the powermap example (MUSIC,
     geosphere-ico-9 analysis grid, covAvg 0.5, mapAvg 0.666) reproduces

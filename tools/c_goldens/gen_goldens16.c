@@ -295,6 +295,60 @@ static void golden_pitch_shifts(void)
     printf("pitch shifts done\n");
 }
 
+/* panner with a PLANAR loudspeaker ring: sum|elev| < 0.01 switches the C
+ * to the 2-D pairwise tangent-law table + azimuth-only lookup
+ * (panner_internal.c:62-95, panner.c:282-284) */
+static void golden_panner_2d(void)
+{
+    const float ls_dirs[5][2] = {
+        {0.0f, 0.0f}, {30.0f, 0.0f}, {-30.0f, 0.0f},
+        {110.0f, 0.0f}, {-110.0f, 0.0f}};
+    const float src_dirs[2][2] = {{12.0f, 0.0f}, {-75.0f, 20.0f}};
+    const int nLS = 5, nSrc = 2, frame = 128, nFrames = 32;
+    const int sigLen = frame * nFrames;
+    int i, f;
+    void* h;
+    lcg_state = 212121u;
+    panner_create(&h);
+    panner_init(h, 48000);
+    panner_setNumLoudspeakers(h, nLS);
+    for (i = 0; i < nLS; i++) {
+        panner_setLoudspeakerAzi_deg(h, i, ls_dirs[i][0]);
+        panner_setLoudspeakerElev_deg(h, i, ls_dirs[i][1]);
+    }
+    panner_setNumSources(h, nSrc);
+    for (i = 0; i < nSrc; i++) {
+        panner_setSourceAzi_deg(h, i, src_dirs[i][0]);
+        panner_setSourceElev_deg(h, i, src_dirs[i][1]);
+    }
+    panner_setDTT(h, 0.5f);
+    panner_setSpread(h, 0.0f);
+    panner_initCodec(h);
+
+    float** in = (float**)malloc2d(nSrc, sigLen, sizeof(float));
+    for (i = 0; i < nSrc; i++)
+        for (f = 0; f < sigLen; f++)
+            in[i][f] = lcg_noise();
+    float** inF = (float**)malloc2d(nSrc, frame, sizeof(float));
+    float** outF = (float**)malloc2d(nLS, frame, sizeof(float));
+    float* out = malloc1d((size_t)nLS * sigLen * sizeof(float));
+    for (f = 0; f < nFrames; f++) {
+        for (i = 0; i < nSrc; i++)
+            memcpy(inF[i], &in[i][f * frame], frame * sizeof(float));
+        panner_process(h, (const float* const*)inF, outF, nSrc, nLS, frame);
+        for (i = 0; i < nLS; i++)
+            memcpy(&out[(size_t)i * sigLen + f * frame], outF[i],
+                   frame * sizeof(float));
+    }
+    panner_destroy(&h);
+    dump("p2d_ls_dirs", ls_dirs, 10, "f4", "5,2");
+    dump("p2d_src_dirs", src_dirs, 4, "f4", "2,2");
+    dump("p2d_in", FLATTEN2D(in), (size_t)nSrc * sigLen, "f4", "2,4096");
+    dump("p2d_out", out, (size_t)nLS * sigLen, "f4", "5,4096");
+    free(in); free(inF); free(outF); free(out);
+    printf("p2d done\n");
+}
+
 /* ambi_bin with FuMa input conventions AND head rotation: the C converts
  * the signal FuMa->ACN FIRST, then applies M_dec*M_rot (ambi_bin.c:420-455)
  * — the order-1 channel permutation does not commute with the SH rotation,
@@ -397,6 +451,9 @@ int main(int argc, char** argv)
 
     /* G) ambi_bin: FuMa conventions + head rotation */
     golden_ambi_bin_fuma_rot();
+
+    /* H) panner on a planar ring (2-D pairwise path) */
+    golden_panner_2d();
 
 
     fclose(manifest);
