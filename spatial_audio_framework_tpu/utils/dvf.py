@@ -30,13 +30,7 @@ HEAD_DIM = np.pi * (A_0 / A_HEAD)
 SOS_DIV_2PI_A = 343.0 / (2.0 * np.pi * A_HEAD)
 
 
-def _xp(*arrays):
-    for a in arrays:
-        if type(a).__module__.startswith("jax"):
-            import jax.numpy as jnp
-
-            return jnp
-    return np
+from spatial_audio_framework_tpu.utils.geometry import _xp  # shared dispatch
 
 
 def calc_dvf_shelf_params(idx, rho, xp=np):

@@ -438,16 +438,31 @@ class FafIIRFilterbank:
         return out.astype(np.float32)
 
 
-def interpolate_filters_h(freqs_in: np.ndarray, H_in: np.ndarray,
-                          freqs_out: np.ndarray) -> np.ndarray:
-    """Interpolate complex filter spectra to a new frequency grid, magnitude
-    and unwrapped phase separately (saf_utility_filters.h:184
-    ``interpolateFiltersH``).  H_in: (..., len(freqs_in))."""
-    mag = np.abs(H_in)
-    ph = np.unwrap(np.angle(H_in), axis=-1)
-    mag_i = np.stack([np.interp(freqs_out, freqs_in, m) for m in
-                      mag.reshape(-1, mag.shape[-1])])
-    ph_i = np.stack([np.interp(freqs_out, freqs_in, p) for p in
-                     ph.reshape(-1, ph.shape[-1])])
-    out = (mag_i * np.exp(1j * ph_i)).reshape(H_in.shape[:-1] + (len(freqs_out),))
-    return out.astype(np.complex64)
+def interpolate_filters_h(H_in: np.ndarray, in_fft_size: int,
+                          out_fft_size: int) -> np.ndarray:
+    """Resample complex filter spectra onto a new FFT size exactly as the C
+    (saf_utility_filters.c ``interpolateFiltersH``): inverse rFFT of each
+    filter, half-length rotate ("flip"), forward rFFT at the new size.
+    H_in: (..., inFFTsize/2+1) → (..., outFFTsize/2+1) complex64.
+
+    Mirrors the C's buffer semantics for mismatched sizes: reads past the
+    input IR (into the calloc'd zero region) read zeros, and rotated
+    samples written past outFFTsize are dropped by the forward transform.
+    """
+    H = np.asarray(H_in)
+    n_bins_out = out_fft_size // 2 + 1
+    ir = np.fft.irfft(H, n=in_fft_size, axis=-1)  # 1/N-scaled like saf_rfft
+    buflen = max(in_fft_size, out_fft_size) + out_fft_size // 2
+    src = np.zeros(H.shape[:-1] + (buflen,))
+    src[..., :in_fft_size] = ir
+    fl = np.zeros_like(src)
+    half_in, half_out = in_fft_size // 2, out_fft_size // 2
+    # the C's flip loop aliases on UPSAMPLE (outFFT > inFFT): its first
+    # statement at iteration j overwrites what the second wrote at j-half_in,
+    # so fl[half_out:half_in+half_out] of the second half survives but the
+    # overlap belongs to the rotate — reproduce by assigning the second
+    # region FIRST and letting the rotate win on the overlap
+    fl[..., half_in:half_in + half_out] = src[..., :half_out]
+    fl[..., :half_out] = src[..., half_in:half_in + half_out]
+    out = np.fft.rfft(fl[..., :out_fft_size], axis=-1)
+    return out[..., :n_bins_out].astype(np.complex64)

@@ -115,7 +115,7 @@ class HDF5Reader:
             ver = buf[p]; p += 1
             flags = buf[p]; p += 1
             if flags & 0x20:
-                p += 8  # times
+                p += 16  # four 4-byte timestamps (access/mod/change/birth)
             if flags & 0x10:
                 p += 4  # max compact/dense
             size_bytes = 1 << (flags & 0x3)
@@ -241,16 +241,22 @@ class HDF5Reader:
         out = []
         p = 8 if ver == 1 else 2
         for _ in range(n):
-            fid, namelen, flags, ncli = struct.unpack_from("<HHHH", b, p)
-            p += 8
-            if ver == 1 or namelen:
-                nl = (namelen + 7) // 8 * 8 if ver == 1 else namelen
-                p += nl
+            fid = struct.unpack_from("<H", b, p)[0]
+            p += 2
+            # v2 omits the Name Length field entirely for ids < 256
+            if ver == 1 or fid >= 256:
+                namelen = struct.unpack_from("<H", b, p)[0]
+                p += 2
+            else:
+                namelen = 0
+            ncli = struct.unpack_from("<H", b, p + 2)[0]  # skip flags
+            p += 4
+            if namelen:
+                p += (namelen + 7) // 8 * 8 if ver == 1 else namelen
             p += 4 * ncli
             if ver == 1 and ncli % 2:
                 p += 4
             out.append(fid)
-            del flags
         return out
 
     def _parse_attribute(self, b: bytes):
@@ -461,7 +467,8 @@ class HDF5Writer:
             b0 = (1 << 4) | 1
             bits = dtype.itemsize * 8
             if dtype.itemsize == 8:
-                props = struct.pack("<HHBBBBII", 0, bits, 52, 11, 0, 52, 1075, 0)
+                # IEEE binary64: 52-bit mantissa, 11-bit exponent, bias 1023
+                props = struct.pack("<HHBBBBII", 0, bits, 52, 11, 0, 52, 1023, 0)
             else:
                 props = struct.pack("<HHBBBBII", 0, bits, 23, 8, 0, 23, 127, 0)
             head = struct.pack("<BBBBI", b0, 0x20, 0x3F if dtype.itemsize == 8 else 0x1F,
@@ -578,16 +585,20 @@ class HDF5Writer:
         def patch(pos, b):
             buf[pos:pos + len(b)] = b
 
-        # superblock: eof + root STE
-        patch(eof_pos + 16, struct.pack("<Q", len(buf)))
+        # superblock: eof + root STE (eof_pos already points at the
+        # end-of-file-address field, superblock offset 40)
+        patch(eof_pos, struct.pack("<Q", len(buf)))
         patch(root_ste_pos, struct.pack("<QQII", 0, root_hdr_addr, 1, 0)
               + struct.pack("<QQ", btree_addr, heap_hdr_addr))
         # root header with real symbol-table addresses
         root_msgs[0] = (0x0011, struct.pack("<QQ", btree_addr, heap_hdr_addr))
         patch(root_hdr_addr, self._object_header(root_msgs))
         # heap
+        # free-list head = 1 (H5HL_FREE_NULL): libhdf5's "no free block"
+        # marker — an address ≥ the segment size (e.g. UNDEF) is rejected
+        # as "bad heap free list"
         patch(heap_hdr_addr, b"HEAP" + struct.pack("<BBBBQQQ", 0, 0, 0, 0,
-                                                   len(heap_data), UNDEF,
+                                                   len(heap_data), 1,
                                                    heap_data_addr))
         patch(heap_data_addr, bytes(heap_data))
         # btree (single leaf pointing at one SNOD)

@@ -20,14 +20,12 @@ def lagrange_weights(N: int, fractions: np.ndarray) -> np.ndarray:
     (saf_utility_misc.h ``lagrangeWeights``).  fractions: (nF,) in [0, 1) →
     (N+1, nF); delay = n + fraction with n = N/2 integer part convention."""
     fractions = np.atleast_1d(np.asarray(fractions, np.float64))
-    idx = np.arange(N + 1, dtype=np.float64)
     W = np.ones((N + 1, fractions.shape[0]))
     d = fractions + N / 2.0  # centre the interpolator
     for n in range(N + 1):
         for k in range(N + 1):
             if k != n:
                 W[n] *= (d - k) / (n - k)
-    del idx
     return W.astype(np.float32)
 
 

@@ -81,11 +81,16 @@ class ProgressReporter:
 @contextlib.contextmanager
 def trace_annotation(name: str):
     """jax.profiler.TraceAnnotation when available, else a no-op — safe to
-    leave in production code paths."""
+    leave in production code paths.  Only the import/constructor is
+    guarded: wrapping the yield in the except would catch exceptions raised
+    by the WITH-BODY and re-yield, destroying the user's traceback
+    ("generator didn't stop after throw()")."""
     try:
         import jax.profiler as _prof
 
-        with _prof.TraceAnnotation(name):
-            yield
+        ann = _prof.TraceAnnotation(name)
     except Exception:
+        yield
+        return
+    with ann:
         yield

@@ -121,3 +121,19 @@ def test_cdf4sap_achieves_target_covariance():
         dt = np.diagonal(Cy, axis1=-2, axis2=-1).real
         np.testing.assert_allclose(d2, dt, rtol=0.05)
         assert (Cr2 == 0).all()
+
+
+def test_interpolate_filters_h_vs_c():
+    """interpolateFiltersH spectral resampling (IFFT → half-rotate → FFT),
+    up 256→512 and down 256→128, pinned against the C (ifh_* goldens)."""
+    import numpy as np
+
+    from spatial_audio_framework_tpu.utils.filters import interpolate_filters_h
+
+    g = np.load("tests/goldens/c_goldens.npz")
+    fin = np.asarray(g["ifh_in"])          # (129, 3) bin-major
+    H = fin.T                              # (3, 129) filter-major
+    up = interpolate_filters_h(H, 256, 512)
+    dn = interpolate_filters_h(H, 256, 128)
+    assert np.abs(up.T - g["ifh_out_up"]).max() <= 1e-5
+    assert np.abs(dn.T - g["ifh_out_down"]).max() <= 1e-5

@@ -148,9 +148,11 @@ def test_preset_handle_tables_fully_covered():
             assert g.ndim == 2 and g.shape[1] == 2 and g.shape[0] >= 4
 
 
-def test_bessel_hankel_z0_edge_is_silent_and_correct():
-    """hankel at z=0: imaginary part hits the -inf limit WITHOUT poisoning
-    the real part (previously 1j*(-inf) produced NaN + RuntimeWarnings)."""
+def test_bessel_hankel_z0_edge_is_silent_and_c_exact():
+    """z <= 1e-15 takes the C's explicit DC branch (saf_utility_bessel.c:392
+    etc.) with no RuntimeWarnings: cylindrical families → all zeros;
+    spherical j/i → [1,0..] with dj[1]=1/3; spherical hankels → h[0]=1 and
+    derivative all zeros."""
     import warnings
 
     import numpy as np
@@ -162,10 +164,18 @@ def test_bessel_hankel_z0_edge_is_silent_and_correct():
         h1, h1p = B.hankel_hn1_all(4, np.array([0.0, 1.0]))
         h2, _ = B.hankel_hn2_all(4, np.array([0.0, 1.0]))
         H1, _ = B.hankel_Hn1_all(4, np.array([0.0, 2.0]))
-        H2, _ = B.hankel_Hn2_all(4, np.array([0.0, 2.0]))
-    # real parts at z=0 are the j_n limits (finite); imag parts diverge
-    assert np.isfinite(h1[0].real).all() and np.isinf(h1[0, 1:].imag).all()
-    assert np.isfinite(H2[0].real).all()
+        H2, H2p = B.hankel_Hn2_all(4, np.array([0.0, 2.0]))
+        J, dJ = B.bessel_Jn_all(4, np.array([0.0, 2.0]))
+        j, dj = B.bessel_jn_all(4, np.array([0.0, 1.0]))
+    # cylindrical DC rows: all zeros (even though J0(0)=1 mathematically)
+    assert np.abs(J[0]).max() == 0 and np.abs(dJ[0]).max() == 0
+    assert np.abs(H1[0]).max() == 0 and np.abs(H2[0]).max() == 0
+    assert np.abs(H2p[0]).max() == 0
+    # spherical DC rows: j=[1,0..], dj=[0,1/3,0..]; hankel h[0]=1, dh=0
+    assert j[0, 0] == 1.0 and np.abs(j[0, 1:]).max() == 0
+    assert dj[0, 1] == 1.0 / 3.0 and dj[0, 0] == 0
+    assert h1[0, 0] == 1.0 and np.abs(h1[0, 1:]).max() == 0
+    assert np.abs(h1p[0]).max() == 0 and h2[0, 0] == 1.0
     # away from the edge the values match j ± i*y
     from scipy import special as sp
     ref = sp.spherical_jn(1, 1.0) + 1j * sp.spherical_yn(1, 1.0)

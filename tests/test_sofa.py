@@ -97,3 +97,39 @@ def test_load_hrirs_falls_back_on_missing_source_position(tmp_path, capsys):
     h, d, fs, used_default = load_hrirs(sofa_filepath=path, use_default=False)
     assert used_default
     assert h.shape[0] == d.shape[0]
+
+
+def test_hdf5_writer_h5py_interop(tmp_path):
+    """Files from HDF5Writer must be readable by libhdf5 (superblock EOF at
+    offset 40, IEEE binary64 bias 1023, local-heap free-list head = 1)."""
+    h5py = pytest.importorskip("h5py")
+    from spatial_audio_framework_tpu.utils import hdf5 as _h5
+
+    w = _h5.HDF5Writer()
+    w.add_root_attr("Conventions", "SOFA")
+    a64 = np.arange(12, dtype=np.float64).reshape(3, 4) * 1.5
+    a32 = np.arange(6, dtype=np.float32).reshape(2, 3) + 0.25
+    w.add_dataset("D64", a64, attrs={"Units": "m"})
+    w.add_dataset("D32", a32)
+    path = str(tmp_path / "interop.h5")
+    w.save(path)
+    with h5py.File(path, "r") as f:
+        assert set(f.keys()) == {"D32", "D64"}
+        np.testing.assert_allclose(f["D64"][...], a64)
+        np.testing.assert_allclose(f["D32"][...], a32)
+        assert f.attrs["Conventions"] == b"SOFA"
+        assert f["D64"].attrs["Units"] == b"m"
+
+
+def test_hdf5_reader_reads_h5py_compressed(tmp_path):
+    """Our reader handles libhdf5-written chunked gzip+shuffle datasets."""
+    h5py = pytest.importorskip("h5py")
+    from spatial_audio_framework_tpu.utils.hdf5 import read_hdf5
+
+    a = np.arange(240.0).reshape(10, 24) * 0.5
+    path = str(tmp_path / "v1.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset("comp", data=a, chunks=(5, 12),
+                         compression="gzip", shuffle=True)
+    root = read_hdf5(path)
+    np.testing.assert_allclose(root.datasets["comp"].data, a)

@@ -295,6 +295,40 @@ static void golden_pitch_shifts(void)
     printf("pitch shifts done\n");
 }
 
+/* interpolateFiltersH (saf_utility_filters.c): IFFT -> half-rotate -> FFT
+ * spectral resampling, both up (256->512) and down (256->128); layout is
+ * bin-major (filters_in[bin*nFilters + i]) */
+static void golden_interp_filters_h(void)
+{
+    const int inF = 256, nFilt = 3;
+    const int nbi = inF / 2 + 1;
+    int i;
+    lcg_state = 232323u;
+    float_complex* fin = malloc1d((size_t)nbi * nFilt
+                                  * sizeof(float_complex));
+    for (i = 0; i < nbi * nFilt; i++)
+        fin[i] = cmplxf(lcg_noise(), lcg_noise());
+    {
+        const int outF = 512, nbo = outF / 2 + 1;
+        float_complex* fout = malloc1d((size_t)nbo * nFilt
+                                       * sizeof(float_complex));
+        interpolateFiltersH(inF, outF, nFilt, fin, fout);
+        dump("ifh_out_up", fout, (size_t)nbo * nFilt, "c8", "257,3");
+        free(fout);
+    }
+    {
+        const int outF = 128, nbo = outF / 2 + 1;
+        float_complex* fout = malloc1d((size_t)nbo * nFilt
+                                       * sizeof(float_complex));
+        interpolateFiltersH(inF, outF, nFilt, fin, fout);
+        dump("ifh_out_down", fout, (size_t)nbo * nFilt, "c8", "65,3");
+        free(fout);
+    }
+    dump("ifh_in", fin, (size_t)nbi * nFilt, "c8", "129,3");
+    free(fin);
+    printf("ifh done\n");
+}
+
 /* panner with a PLANAR loudspeaker ring: sum|elev| < 0.01 switches the C
  * to the 2-D pairwise tangent-law table + azimuth-only lookup
  * (panner_internal.c:62-95, panner.c:282-284) */
@@ -454,6 +488,9 @@ int main(int argc, char** argv)
 
     /* H) panner on a planar ring (2-D pairwise path) */
     golden_panner_2d();
+
+    /* I) interpolateFiltersH spectral resampling */
+    golden_interp_filters_h();
 
 
     fclose(manifest);
