@@ -118,8 +118,6 @@ def main():
             "bound": bound,
         }
 
-    from spatial_audio_framework_tpu.models import ambi_bin
-
     cfg = ambi_bin.AmbiBinConfig(order=ORDER, fs=FS, method="magls")
     wri = ambi_bin.design_ri(cfg)
     rng = np.random.default_rng(0)
@@ -321,6 +319,7 @@ def main():
         return jax.vmap(body), bst, bxs
 
     config_rtfs = {}
+    config_errors = {}
 
     # ambi_enc: order-1 SH encoding, 64 mono sources w/ streaming directions
     try:
@@ -351,8 +350,8 @@ def main():
                            trips=K * (Tc // FR))
         config_rtfs["ambi_enc_o1_64src"] = fenced_rtf(
             scan_chunks(ebody), est0, ex, 64 * K * Tc / FS, cost=ecost)
-    except Exception:
-        pass
+    except Exception as e:
+        config_errors["ambi_enc"] = repr(e)  # visible, not silently absent
 
     # panner: VBAP to 5.1 and 7.1.4, 64 streams x 4 sources
     try:
@@ -382,8 +381,8 @@ def main():
             pcost = probe_cost(pbody, pst0, px[0], trips=K)
             config_rtfs[f"panner_{name}_64streams"] = fenced_rtf(
                 scan_chunks(pbody), pst0, px, 64 * K * Tc / FS, cost=pcost)
-    except Exception:
-        pass
+    except Exception as e:
+        config_errors["panner"] = repr(e)  # visible, not silently absent
 
     # tvconv: time-varying partitioned convolution, streaming listener pos
     try:
@@ -413,8 +412,8 @@ def main():
         tbcost = probe_cost(tb, tbst, tbxs[0], trips=K)
         config_rtfs[f"tvconv_64pos_2ch_{NB}x"] = fenced_rtf(
             scan_chunks(tb), tbst, tbxs, NB * K * Tc / FS, cost=tbcost)
-    except Exception:
-        pass
+    except Exception as e:
+        config_errors["tvconv"] = repr(e)  # visible, not silently absent
 
     # powermap + sldoa: SH-domain analysers (complex-free RI chain)
     try:
@@ -456,8 +455,8 @@ def main():
         sbcost = probe_cost(sb, sbst, sbxs[0], trips=K)
         config_rtfs[f"sldoa_o3_{NB}x"] = fenced_rtf(
             scan_chunks(sb), sbst, sbxs, NB * K * Tc / FS, cost=sbcost)
-    except Exception:
-        pass
+    except Exception as e:
+        config_errors["powermap"] = repr(e)  # visible, not silently absent
 
     # ambi_roomsim: shoebox image-source reverb -> partitioned MatrixConv
     try:
@@ -483,8 +482,8 @@ def main():
         rbcost = probe_cost(rb, rbst, rbxs[0], trips=K)
         config_rtfs[f"ambi_roomsim_o2_2src_{NB}x"] = fenced_rtf(
             scan_chunks(rb), rbst, rbxs, NB * K * Tc / FS, cost=rbcost)
-    except Exception:
-        pass
+    except Exception as e:
+        config_errors["sldoa_roomsim"] = repr(e)  # visible, not silently absent
 
     # hades: fused analysis+synthesis pipeline (binaural, BMVDR + CM),
     # closed-form 2x2 decompositions throughout, and the scan-free
@@ -534,8 +533,8 @@ def main():
                            NB * NBHB * hana.blocksize / FS, cost=hbcost)
         entry["n_instances"] = NB
         config_rtfs[f"hades_binaural_bmvdr_{NB}x"] = entry
-    except Exception:
-        pass
+    except Exception as e:
+        config_errors["hades"] = repr(e)  # visible, not silently absent
 
     # ambi_dec: order-1 AllRAD decode to 5 loudspeakers, 64 streams
     try:
@@ -556,8 +555,8 @@ def main():
         adcost = probe_cost(adbody, adst0, adx[0], trips=K)
         config_rtfs["ambi_dec_o1_5ls_64streams"] = fenced_rtf(
             scan_chunks(adbody), adst0, adx, 64 * K * Tc / FS, cost=adcost)
-    except Exception:
-        pass
+    except Exception as e:
+        config_errors["hades_batched"] = repr(e)  # visible, not silently absent
 
     # array2sh: Eigenmike32 -> order-4 SH encoding, 16 streams
     try:
@@ -578,8 +577,8 @@ def main():
         a2cost = probe_cost(a2body, a2st0, a2x[0], trips=K)
         config_rtfs["array2sh_em32_o4_16streams"] = fenced_rtf(
             scan_chunks(a2body), a2st0, a2x, 16 * K * Tc / FS, cost=a2cost)
-    except Exception:
-        pass
+    except Exception as e:
+        config_errors["ambi_dec"] = repr(e)  # visible, not silently absent
 
     # decorrelator: 4-channel lattice decorrelation, 16 streams
     try:
@@ -599,8 +598,8 @@ def main():
         dcost = probe_cost(dbody, dst0, ddx[0], trips=K)
         config_rtfs["decorrelator_4ch_16streams"] = fenced_rtf(
             scan_chunks(dbody), dst0, ddx, 16 * K * Tc / FS, cost=dcost)
-    except Exception:
-        pass
+    except Exception as e:
+        config_errors["array2sh_decorrelator"] = repr(e)  # visible, not silently absent
 
     # spreader: 1 source, OM mode (CDF4SAP + lattice per frame)
     try:
@@ -641,13 +640,21 @@ def main():
             return st, jnp.sum(y * y)
 
         vb, vst, vxs = batch_instances(spbody_b, spst0, spxb)
-        spc_b = tuple(NB * (NFRB / NFR) * c for c in spcost)
+        # probe the 8-frame body directly: the chunk path's EWMA-as-
+        # triangular-matmul work scales QUADRATICALLY in frames-per-chunk,
+        # so rescaling the 32-frame cost linearly overstated it ~4x
+        spcost_b1 = probe_cost(
+            lambda st, fr: SPRD.process_chunk(scfg, sw, st, fr, sdirs,
+                                              sspread),
+            spst0, jnp.moveaxis(spxb[0].reshape(1, NFRB, FRS), 1, 0),
+            trips=K)
+        spc_b = tuple(NB * c for c in spcost_b1)
         entry = fenced_rtf(scan_chunks(vb), vst, vxs,
                            NB * K * NFRB * FRS / FS, cost=spc_b)
         entry["n_instances"] = NB
         config_rtfs[f"spreader_om_1src_{NB}x"] = entry
-    except Exception:
-        pass
+    except Exception as e:
+        config_errors["spreader"] = repr(e)  # visible, not silently absent
 
     # binauraliser: HRTFs loaded from an actual SOFA file through the
     # pure-Python HDF5 reader (BASELINE.json "binauraliser: SOFA HRTF
@@ -701,8 +708,8 @@ def main():
                 c.data_sampling_rate))
         config_rtfs["binauraliser_sofa_64streams_4src"] = entry
         bin_rtf = entry["rtf"]
-    except Exception:
-        pass
+    except Exception as e:
+        config_errors["binauraliser_sofa"] = repr(e)  # visible, not silently absent
 
     result = {
         "metric": "ambi_bin_order3_magls_64streams_rtf",
@@ -726,6 +733,7 @@ def main():
             "max_abs_err_vs_c_reference": max_err_vs_c,
             "binauraliser_sofa_64streams_rtf": bin_rtf,
             "config_rtfs": config_rtfs,
+            "config_errors": config_errors,
             "device": str(jax.devices()[0]),
         },
     }

@@ -24,6 +24,7 @@ Prints one JSON line.  Env: SAF_MULTICHIP_DEVICES (default 8).
 """
 import json
 import os
+import re
 import time
 
 import numpy as np
@@ -34,13 +35,23 @@ def _ensure_devices(n_devices: int) -> None:
     fewer real devices).  Mirrors __graft_entry__._ensure_devices."""
     flag = "--xla_force_host_platform_device_count={}".format(n_devices)
     xf = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in xf:
+    m = re.search(r"--xla_force_host_platform_device_count=(\d+)", xf)
+    if m is None:
         os.environ["XLA_FLAGS"] = (xf + " " + flag).strip()
+    elif int(m.group(1)) < n_devices:
+        # raise (never lower) an existing count — the module-level import
+        # injection pins =8, which silently capped any larger request
+        os.environ["XLA_FLAGS"] = xf[:m.start()] + flag + xf[m.end():]
 
     import jax
 
     try:
-        n_avail = jax.device_count()
+        # skip the probe under the axon env pin (single chip; a dead tunnel
+        # HANGS the probe instead of raising) — as __graft_entry__ does
+        if os.environ.get("JAX_PLATFORMS", "") == "axon" and n_devices > 1:
+            n_avail = 0
+        else:
+            n_avail = jax.device_count()
     except Exception:
         n_avail = 0
     if n_avail >= n_devices:

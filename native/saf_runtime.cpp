@@ -243,11 +243,17 @@ SAF_EXPORT int32_t saf_status_get_proc(void* h) {
 // success, -1 on timeout.
 SAF_EXPORT int32_t saf_status_begin_init(void* h, int32_t timeout_ms) {
     auto* st = static_cast<StatusFlags*>(h);
-    st->codec.store(2, std::memory_order_release);  // INITIALISING
+    // remember the previous codec state so a timeout can restore it —
+    // otherwise the codec is wedged at INITIALISING forever and every
+    // subsequent try_begin_process emits silence
+    int32_t prev = st->codec.exchange(2, std::memory_order_acq_rel);
     auto deadline = std::chrono::steady_clock::now() +
                     std::chrono::milliseconds(timeout_ms);
     while (st->proc.load(std::memory_order_acquire) != 1 /*NOT_ONGOING*/) {
-        if (std::chrono::steady_clock::now() > deadline) return -1;
+        if (std::chrono::steady_clock::now() > deadline) {
+            st->codec.store(prev, std::memory_order_release);
+            return -1;
+        }
         std::this_thread::sleep_for(std::chrono::milliseconds(10));
     }
     return 0;
@@ -262,8 +268,19 @@ SAF_EXPORT void saf_status_end_init(void* h) {
 // does (ambi_bin.c:475-477).
 SAF_EXPORT int32_t saf_status_try_begin_process(void* h) {
     auto* st = static_cast<StatusFlags*>(h);
-    if (st->codec.load(std::memory_order_acquire) != 0) return 0;
-    st->proc.store(0, std::memory_order_release);  // ONGOING
+    // Claim the processing slot FIRST (CAS NOT_ONGOING -> ONGOING), THEN
+    // confirm the codec is initialised.  The reverse order (load codec,
+    // store proc) had a check-then-act window where begin_init could pass
+    // its proc==NOT_ONGOING wait between the two steps and re-initialise
+    // concurrently with processing.
+    int32_t expected = 1;  // NOT_ONGOING
+    if (!st->proc.compare_exchange_strong(expected, 0,
+                                          std::memory_order_acq_rel))
+        return 0;
+    if (st->codec.load(std::memory_order_acquire) != 0) {
+        st->proc.store(1, std::memory_order_release);  // release the claim
+        return 0;
+    }
     return 1;
 }
 

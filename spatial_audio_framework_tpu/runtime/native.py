@@ -51,8 +51,10 @@ def _load() -> Optional[ct.CDLL]:
     with _lib_lock:
         if _lib is not None or _lib_failed:
             return _lib
-        if not os.path.exists(_LIB) and os.path.exists(_SRC):
-            if not _build():
+        if os.path.exists(_SRC):
+            stale = (not os.path.exists(_LIB)
+                     or os.path.getmtime(_LIB) < os.path.getmtime(_SRC))
+            if stale and not _build():
                 _lib_failed = True
                 return None
         try:
@@ -94,10 +96,16 @@ def _load() -> Optional[ct.CDLL]:
             "saf_clock_frames": (u64, [voidp]),
             "saf_runtime_abi_version": (i32, []),
         }
-        for name, (res, args) in sigs.items():
-            fn = getattr(lib, name)
-            fn.restype = res
-            fn.argtypes = args
+        try:
+            for name, (res, args) in sigs.items():
+                fn = getattr(lib, name)
+                fn.restype = res
+                fn.argtypes = args
+        except AttributeError:
+            # stale/foreign binary missing a symbol: degrade to the pure-
+            # Python fallback instead of crashing the caller
+            _lib_failed = True
+            return None
         _lib = lib
         return _lib
 
@@ -221,6 +229,13 @@ class FifoFramer:
     def push(self, x: np.ndarray):
         """x: (n_ch, nSamples) → (out (n_ch, nSamples), frames (k, n_ch, F))."""
         x = np.ascontiguousarray(x, np.float32)
+        if x.ndim != 2 or x.shape[0] != self.n_ch:
+            # validate BEFORE the native call: saf_framer_push writes
+            # n_ch*nSamples floats into `out` and reads the same from `x`
+            # unconditionally — a mismatched channel count is heap
+            # corruption, not an exception
+            raise ValueError(f"push expects ({self.n_ch}, n) input, got "
+                             f"{x.shape}")
         n = x.shape[1]
         out = np.empty_like(x)
         max_frames = n // self.frame_size + 1
@@ -263,6 +278,9 @@ class FifoFramer:
 
     def set_output(self, frame: np.ndarray):
         frame = np.ascontiguousarray(frame, np.float32)
+        if frame.shape != (self.n_ch, self.frame_size):
+            raise ValueError(f"set_output expects ({self.n_ch}, "
+                             f"{self.frame_size}), got {frame.shape}")
         if self._lib:
             self._lib.saf_framer_set_output(self._h, _fptr(frame))
         else:
@@ -311,9 +329,13 @@ class StatusFlags:
                 else self._proc)
 
     def begin_init(self, timeout_ms: int = 10000) -> bool:
+        """On timeout the previous codec state is RESTORED (both backends):
+        leaving it INITIALISING would wedge try_begin_process into emitting
+        silence forever."""
         if self._lib:
             return self._lib.saf_status_begin_init(self._h, timeout_ms) == 0
         with self._mtx:
+            prev = self._codec
             self._codec = CODEC_STATUS_INITIALISING
         deadline = time.monotonic() + timeout_ms / 1e3
         while True:
@@ -321,6 +343,8 @@ class StatusFlags:
                 if self._proc == PROC_STATUS_NOT_ONGOING:
                     return True
             if time.monotonic() > deadline:
+                with self._mtx:
+                    self._codec = prev
                 return False
             time.sleep(0.01)
 

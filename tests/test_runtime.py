@@ -190,3 +190,32 @@ def test_stream_runner_render_thread():
         np.testing.assert_allclose(y, 2.0 * x, atol=1e-6)
     finally:
         runner.stop()
+
+
+def test_framer_rejects_wrong_channel_count():
+    """The native saf_framer_push writes n_ch*nSamples floats into the out
+    buffer unconditionally — a mismatched channel count must be a Python
+    ValueError, not heap corruption."""
+    from spatial_audio_framework_tpu.runtime.native import FifoFramer
+
+    fr = FifoFramer(8, 128)
+    with pytest.raises(ValueError):
+        fr.push(np.zeros((2, 128), np.float32))
+    with pytest.raises(ValueError):
+        fr.set_output(np.zeros((2, 128), np.float32))
+
+
+def test_begin_init_timeout_restores_codec():
+    """A begin_init that times out (audio thread stuck ONGOING) must restore
+    the previous codec state — leaving it INITIALISING would wedge
+    try_begin_process into silence forever."""
+    from spatial_audio_framework_tpu.runtime import native as rt
+
+    st = rt.StatusFlags()
+    st.end_init()                      # codec = INITIALISED
+    assert st.try_begin_process()      # proc = ONGOING (never ended)
+    assert not st.begin_init(timeout_ms=50)
+    assert st.codec == rt.CODEC_STATUS_INITIALISED  # restored, not wedged
+    st.end_process()
+    assert st.try_begin_process()      # processing works again
+    st.end_process()
