@@ -176,20 +176,21 @@ def binaural_diffuse_coherence(hrtfs: np.ndarray, itds: np.ndarray,
 
 def resample_hrirs(hrirs: np.ndarray, fs_in: int, fs_out: int,
                    pad_to_next_pow2: bool = False) -> tuple[np.ndarray, int]:
-    """Polyphase resampling (saf_hrir.c:377-... ``resampleHRIRs``; speex is
-    replaced by scipy's polyphase resampler).  hrirs: (nDirs, 2, len)."""
-    from scipy.signal import resample_poly
-    from math import gcd
+    """``resampleHRIRs`` (saf_hrir.c:365-465): speex resampler at
+    QUALITY_MAX with skip_zeros, zero-fed until the output buffer — of
+    length ceilf(len·fs_out/fs_in), pow2-padded when requested — is full
+    (so a pow2 "pad" region carries real filter tail, not zeros).
+    Numerics via the faithful reimplementation in utils/speex.py.
+    hrirs: (..., len)."""
+    from ..utils.speex import SpeexResampler
 
     if fs_in == fs_out:
-        out = hrirs.astype(np.float32)
-    else:
-        g = gcd(int(fs_out), int(fs_in))
-        out = resample_poly(hrirs.astype(np.float64), fs_out // g, fs_in // g,
-                            axis=-1).astype(np.float32)
-    out_len = int(np.ceil(hrirs.shape[-1] * fs_out / fs_in))
-    out = out[..., :out_len]
-    if pad_to_next_pow2:
-        p2 = int(2 ** np.ceil(np.log2(out_len)))
-        out = np.pad(out, [(0, 0), (0, 0), (0, p2 - out.shape[-1])])
-    return out, out.shape[-1]
+        return hrirs.astype(np.float32), hrirs.shape[-1]
+    # New HRIR length, in the C's f32 arithmetic (saf_hrir.c:393-395)
+    factor = np.float32(np.float32(fs_out) / np.float32(fs_in))
+    out_len = int(np.ceil(np.float32(hrirs.shape[-1]) * factor))
+    out_ld = (int(2 ** np.ceil(np.log2(out_len))) if pad_to_next_pow2
+              else out_len)
+    rs = SpeexResampler(int(fs_in), int(fs_out), quality=10)
+    out = rs.resample(np.asarray(hrirs, np.float32), out_ld)
+    return out, out_ld

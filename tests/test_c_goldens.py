@@ -1771,3 +1771,24 @@ def test_binauraliser_tri_ps_end_to_end_vs_c(g):
         y, st = proc(st, jnp.asarray(x[:, f * 128:(f + 1) * 128]))
         outs.append(np.asarray(y))
     assert np.abs(np.concatenate(outs, -1) - ref).max() <= TOL
+
+
+# -- round-3 extension, stage 17: resampleHRIRs speex parity -----------------
+
+@pytest.mark.parametrize("tag,in_fs,out_fs,pad", [
+    ("48k_44k", 48000, 44100, False),     # interpolated table, downsample
+    ("44k_48k", 44100, 48000, False),     # interpolated table, upsample
+    ("48k_96k_pad", 48000, 96000, True),  # direct table + pow2 tail
+    ("96k_48k", 96000, 48000, False),     # direct table, downsample
+    ("48k_16k", 48000, 16000, False),     # heavy-down oversample>>=1 branch
+])
+def test_resample_hrirs_vs_c(g, tag, in_fs, out_fs, pad):
+    """resampleHRIRs (saf_hrir.c:365-465): speex QUALITY_MAX + skip_zeros +
+    zero-fed tail, reproduced by utils/speex.py."""
+    from spatial_audio_framework_tpu.modules import hrir as hrir_mod
+
+    ref = g[f"rsmp_{tag}_out"]
+    out, out_len = hrir_mod.resample_hrirs(g["rsmp_in"], in_fs, out_fs,
+                                           pad_to_next_pow2=pad)
+    assert out.shape == ref.shape and out_len == ref.shape[-1]
+    assert np.abs(out - ref).max() <= TOL

@@ -53,8 +53,9 @@ build 15  "${TRK[@]}" "${EX[@]}" -I"$SRC/framework/modules/saf_hades" \
           $(exlib binauraliser)
 build 16  "${EX[@]}" -I"$SRC/examples/src/ambi_dec" \
           $(exlib ambi_dec ambi_enc panner ambi_bin)
+build 17
 
-for n in "" 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16; do
+for n in "" 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17; do
     LD_LIBRARY_PATH="$(dirname "$OB")" "$OUT/gen_goldens$n" "$OUT"
 done
 python "$HERE/pack_goldens.py" "$OUT" "$HERE/../../tests/goldens/c_goldens.npz"
