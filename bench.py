@@ -17,7 +17,10 @@ Measurement notes (this runtime):
   per-config numbers use the TWO-CHAIN SLOPE (time chains of 4 and 36
   dispatches, divide the difference by 32): the constant fence RTT cancels
   exactly, leaving steady-state per-dispatch device time, which is what a
-  production stream (which never pays a per-block RTT) experiences.  The
+  production stream (which never pays a per-block RTT) experiences.  For
+  cheap configs the long chain is re-lengthened until the slope's span
+  covers ≥0.6 s of compute, so RTT *jitter* (same 30–175 ms scale) cannot
+  masquerade as per-dispatch time.  The
   measured RTT and the flagship's per-dispatch fenced RTF are reported in
   ``extra`` for transparency.
 * complex64 anywhere in the graph permanently breaks the d2h path on this
@@ -290,9 +293,12 @@ def main():
         30–175 ms day to day on this link and would otherwise contaminate
         every number — cancels exactly.  A production stream pays no
         per-chunk RTT, so the slope is the estimator of steady-state chip
-        throughput.  min-of-reps guards against RTT jitter.  Returns
-        {"rtf": ...} + roofline fields when ``cost`` (flops, bytes per
-        dispatch) is given."""
+        throughput.  min-of-reps guards against RTT jitter, and for cheap
+        configs — where 32 dispatches of compute would be the same order as
+        the jitter itself, which once inflated a 5 ms/dispatch config to a
+        reported 26 ms — the chain is re-lengthened so the measured span
+        covers ≥0.6 s of compute.  Returns {"rtf": ...} + roofline fields
+        when ``cost`` (flops, bytes per dispatch) is given."""
         p = jax.jit(step)
         e, state = p(state, xs)
         float(e)
@@ -314,6 +320,12 @@ def main():
         per = (t2 - t1) / (c2 - c1)
         if per <= 0:  # slope lost in RTT jitter: fall back to the long chain
             per = t2 / c2
+        # adaptive span: make the slope's compute window dwarf RTT jitter
+        if per * (c2 - c1) < 0.6:
+            c2 = c1 + min(512, int(np.ceil(0.6 / max(per, 1e-5))))
+            t2 = run(c2)
+            per2 = (t2 - t1) / (c2 - c1)
+            per = per2 if per2 > 0 else t2 / c2
         out = {"rtf": round(audio_sec / per, 1),
                "ms_per_dispatch": round(1e3 * per, 3)}
         if cost is not None:
