@@ -30,6 +30,19 @@ from spatial_audio_framework_tpu.ops.fft import _rdft_mats
 
 _HP = jax.lax.Precision.HIGHEST
 
+# XLA's memory-space assignment keeps the fused synthesis kernels' FULL
+# outputs (y + OLA tail) in scoped VMEM when they are consumed inside the
+# same loop body; the scoped limit is 16 MiB on v5e, and exceeding it is a
+# hard compile error ("Ran out of memory in memory space vmem ... on
+# stack").  Dispatches whose output would exceed this budget take the XLA
+# einsum/reference path instead (identical numerics, ~25 % slower).
+_VMEM_OUT_BUDGET = 12 * 2 ** 20
+
+
+def _synthesis_out_bytes(S: int, n_ch: int, H: int, hop: int) -> int:
+    """f32 bytes of (y, new_ola_tail) a fused synthesis kernel emits."""
+    return 4 * S * n_ch * (H + _TOTAL_HOPS - 1) * hop
+
 
 class AfSTFTStateRI(NamedTuple):
     in_tail: jax.Array      # (n_ch_in, h_len - hop) float32
@@ -205,12 +218,13 @@ def synthesis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, Y,
     else:
         Yre, Yim = Y
     hop, h_len = bank.hop, bank.h_len
-    use_pallas = use_pallas and hop == 128  # kernels hard-code hop=128
+    S, n_ch, H = (Y.shape[:3] if packed else Yre.shape[:3])
+    use_pallas = (use_pallas and hop == 128  # kernels hard-code hop=128
+                  and _synthesis_out_bytes(S, n_ch, H,
+                                           hop) <= _VMEM_OUT_BUDGET)
     if use_pallas:
         from spatial_audio_framework_tpu.ops.pallas_afstft import \
             synthesis_back_ri
-
-        S, n_ch, H = (Y.shape[:3] if packed else Yre.shape[:3])
         spec = (Y if packed
                 else jnp.concatenate([Yre, Yim], axis=-1)).reshape(
             S * n_ch, H, -1)
@@ -265,7 +279,11 @@ def render_tf_matrix_ri(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
     cout, cin = Mre.shape[-2], Mre.shape[-1]
     # The fused kernels hard-code hop=128 (the production afSTFT hop); any
     # other hop must take the generic einsum path rather than produce garbage.
-    if use_pallas and cout * cin <= 128 and bank.hop == 128:
+    # The output-bytes budget keeps the fused renderer's whole (y, tail) —
+    # which XLA assigns to scoped VMEM — under the 16 MiB hard limit.
+    if (use_pallas and cout * cin <= 128 and bank.hop == 128
+            and _synthesis_out_bytes(x.shape[0], cout, x.shape[2] // bank.hop,
+                                     bank.hop) <= _VMEM_OUT_BUDGET):
         return render_tf_matrix_fused(bank, state, x, Mre, Mim,
                                       use_pallas=use_pallas,
                                       interpret=interpret)
@@ -306,9 +324,13 @@ def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
     (tests/test_afstft_ri.py).  With ``use_pallas=False`` it simply calls
     the XLA reference path.
     """
-    if not use_pallas or bank.hop != 128:
-        # the fused kernels hard-code hop=128; every other hop must take
-        # the generic einsum path rather than produce garbage
+    if (not use_pallas or bank.hop != 128
+            or _synthesis_out_bytes(x.shape[0], Mre.shape[-2],
+                                    x.shape[2] // bank.hop,
+                                    bank.hop) > _VMEM_OUT_BUDGET):
+        # the fused kernels hard-code hop=128, and their whole output is
+        # VMEM-resident (see _VMEM_OUT_BUDGET); oversized or other-hop
+        # dispatches take the generic einsum path rather than fail/garbage
         return render_tf_matrix_ri(bank, state, x, Mre, Mim,
                                    use_pallas=False, interpret=interpret)
     from spatial_audio_framework_tpu.ops.pallas_afstft import (

@@ -412,3 +412,39 @@ def test_nonstandard_hop_falls_back_to_einsum_path():
                                    interpret=True)
     y2, _ = ri.render_tf_matrix_ri(bank, st, x, M, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_oversized_output_falls_back_to_einsum_path(monkeypatch):
+    """XLA keeps the fused renderer's whole (y, tail) output in scoped VMEM
+    (16 MiB hard limit on v5e): dispatches whose output exceeds the budget
+    (e.g. 128 streams x 128-hop chunks, a real compile failure) must route
+    to the einsum path instead of failing to compile."""
+    from spatial_audio_framework_tpu.ops import pallas_afstft as pk
+
+    def boom(*a, **kw):  # the fused back-end must NOT be reached
+        raise AssertionError("fused kernel dispatched past the VMEM budget")
+
+    monkeypatch.setattr(pk, "render_decode_synthesis_ri", boom)
+    monkeypatch.setattr(pk, "synthesis_back_ri", boom)
+
+    bank = AfSTFT(hop=128, hybrid=True)
+    S, cin, cout, H = 130, 2, 2, 128      # out bytes ≈ 18.2 MiB > budget
+    assert ri._synthesis_out_bytes(S, cout, H, 128) > ri._VMEM_OUT_BUDGET
+    rng = np.random.default_rng(3)
+    st = ri.init_state_batched(bank, S, cin, cout)
+    x = jnp.asarray(rng.uniform(-1, 1, (S, cin, H * 128)).astype(np.float32))
+    M = jnp.asarray(rng.standard_normal(
+        (bank.n_bands, cout, cin)).astype(np.float32))
+    y1, _ = ri.render_tf_matrix_ri(bank, st, x, M, use_pallas=True,
+                                   interpret=True)
+    y2, _ = ri.render_tf_matrix_fused(bank, st, x, M, use_pallas=True,
+                                      interpret=True)
+    y3, _ = ri.render_tf_matrix_ri(bank, st, x, M, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y3), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y3), atol=2e-6)
+
+    # an in-budget dispatch still reaches the fused kernel
+    st4 = ri.init_state_batched(bank, 4, cin, cout)
+    with np.testing.assert_raises(AssertionError):
+        ri.render_tf_matrix_ri(bank, st4, x[:4], M, use_pallas=True,
+                               interpret=True)
