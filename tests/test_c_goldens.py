@@ -617,9 +617,13 @@ def test_hades_end_to_end_vs_c(g):
         assert (params.doa_idx == ref_doa[blk]).all(), blk
         outs.append(syn.apply(params, sigs))
     out = np.concatenate(outs, -1)
-    # binaural output: observed 2.9e-4 on a 1.8-peak signal (the BMVDR
-    # weights and CM mixing still ride f32 solve/projector noise)
-    assert np.abs(out - ref_out).max() <= 1e-3
+    # binaural output: observed 1.05e-4 on CPU / 2.9e-4 on TPU for a
+    # 1.8-peak signal.  The floor is the C's OWN f32 cgesv/cgesvd noise,
+    # not ours: re-running this chain with the BMVDR herm_solve and the
+    # CM formulate_M_and_Cr_ri upcast to float64 moves the error by <2%
+    # (1.054e-4 -> 1.054e-4), so only bit-mimicking LAPACK's f32
+    # factorization order could tighten it further.
+    assert np.abs(out - ref_out).max() <= 5e-4
 
 
 # -- round-2 extension, part 6: TVConv / MultiConv / ambi_drc ---------------
@@ -1714,7 +1718,8 @@ def _hades_run_vs_c(g, pfx, *, hybrid, low_delay, beam, interp, enable_cm,
         assert np.abs(params.gains_dir - g[f"{pfx}_gains_dir"]).max() <= 1e-6
     out = np.concatenate(outs, -1)
     ref_out = np.asarray(g[f"{pfx}_out"]).reshape(2, -1)
-    assert np.abs(out - ref_out).max() <= out_tol
+    err = np.abs(out - ref_out).max()
+    assert err <= out_tol, err
 
 
 def test_hades_triangular_none_end_to_end_vs_c(g):
@@ -1729,7 +1734,7 @@ def test_hades_triangular_none_end_to_end_vs_c(g):
         beam="none", interp="triangular", enable_cm=False,
         hrirs=np.asarray(g["hdt_hrirs"], np.float32),
         hrir_dirs=np.asarray(g["hds_grid_dirs_deg"], np.float64),
-        n_blocks=12, out_tol=1e-3)
+        n_blocks=12, out_tol=1e-5)      # observed 3.6e-7 (no solve/SVD chain)
 
 
 def test_hades_fas_radial_editor_end_to_end_vs_c(g):
@@ -1741,7 +1746,7 @@ def test_hades_fas_radial_editor_end_to_end_vs_c(g):
     _hades_run_vs_c(
         g, "hdr", hybrid=False, low_delay=True,
         beam="filter_and_sum", interp="nearest", enable_cm=True,
-        n_blocks=12, redit=True, out_tol=1e-3)
+        n_blocks=12, redit=True, out_tol=6e-4)  # observed 3.2e-4 (CM cgesvd noise)
 
 
 def test_hades_hybrid_afstft_end_to_end_vs_c(g):
@@ -1751,7 +1756,7 @@ def test_hades_hybrid_afstft_end_to_end_vs_c(g):
     _hades_run_vs_c(
         g, "hdh", hybrid=True, low_delay=False,
         beam="bmvdr", interp="nearest", enable_cm=True,
-        n_blocks=8, out_tol=1e-3)
+        n_blocks=8, out_tol=3e-4)       # observed 9.0e-5
 
 
 def test_binauraliser_tri_ps_end_to_end_vs_c(g):
