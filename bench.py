@@ -351,6 +351,28 @@ def main():
     config_rtfs = {}
     config_errors = {}
 
+    # flagship at 4x the stream count: exercises the stream-group-split
+    # fused path (ops/afstft_ri._render_fused_group_split, engaged when the
+    # fused synthesis output exceeds the scoped-VMEM budget) — per-chip
+    # throughput stays flat with batch size instead of cliffing onto the
+    # 4x-slower einsum path (pre-split: RTF 2.1k at 256 streams)
+    try:
+        S2 = 256
+        x2 = jnp.asarray(rng.uniform(
+            -1, 1, (S2, cfg.nsh, Tc)).astype(np.float32))
+        xs2 = jax.jit(lambda x: jax.vmap(
+            lambda k: jnp.roll(x, k + 1, -1))(jnp.arange(K)))(x2)
+
+        def fbody2(st, xk):
+            y, st = ambi_bin.process_ri_batched(cfg, wri, st, xk)
+            return st, jnp.sum(y * y)
+
+        st2 = ambi_bin.init_state_batched(cfg, S2)
+        config_rtfs["ambi_bin_o3_magls_256streams"] = fenced_rtf(
+            scan_chunks(fbody2), st2, xs2, S2 * K * Tc / FS)
+    except Exception as e:
+        config_errors["ambi_bin_256streams"] = repr(e)
+
     # ambi_enc: order-1 SH encoding, 64 mono sources w/ streaming directions
     try:
         from spatial_audio_framework_tpu.models import ambi_enc as ENC

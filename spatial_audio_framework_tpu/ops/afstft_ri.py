@@ -47,6 +47,19 @@ def _synthesis_out_bytes(S: int, n_ch: int, H: int, hop: int) -> int:
     return 4 * S * n_ch * (H + _TOTAL_HOPS - 1) * hop
 
 
+def _fit_group_count(S: int, n_ch: int, H: int, hop: int):
+    """Smallest group count that divides the stream axis S and whose
+    per-group synthesis output fits the VMEM budget; None if no bounded
+    split fits (degenerate shapes take the XLA path instead of a long
+    sequential map)."""
+    for g in range(2, min(S, 32) + 1):
+        if (S % g == 0
+                and _synthesis_out_bytes(S // g, n_ch, H, hop)
+                <= _VMEM_OUT_BUDGET):
+            return g
+    return None
+
+
 class AfSTFTStateRI(NamedTuple):
     in_tail: jax.Array      # (n_ch_in, h_len - hop) float32
     hyb_tail_re: jax.Array  # (n_ch_in, 6, hop+1) float32
@@ -222,9 +235,42 @@ def synthesis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, Y,
         Yre, Yim = Y
     hop, h_len = bank.hop, bank.h_len
     S, n_ch, H = (Y.shape[:3] if packed else Yre.shape[:3])
-    use_pallas = (use_pallas and hop == 128  # kernels hard-code hop=128
-                  and _synthesis_out_bytes(S, n_ch, H,
-                                           hop) <= _VMEM_OUT_BUDGET)
+    use_pallas = use_pallas and hop == 128  # kernels hard-code hop=128
+    if (use_pallas
+            and _synthesis_out_bytes(S, n_ch, H, hop) > _VMEM_OUT_BUDGET):
+        # the fused kernel's (y, tail) output is scoped-VMEM-resident:
+        # oversized batches are stream-group-split and lax.map'd through
+        # the pallas path, same as _render_fused_group_split (measured:
+        # keeps e.g. the 16-stream 25-out array2sh synthesis off the
+        # slower XLA path)
+        g = _fit_group_count(S, n_ch, H, hop)
+        if g is None:
+            use_pallas = False
+        else:
+            Sg = S // g
+
+            def regroup(a):
+                return a.reshape((g, Sg) + a.shape[1:])
+
+            Yg = (regroup(Y) if packed
+                  else (regroup(Yre), regroup(Yim)))
+            stg = AfSTFTStateBatched(in_tail=regroup(state.in_tail),
+                                     ola_tail=regroup(state.ola_tail))
+
+            def body(args):
+                yg, sg = args
+                return synthesis_ri_batched(bank, sg, yg, use_pallas=True,
+                                            interpret=interpret,
+                                            packed=packed)
+
+            y, nst = jax.lax.map(body, (Yg, stg))
+
+            def flatten(a):
+                return a.reshape((S,) + a.shape[2:])
+
+            return flatten(y), AfSTFTStateBatched(
+                in_tail=flatten(nst.in_tail),
+                ola_tail=flatten(nst.ola_tail))
     if use_pallas:
         from spatial_audio_framework_tpu.ops.pallas_afstft import \
             synthesis_back_ri
@@ -320,14 +366,8 @@ def _render_fused_group_split(bank: AfSTFT, state: AfSTFTStateBatched,
     S = x.shape[0]
     cout = Mre.shape[-2]
     H = x.shape[2] // bank.hop
-    # smallest group count that divides S and fits; bounded so degenerate
-    # shapes (large prime stream counts) take the einsum path instead of
-    # a long sequential map
-    for g in range(2, min(S, 32) + 1):
-        if (S % g == 0 and _synthesis_out_bytes(S // g, cout, H, bank.hop)
-                <= _VMEM_OUT_BUDGET):
-            break
-    else:
+    g = _fit_group_count(S, cout, H, bank.hop)
+    if g is None:
         return None
     Sg = S // g
 

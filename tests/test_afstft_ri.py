@@ -450,6 +450,37 @@ def test_oversized_output_group_splits_to_fused(monkeypatch):
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y_refs), atol=2e-6)
 
 
+def test_oversized_synthesis_group_splits_to_pallas(monkeypatch):
+    """synthesis_ri_batched (the einsum-path back-end used by wide mixing
+    matrices like array2sh's 25x32) must also stream-group-split oversized
+    batches through the pallas kernel instead of dropping to the slower
+    XLA synthesis."""
+    bank = AfSTFT(hop=128, hybrid=True)
+    S, n_ch, H = 6, 3, 4
+    rng = np.random.default_rng(5)
+    st = ri.init_state_batched(bank, S, n_ch, n_ch)
+    Yre = jnp.asarray(rng.standard_normal(
+        (S, n_ch, H, bank.n_bands)).astype(np.float32))
+    Yim = jnp.asarray(rng.standard_normal(
+        (S, n_ch, H, bank.n_bands)).astype(np.float32))
+    y_ref, st_ref = ri.synthesis_ri_batched(bank, st, (Yre, Yim),
+                                            use_pallas=False)
+    monkeypatch.setattr(ri, "_VMEM_OUT_BUDGET",
+                        ri._synthesis_out_bytes(2, n_ch, H, 128))
+    y1, st1 = ri.synthesis_ri_batched(bank, st, (Yre, Yim), use_pallas=True,
+                                      interpret=True)
+    yp, stp = ri.synthesis_ri_batched(
+        bank, st, jnp.concatenate([Yre, Yim], axis=-1), use_pallas=True,
+        interpret=True, packed=True)
+    for y, s in ((y1, st1), (yp, stp)):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s.ola_tail),
+                                   np.asarray(st_ref.ola_tail), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(s.in_tail),
+                                      np.asarray(st_ref.in_tail))
+
+
 def test_unsplittable_oversized_falls_back_to_einsum_path(monkeypatch):
     """When no stream-group split fits the VMEM budget (a single stream
     whose per-group output is already over it), the dispatch must route to
