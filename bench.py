@@ -373,6 +373,28 @@ def main():
     except Exception as e:
         config_errors["ambi_bin_256streams"] = repr(e)
 
+    # flagship at the reference's MAX SH order (7 -> 64 channels,
+    # _common.h:50): exercises the blk=1 + time-split fused dispatch
+    # (pre-fix, orders >= 4 at 64 streams x 64-hop chunks were a hard
+    # Mosaic scoped-VMEM compile error on the v5e)
+    try:
+        o7cfg = ambi_bin.AmbiBinConfig(order=7, fs=FS, method="magls")
+        o7w = ambi_bin.design_ri(o7cfg)
+        x7 = jnp.asarray(rng.uniform(
+            -1, 1, (N_STREAMS, o7cfg.nsh, Tc)).astype(np.float32))
+        xs7 = jax.jit(lambda x: jax.vmap(
+            lambda k: jnp.roll(x, k + 1, -1))(jnp.arange(K)))(x7)
+
+        def f7body(st, xk):
+            y, st = ambi_bin.process_ri_batched(o7cfg, o7w, st, xk)
+            return st, jnp.sum(y * y)
+
+        st7 = ambi_bin.init_state_batched(o7cfg, N_STREAMS)
+        config_rtfs["ambi_bin_o7_magls_64streams"] = fenced_rtf(
+            scan_chunks(f7body), st7, xs7, N_STREAMS * K * Tc / FS)
+    except Exception as e:
+        config_errors["ambi_bin_o7"] = repr(e)
+
     # ambi_enc: order-1 SH encoding, 64 mono sources w/ streaming directions
     try:
         from spatial_audio_framework_tpu.models import ambi_enc as ENC

@@ -47,6 +47,54 @@ def _synthesis_out_bytes(S: int, n_ch: int, H: int, hop: int) -> int:
     return 4 * S * n_ch * (H + _TOTAL_HOPS - 1) * hop
 
 
+# The fused renderer's kernel-internal scoped-VMEM footprint (input
+# spectra tiles, pipeline-buffered by Mosaic) must also fit the 16 MiB
+# limit; it scales with blk·Cin·(H+6), so high SH orders (wide Cin) need
+# a smaller stream block or a time-split.  The model assumes pipeline
+# depth 3 — the worst observed (Mosaic used depth 2 for very large tiles
+# but depth 3 for deep grids, e.g. 18.78 MiB for Cin=36/H=32/blk=2 at 32
+# grid steps = 3 copies + extras) — and a 15.5 MiB budget keeps the
+# flagship (Cin=16, H=64, blk=2: 15.2 MiB modelled) on the fast block
+# size while leaving slack for the model's approximations.
+_VMEM_STEP_BUDGET = int(15.5 * 2 ** 20)
+
+
+def _fused_step_vmem_bytes(blk: int, cin: int, cout: int, H: int, hop: int,
+                           per_stream: bool = False) -> int:
+    """Conservative per-grid-step scoped-VMEM model for
+    pallas_afstft.render_decode_synthesis_ri: the 129-band lane dim pads
+    to 2·hop lanes and sublane dims to multiples of 8.  HBM-streamed
+    blocks are pipeline-buffered by Mosaic; depth 3 is assumed (the worst
+    measured: 17.07 MiB for cin=36/H=64/blk=1 ≈ 3 copies; 18.78 MiB for
+    cin=36/H=32/blk=2 over 32 grid steps; depth 2 was only seen for very
+    large tiles, e.g. 36.16 MiB for cin=64/H=64/blk=2)."""
+    def ru8(v):
+        return -(-v // 8) * 8
+
+    buf = 3                             # Mosaic pipeline depth (worst case)
+    nbp = 2 * hop                       # 129 lanes pad to 256
+    nt = _TOTAL_HOPS - 1
+    inb = buf * 2 * blk * cin * ru8(H + 6) * nbp * 4      # sre + sim
+    outb = buf * 2 * blk * cout * (ru8(H) + ru8(nt)) * hop * 4
+    tailb = buf * blk * cout * ru8(nt) * hop * 4
+    scr = blk * cout * ru8(H + nt) * hop * 4
+    taps = (buf * blk if per_stream else 1) * cin * cout * 4 * nbp * 4
+    mats = 2 * ru8(hop + 1) * 2 * hop * 4
+    return inb + outb + tailb + scr + taps + mats
+
+
+def _fit_render_block(cin: int, cout: int, H: int, hop: int,
+                      per_stream: bool):
+    """Largest streams-per-grid-step (2 or 1) whose kernel footprint fits;
+    None when even blk=1 is too wide (the caller then splits in time)."""
+    from spatial_audio_framework_tpu.ops.pallas_afstft import BLK_S
+    for blk in (BLK_S, 1):
+        if (_fused_step_vmem_bytes(blk, cin, cout, H, hop, per_stream)
+                <= _VMEM_STEP_BUDGET):
+            return blk
+    return None
+
+
 def _fit_group_count(S: int, n_ch: int, H: int, hop: int):
     """Smallest group count that divides the stream axis S and whose
     per-group synthesis output fits the VMEM budget; None if no bounded
@@ -445,6 +493,32 @@ def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
     hop = bank.hop
     S, cin = x.shape[:2]
     H = x.shape[2] // hop
+    cout_m = Mre.shape[-2]
+    per_stream_m = Mre.ndim == 4
+    blk = _fit_render_block(cin, cout_m, H, hop, per_stream_m)
+    if blk is None:
+        # even one stream per grid step is too wide (high SH order ×
+        # long chunk): split the chunk in TIME and scan sub-chunks —
+        # exact, because the state carry IS the streaming design
+        h_sub = next((h for h in range(H - 1, 0, -1)
+                      if H % h == 0
+                      and _fit_render_block(cin, cout_m, h, hop,
+                                            per_stream_m) is not None),
+                     None)
+        if h_sub is None:
+            return render_tf_matrix_ri(bank, state, x, Mre, Mim,
+                                       use_pallas=False, interpret=interpret)
+        xk = jnp.moveaxis(
+            x.reshape(S, cin, H // h_sub, h_sub * hop), 2, 0)
+
+        def body(st, xc):
+            yc, st = render_tf_matrix_fused(bank, st, xc, Mre, Mim,
+                                            interpret=interpret)
+            return st, yc
+
+        state, ys = jax.lax.scan(body, state, xk)
+        y = jnp.moveaxis(ys, 0, 2).reshape(S, ys.shape[2], H * hop)
+        return y, state
     sre, sim = analysis_front_ri(
         state.in_tail.reshape(S * cin, -1), x.reshape(S * cin, -1),
         low_delay=bank.low_delay, interpret=interpret)
@@ -462,7 +536,7 @@ def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
     tail = state.ola_tail.reshape(S, cout, _TOTAL_HOPS - 1, hop)
     y, new_tail = render_decode_synthesis_ri(
         sre, sim, tail, taps, low_delay=bank.low_delay, hybrid=bank.hybrid,
-        per_stream=(Mre.ndim == 4), interpret=interpret)
+        per_stream=per_stream_m, interpret=interpret, blk=blk)
     return y, AfSTFTStateBatched(
         in_tail=new_in_tail,
         ola_tail=new_tail.reshape(S, cout, -1))

@@ -181,13 +181,14 @@ def _render_kernel(H: int, cin: int, cout: int, hybrid: bool,
                    per_stream: bool, sre_ref, sim_ref, taps_ref, am_ref,
                    bm_ref, w_ref, tail_ref, y_ref, tail_out_ref, acc):
     hop = 128
+    blk = sre_ref.shape[0]  # streams per grid step (see render's blk arg)
     nb = am_ref.shape[0]
     d_off = 3 if hybrid else 6
     hp = jax.lax.Precision.HIGHEST
 
     def tap(s, e, k):
         if per_stream:
-            return taps_ref[:, s, e, k][:, None, :]     # (BLK_S, 1, nb)
+            return taps_ref[:, s, e, k][:, None, :]     # (blk, 1, nb)
         return taps_ref[s, e, k]                        # (nb,)
 
     out_re = [None] * cout
@@ -219,14 +220,14 @@ def _render_kernel(H: int, cin: int, cout: int, hybrid: bool,
     w = w_ref[:]
     nt = _TOTAL_HOPS - 1
     for e in range(cout):
-        fr = (jnp.dot(out_re[e].reshape(BLK_S * H, nb), am_ref[:],
+        fr = (jnp.dot(out_re[e].reshape(blk * H, nb), am_ref[:],
                       preferred_element_type=jnp.float32, precision=hp)
-              + jnp.dot(out_im[e].reshape(BLK_S * H, nb), bm_ref[:],
+              + jnp.dot(out_im[e].reshape(blk * H, nb), bm_ref[:],
                         preferred_element_type=jnp.float32, precision=hp))
-        fr = fr.reshape(BLK_S, H, 2 * hop)
+        fr = fr.reshape(blk, H, 2 * hop)
         f0 = fr[..., :hop]
         f1 = fr[..., hop:]
-        acc[:, e] = jnp.zeros((BLK_S, H + nt, hop), jnp.float32)
+        acc[:, e] = jnp.zeros((blk, H + nt, hop), jnp.float32)
         for k in range(_TOTAL_HOPS):
             fk = f0 if k % 2 == 0 else f1
             acc[:, e, k:k + H, :] += fk * w[k]
@@ -241,12 +242,12 @@ def _render_kernel(H: int, cin: int, cout: int, hybrid: bool,
 
 
 @partial(jax.jit, static_argnames=("low_delay", "hybrid", "per_stream",
-                                   "interpret"))
+                                   "interpret", "blk"))
 def render_decode_synthesis_ri(sre: jax.Array, sim: jax.Array,
                                tail: jax.Array, taps: jax.Array,
                                low_delay: bool = False, hybrid: bool = True,
                                per_stream: bool = False,
-                               interpret: bool = False):
+                               interpret: bool = False, blk: int = BLK_S):
     """Fused decode ⊗ irDFT ⊗ window ⊗ overlap-add.
 
     sre/sim: (S, Cin, H+6, 129) uniform-band spectra from
@@ -254,6 +255,10 @@ def render_decode_synthesis_ri(sre: jax.Array, sim: jax.Array,
     tail: (S, Cout, 9, hop) OLA carry; taps: (Cin, Cout, 4, 129) shared or
     (S, Cin, Cout, 4, 129) per-stream, from :func:`decode_taps`.
     Returns (y (S, Cout, H·hop), new_tail).
+
+    ``blk`` = streams per grid step: the per-step VMEM footprint scales
+    with blk·Cin·(H+6), so wide-Cin dispatches (high SH orders) pass
+    blk=1 (see afstft_ri._fused_step_vmem_bytes).
     """
     hop = 128
     interpret = interpret or jax.default_backend() != "tpu"
@@ -266,7 +271,7 @@ def render_decode_synthesis_ri(sre: jax.Array, sim: jax.Array,
         sign = np.where(np.arange(hop + 1) % 2, -1.0, 1.0)[:, None]
         A = A * sign
         Bm = Bm * sign
-    Sp = -(-S // BLK_S) * BLK_S
+    Sp = -(-S // blk) * blk
     if Sp != S:
         pad = lambda a: jnp.concatenate(
             [a, jnp.zeros((Sp - S,) + a.shape[1:], a.dtype)], axis=0)
@@ -275,7 +280,7 @@ def render_decode_synthesis_ri(sre: jax.Array, sim: jax.Array,
             taps = pad(taps)
     nt = _TOTAL_HOPS - 1
     if per_stream:
-        taps_spec = pl.BlockSpec((BLK_S, cin, cout, 4, nb),
+        taps_spec = pl.BlockSpec((blk, cin, cout, 4, nb),
                                  lambda i: (i, 0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
     else:
@@ -284,11 +289,11 @@ def render_decode_synthesis_ri(sre: jax.Array, sim: jax.Array,
                                  memory_space=pltpu.VMEM)
     y, new_tail = pl.pallas_call(
         partial(_render_kernel, H, cin, cout, hybrid, per_stream),
-        grid=(Sp // BLK_S,),
+        grid=(Sp // blk,),
         in_specs=[
-            pl.BlockSpec((BLK_S, cin, Hp6, nb),
+            pl.BlockSpec((blk, cin, Hp6, nb),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK_S, cin, Hp6, nb),
+            pl.BlockSpec((blk, cin, Hp6, nb),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             taps_spec,
             pl.BlockSpec((nb, 2 * hop),
@@ -297,13 +302,13 @@ def render_decode_synthesis_ri(sre: jax.Array, sim: jax.Array,
                          lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_TOTAL_HOPS, hop),
                          lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK_S, cout, nt, hop),
+            pl.BlockSpec((blk, cout, nt, hop),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((BLK_S, cout, H, hop),
+            pl.BlockSpec((blk, cout, H, hop),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLK_S, cout, nt, hop),
+            pl.BlockSpec((blk, cout, nt, hop),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -311,7 +316,7 @@ def render_decode_synthesis_ri(sre: jax.Array, sim: jax.Array,
             jax.ShapeDtypeStruct((Sp, cout, nt, hop), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((BLK_S, cout, H + nt, hop), jnp.float32),
+            pltpu.VMEM((blk, cout, H + nt, hop), jnp.float32),
         ],
         interpret=interpret,
     )(sre, sim, taps, jnp.asarray(A.astype(np.float32)),

@@ -481,6 +481,70 @@ def test_oversized_synthesis_group_splits_to_pallas(monkeypatch):
                                       np.asarray(st_ref.in_tail))
 
 
+def test_wide_cin_reduces_block_and_time_splits(monkeypatch):
+    """High SH orders (wide Cin) exceed the fused render kernel's scoped-
+    VMEM footprint: the dispatcher must drop the stream block to 1, then
+    split the chunk in TIME (scanning sub-chunks through the carried
+    state — exact by the streaming design) before ever giving up the
+    fused path.  Pre-fix, orders >= 4 at 64 streams x 64-hop chunks were
+    a hard Mosaic compile error on the TPU."""
+    bank = AfSTFT(hop=128, hybrid=True)
+    S, cin, cout, H = 3, 5, 2, 8
+    rng = np.random.default_rng(9)
+    st = ri.init_state_batched(bank, S, cin, cout)
+    x = jnp.asarray(rng.uniform(-1, 1, (S, cin, H * 128)).astype(np.float32))
+    M = jnp.asarray(rng.standard_normal(
+        (bank.n_bands, cout, cin)).astype(np.float32))
+    Mi = jnp.asarray(rng.standard_normal(
+        (bank.n_bands, cout, cin)).astype(np.float32))
+    y_ref, st_ref = ri.render_tf_matrix_ri(bank, st, x, M, Mi,
+                                           use_pallas=False)
+
+    # budget admits blk=1 at full H -> no time split
+    monkeypatch.setattr(ri, "_VMEM_STEP_BUDGET",
+                        ri._fused_step_vmem_bytes(1, cin, cout, H, 128))
+    assert ri._fit_render_block(cin, cout, H, 128, False) == 1
+    y1, st1 = ri.render_tf_matrix_fused(bank, st, x, M, Mi, interpret=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y_ref), atol=1e-6)
+
+    # budget only admits blk=1 at H=4 -> time-split into two sub-chunks
+    monkeypatch.setattr(ri, "_VMEM_STEP_BUDGET",
+                        ri._fused_step_vmem_bytes(1, cin, cout, 4, 128))
+    assert ri._fit_render_block(cin, cout, H, 128, False) is None
+    y2, st2 = ri.render_tf_matrix_fused(bank, st, x, M, Mi, interpret=True)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st2.ola_tail),
+                               np.asarray(st_ref.ola_tail), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st2.in_tail),
+                                  np.asarray(st_ref.in_tail))
+
+    # per-stream mixing matrices ride the same time-split
+    Ms = jnp.asarray(rng.standard_normal(
+        (S, bank.n_bands, cout, cin)).astype(np.float32))
+    Msi = jnp.asarray(rng.standard_normal(
+        (S, bank.n_bands, cout, cin)).astype(np.float32))
+    y_refs, _ = ri.render_tf_matrix_ri(bank, st, x, Ms, Msi,
+                                       use_pallas=False)
+    monkeypatch.setattr(ri, "_VMEM_STEP_BUDGET",
+                        ri._fused_step_vmem_bytes(1, cin, cout, 4, 128,
+                                                  per_stream=True))
+    y3, _ = ri.render_tf_matrix_fused(bank, st, x, Ms, Msi, interpret=True)
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(y_refs),
+                               atol=1e-6)
+
+    # real budget: production orders map to [blk=2, blk=1, split, split,
+    # split] for cin = 16/25/36/49/64 at 64-hop chunks (the shapes
+    # validated on the v5e — orders 3..7 all compile and match einsum)
+    monkeypatch.undo()
+    assert ri._fit_render_block(16, 2, 64, 128, False) == 2
+    assert ri._fit_render_block(25, 2, 64, 128, False) == 1
+    for cin_wide in (36, 49, 64):
+        assert ri._fit_render_block(cin_wide, 2, 64, 128, False) is None
+        assert any(64 % h == 0
+                   and ri._fit_render_block(cin_wide, 2, h, 128, False)
+                   for h in range(63, 0, -1))
+
+
 def test_unsplittable_oversized_falls_back_to_einsum_path(monkeypatch):
     """When no stream-group split fits the VMEM budget (a single stream
     whose per-group output is already over it), the dispatch must route to
