@@ -83,16 +83,33 @@ def _fused_step_vmem_bytes(blk: int, cin: int, cout: int, H: int, hop: int,
     return inb + outb + tailb + scr + taps + mats
 
 
+# Hop cap for ALL pallas dispatches: the analysis front / synthesis back
+# kernels' per-grid-step tiles scale with H (measured OOMs: the 32-ch
+# einsum path at H=256 → 19.2 MiB, H=1024 → 32.3 MiB), and Mosaic's
+# pipeline depth varies non-monotonically with tile size, so chunks past
+# this validated bound are time-split and scanned through the carried
+# state (exact — streaming is the design).
+_PALLAS_MAX_HOPS = 128
+
+
 def _fit_render_block(cin: int, cout: int, H: int, hop: int,
                       per_stream: bool):
     """Largest streams-per-grid-step (2 or 1) whose kernel footprint fits;
     None when even blk=1 is too wide (the caller then splits in time)."""
     from spatial_audio_framework_tpu.ops.pallas_afstft import BLK_S
+    if H > _PALLAS_MAX_HOPS:
+        return None
     for blk in (BLK_S, 1):
         if (_fused_step_vmem_bytes(blk, cin, cout, H, hop, per_stream)
                 <= _VMEM_STEP_BUDGET):
             return blk
     return None
+
+
+def _time_split_hops(H: int) -> int:
+    """Largest divisor of H within the pallas hop cap (1 always divides)."""
+    return next(h for h in range(min(H, _PALLAS_MAX_HOPS), 0, -1)
+                if H % h == 0)
 
 
 def _fit_group_count(S: int, n_ch: int, H: int, hop: int):
@@ -216,6 +233,27 @@ def analysis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
     use_pallas = use_pallas and hop == 128
     S, n_ch = x.shape[:2]
     H = x.shape[2] // hop
+    if use_pallas and H > _PALLAS_MAX_HOPS:
+        # chunks past the kernel's validated hop bound are scanned through
+        # the carried state in sub-chunks (exact; see _PALLAS_MAX_HOPS)
+        h_sub = _time_split_hops(H)
+        xk = jnp.moveaxis(x.reshape(S, n_ch, H // h_sub, h_sub * hop), 2, 0)
+
+        def body(st, xc):
+            spec, st = analysis_ri_batched(bank, st, xc, use_pallas=True,
+                                           interpret=interpret,
+                                           packed=packed)
+            return st, spec
+
+        state, specs = jax.lax.scan(body, state, xk)
+
+        def cat(parts):  # (n, S, C, h_sub, nb) stacked -> (S, C, H, nb)
+            n, s_, c_, h_, nb_ = parts.shape
+            return jnp.moveaxis(parts, 0, 2).reshape(s_, c_, n * h_, nb_)
+
+        if packed:
+            return cat(specs), state
+        return (cat(specs[0]), cat(specs[1])), state
     if use_pallas:
         # tail and block stay separate — concatenated in VMEM by the kernel
         sre, sim = analysis_front_ri(
@@ -284,6 +322,26 @@ def synthesis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, Y,
     hop, h_len = bank.hop, bank.h_len
     S, n_ch, H = (Y.shape[:3] if packed else Yre.shape[:3])
     use_pallas = use_pallas and hop == 128  # kernels hard-code hop=128
+    if use_pallas and H > _PALLAS_MAX_HOPS:
+        # chunks past the kernel's validated hop bound are scanned through
+        # the OLA carry in sub-chunks (exact; see _PALLAS_MAX_HOPS)
+        h_sub = _time_split_hops(H)
+        n = H // h_sub
+
+        def split_h(a):  # (S, C, H, nb) -> (n, S, C, h_sub, nb)
+            return jnp.moveaxis(
+                a.reshape(S, n_ch, n, h_sub, a.shape[-1]), 2, 0)
+
+        Yk = split_h(Y) if packed else (split_h(Yre), split_h(Yim))
+
+        def body(st, yc):
+            yy, st = synthesis_ri_batched(bank, st, yc, use_pallas=True,
+                                          interpret=interpret, packed=packed)
+            return st, yy
+
+        state, ys = jax.lax.scan(body, state, Yk)
+        y = jnp.moveaxis(ys, 0, 2).reshape(S, n_ch, H * hop)
+        return y, state
     if (use_pallas
             and _synthesis_out_bytes(S, n_ch, H, hop) > _VMEM_OUT_BUDGET):
         # the fused kernel's (y, tail) output is scoped-VMEM-resident:

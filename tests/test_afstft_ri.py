@@ -545,6 +545,57 @@ def test_wide_cin_reduces_block_and_time_splits(monkeypatch):
                    for h in range(63, 0, -1))
 
 
+def test_hop_cap_time_splits_analysis_and_synthesis(monkeypatch):
+    """All pallas dispatches are capped at _PALLAS_MAX_HOPS hops: the
+    analysis front / synthesis back kernels' per-step tiles scale with H
+    (measured Mosaic OOMs at H>=256 for the 32-channel einsum path), so
+    longer chunks must scan sub-chunks through the carried state.  Pinned
+    with a tiny cap so the split runs on CPU-sized shapes."""
+    bank = AfSTFT(hop=128, hybrid=True)
+    S, cin, cout, H = 2, 3, 2, 12
+    rng = np.random.default_rng(11)
+    st = ri.init_state_batched(bank, S, cin, cout)
+    x = jnp.asarray(rng.uniform(-1, 1, (S, cin, H * 128)).astype(np.float32))
+    monkeypatch.setattr(ri, "_PALLAS_MAX_HOPS", 4)    # 12 -> 3 sub-chunks
+
+    spec, st1 = ri.analysis_ri_batched(bank, st, x, use_pallas=True,
+                                       interpret=True, packed=True)
+    spec_ref, st1r = ri.analysis_ri_batched(bank, st, x, use_pallas=False,
+                                            packed=True)
+    np.testing.assert_allclose(np.asarray(spec), np.asarray(spec_ref),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(st1.in_tail),
+                                  np.asarray(st1r.in_tail))
+    # tuple (unpacked) output shape agrees too
+    (sre, sim), _ = ri.analysis_ri_batched(bank, st, x, use_pallas=True,
+                                           interpret=True)
+    assert sre.shape == sim.shape == (S, cin, H, bank.n_bands)
+
+    Yre = jnp.asarray(rng.standard_normal(
+        (S, cout, H, bank.n_bands)).astype(np.float32))
+    Yim = jnp.asarray(rng.standard_normal(
+        (S, cout, H, bank.n_bands)).astype(np.float32))
+    sty = ri.init_state_batched(bank, S, cout, cout)
+    ys, sts = ri.synthesis_ri_batched(bank, sty, (Yre, Yim),
+                                      use_pallas=True, interpret=True)
+    yr, str_ = ri.synthesis_ri_batched(bank, sty, (Yre, Yim),
+                                       use_pallas=False)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(yr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sts.ola_tail),
+                               np.asarray(str_.ola_tail), atol=1e-6)
+
+    # the fused renderer honours the cap as well (time-split before the
+    # analysis front ever sees an over-cap H)
+    M = jnp.asarray(rng.standard_normal(
+        (bank.n_bands, cout, cin)).astype(np.float32))
+    y_ref, st_ref = ri.render_tf_matrix_ri(bank, st, x, M,
+                                           use_pallas=False)
+    y2, st2 = ri.render_tf_matrix_fused(bank, st, x, M, interpret=True)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st2.ola_tail),
+                               np.asarray(st_ref.ola_tail), atol=2e-6)
+
+
 def test_unsplittable_oversized_falls_back_to_einsum_path(monkeypatch):
     """When no stream-group split fits the VMEM budget (a single stream
     whose per-group output is already over it), the dispatch must route to
