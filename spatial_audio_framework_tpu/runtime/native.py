@@ -25,11 +25,24 @@ CODEC_STATUS_INITIALISING = 2
 PROC_STATUS_ONGOING = 0
 PROC_STATUS_NOT_ONGOING = 1
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "saf_runtime.cpp")
-_LIB = os.path.join(_REPO_ROOT, "native",
-                    f"libsaf_runtime-{sys.platform}.so")
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(os.path.dirname(_PKG_DIR))
+_LIB_NAME = f"libsaf_runtime-{sys.platform}.so"
+
+
+def _locate() -> tuple[str, str]:
+    """(src, lib) paths.  Repo checkouts keep both under native/; installed
+    wheels ship them inside the runtime/ package dir (see setup.py)."""
+    for base in (os.path.join(_REPO_ROOT, "native"), _PKG_DIR):
+        src = os.path.join(base, "saf_runtime.cpp")
+        lib = os.path.join(base, _LIB_NAME)
+        if os.path.exists(src) or os.path.exists(lib):
+            return src, lib
+    return (os.path.join(_REPO_ROOT, "native", "saf_runtime.cpp"),
+            os.path.join(_REPO_ROOT, "native", _LIB_NAME))
+
+
+_SRC, _LIB = _locate()
 
 _lib_lock = threading.Lock()
 _lib: Optional[ct.CDLL] = None
