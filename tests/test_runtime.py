@@ -2,6 +2,7 @@
 latency semantics (matrixconv.c:117-151), status handshake
 (_common.h:199-224), frame clock, and StreamRunner end-to-end with a jitted
 model."""
+import os
 import threading
 
 import numpy as np
@@ -219,3 +220,24 @@ def test_begin_init_timeout_restores_codec():
     st.end_process()
     assert st.try_begin_process()      # processing works again
     st.end_process()
+
+
+def test_native_locate_prefers_repo_then_package(tmp_path, monkeypatch):
+    """Installed wheels carry saf_runtime.cpp + the .so inside runtime/
+    (setup.py BuildPyWithNative); checkouts keep them under native/.  The
+    loader must resolve whichever layout exists."""
+    from spatial_audio_framework_tpu.runtime import native as nat
+
+    # repo layout present -> native/ wins
+    src, lib = nat._locate()
+    assert src.endswith(os.path.join("native", "saf_runtime.cpp"))
+
+    # simulate an installed wheel: no repo native/, lib inside the pkg dir
+    fake_root = tmp_path / "site-packages"
+    fake_pkg = fake_root / "spatial_audio_framework_tpu" / "runtime"
+    fake_pkg.mkdir(parents=True)
+    (fake_pkg / nat._LIB_NAME).write_bytes(b"")
+    monkeypatch.setattr(nat, "_REPO_ROOT", str(fake_root / "nowhere"))
+    monkeypatch.setattr(nat, "_PKG_DIR", str(fake_pkg))
+    src, lib = nat._locate()
+    assert lib == str(fake_pkg / nat._LIB_NAME)
