@@ -78,6 +78,7 @@ def main():
         pass
 
     from spatial_audio_framework_tpu.models import ambi_bin
+    from spatial_audio_framework_tpu.ops import pallas_afstft
 
     FS = 48000.0
     N_STREAMS = 64
@@ -805,6 +806,7 @@ def main():
                                "chip": "TPU v5e"},
             "max_abs_err_vs_cpu_f32": max_err,
             "max_abs_err_vs_c_reference": max_err_vs_c,
+            "mxu_precision": pallas_afstft._MXU_MODE,
             "binauraliser_sofa_64streams_rtf": bin_rtf,
             "config_rtfs": config_rtfs,
             "config_errors": config_errors,

@@ -18,6 +18,7 @@ interpreter mode for CPU tests.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -31,6 +32,32 @@ from spatial_audio_framework_tpu.ops.afstft import (_COEFF1, _COEFF2,
 from spatial_audio_framework_tpu.ops.fft import _rdft_mats
 
 BLK_B = 8       # batch rows per grid step (f32 sublane)
+
+# MXU precision for the (ir)DFT matmuls inside the fused kernels.  The v5e
+# MXU multiplies bf16 natively; f32 matmuls are emulated by bf16 passes:
+# HIGHEST = 6 passes (exact f32), "f32x3" = a hand-rolled 3-pass split
+# (operands split into hi+lo bf16, the lo·lo term dropped — Mosaic does not
+# lower Precision.HIGH, so the split is done explicitly).  The dropped term
+# is bounded by 2^-18·|a|·|b| per product (~4e-6 relative after the K-sum),
+# an order of magnitude under the 1e-4 C-parity budget, for half the MXU
+# work.  Overridable via SAF_TPU_MXU_PRECISION=f32x3|highest|default.
+_MXU_MODE = os.environ.get("SAF_TPU_MXU_PRECISION", "f32x3").lower()
+
+
+def _mm(a, b):
+    """f32 matmul at the configured MXU precision (see _MXU_MODE)."""
+    if _MXU_MODE == "f32x3":
+        a_hi = a.astype(jnp.bfloat16)
+        a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = b.astype(jnp.bfloat16)
+        b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        f32 = jnp.float32
+        return ((jnp.dot(a_hi, b_lo, preferred_element_type=f32)
+                 + jnp.dot(a_lo, b_hi, preferred_element_type=f32))
+                + jnp.dot(a_hi, b_hi, preferred_element_type=f32))
+    prec = {"default": jax.lax.Precision.DEFAULT,
+            "highest": jax.lax.Precision.HIGHEST}[_MXU_MODE]
+    return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
 
 
 def _kernel(H: int, tail_ref, x_ref, w_ref, c_ref, s_ref, re_ref, im_ref):
@@ -53,15 +80,10 @@ def _kernel(H: int, tail_ref, x_ref, w_ref, c_ref, s_ref, re_ref, im_ref):
     nb = c_ref.shape[1]
     a = acc0.reshape(BLK_B * H, hop)
     b = acc1.reshape(BLK_B * H, hop)
-    hp = jax.lax.Precision.HIGHEST
-    re_ref[:] = (jnp.dot(a, c_ref[:hop], preferred_element_type=jnp.float32,
-                         precision=hp)
-                 + jnp.dot(b, c_ref[hop:], preferred_element_type=jnp.float32,
-                           precision=hp)).reshape(BLK_B, H, nb)
-    im_ref[:] = (jnp.dot(a, s_ref[:hop], preferred_element_type=jnp.float32,
-                         precision=hp)
-                 + jnp.dot(b, s_ref[hop:], preferred_element_type=jnp.float32,
-                           precision=hp)).reshape(BLK_B, H, nb)
+    re_ref[:] = (_mm(a, c_ref[:hop])
+                 + _mm(b, c_ref[hop:])).reshape(BLK_B, H, nb)
+    im_ref[:] = (_mm(a, s_ref[:hop])
+                 + _mm(b, s_ref[hop:])).reshape(BLK_B, H, nb)
 
 
 @partial(jax.jit, static_argnames=("low_delay", "interpret"))
@@ -184,7 +206,6 @@ def _render_kernel(H: int, cin: int, cout: int, hybrid: bool,
     blk = sre_ref.shape[0]  # streams per grid step (see render's blk arg)
     nb = am_ref.shape[0]
     d_off = 3 if hybrid else 6
-    hp = jax.lax.Precision.HIGHEST
 
     def tap(s, e, k):
         if per_stream:
@@ -220,10 +241,8 @@ def _render_kernel(H: int, cin: int, cout: int, hybrid: bool,
     w = w_ref[:]
     nt = _TOTAL_HOPS - 1
     for e in range(cout):
-        fr = (jnp.dot(out_re[e].reshape(blk * H, nb), am_ref[:],
-                      preferred_element_type=jnp.float32, precision=hp)
-              + jnp.dot(out_im[e].reshape(blk * H, nb), bm_ref[:],
-                        preferred_element_type=jnp.float32, precision=hp))
+        fr = (_mm(out_re[e].reshape(blk * H, nb), am_ref[:])
+              + _mm(out_im[e].reshape(blk * H, nb), bm_ref[:]))
         fr = fr.reshape(blk, H, 2 * hop)
         f0 = fr[..., :hop]
         f1 = fr[..., hop:]
@@ -350,9 +369,7 @@ def _syn_kernel(H: int, spec_ref, tail_ref, ab_ref, w_ref, y_ref,
     hop = 128
     nbh2 = spec_ref.shape[2]
     # frames = [spec_re | spec_im] @ [P·A; P·B]  → (BLK_B·H, 2·hop)
-    frames = jnp.dot(spec_ref[:].reshape(BLK_B * H, nbh2), ab_ref[:],
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+    frames = _mm(spec_ref[:].reshape(BLK_B * H, nbh2), ab_ref[:])
     frames = frames.reshape(BLK_B, H, 2 * hop)
     f0 = frames[..., :hop]
     f1 = frames[..., hop:]

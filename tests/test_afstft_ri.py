@@ -474,9 +474,9 @@ def test_oversized_synthesis_group_splits_to_pallas(monkeypatch):
         interpret=True, packed=True)
     for y, s in ((y1, st1), (yp, stp)):
         np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
-                                   atol=1e-6)
+                                   atol=1e-5)
         np.testing.assert_allclose(np.asarray(s.ola_tail),
-                                   np.asarray(st_ref.ola_tail), atol=1e-6)
+                                   np.asarray(st_ref.ola_tail), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(s.in_tail),
                                       np.asarray(st_ref.in_tail))
 
@@ -505,16 +505,18 @@ def test_wide_cin_reduces_block_and_time_splits(monkeypatch):
                         ri._fused_step_vmem_bytes(1, cin, cout, H, 128))
     assert ri._fit_render_block(cin, cout, H, 128, False) == 1
     y1, st1 = ri.render_tf_matrix_fused(bank, st, x, M, Mi, interpret=True)
-    np.testing.assert_allclose(np.asarray(y1), np.asarray(y_ref), atol=1e-6)
+    # atols cover the kernels' f32x3 matmuls on this test's unnormalised
+    # standard-normal M (split-plumbing bugs give O(1) errors)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y_ref), atol=2e-4)
 
     # budget only admits blk=1 at H=4 -> time-split into two sub-chunks
     monkeypatch.setattr(ri, "_VMEM_STEP_BUDGET",
                         ri._fused_step_vmem_bytes(1, cin, cout, 4, 128))
     assert ri._fit_render_block(cin, cout, H, 128, False) is None
     y2, st2 = ri.render_tf_matrix_fused(bank, st, x, M, Mi, interpret=True)
-    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref), atol=2e-4)
     np.testing.assert_allclose(np.asarray(st2.ola_tail),
-                               np.asarray(st_ref.ola_tail), atol=1e-6)
+                               np.asarray(st_ref.ola_tail), atol=2e-4)
     np.testing.assert_array_equal(np.asarray(st2.in_tail),
                                   np.asarray(st_ref.in_tail))
 
@@ -529,8 +531,10 @@ def test_wide_cin_reduces_block_and_time_splits(monkeypatch):
                         ri._fused_step_vmem_bytes(1, cin, cout, 4, 128,
                                                   per_stream=True))
     y3, _ = ri.render_tf_matrix_fused(bank, st, x, Ms, Msi, interpret=True)
+    # atol covers the kernels' f32x3 matmuls on the unnormalised
+    # standard-normal M of this test (plumbing bugs give O(1) errors)
     np.testing.assert_allclose(np.asarray(y3), np.asarray(y_refs),
-                               atol=1e-6)
+                               atol=2e-4)
 
     # real budget: production orders map to [blk=2, blk=1, split, split,
     # split] for cin = 16/25/36/49/64 at 64-hop chunks (the shapes
@@ -562,8 +566,10 @@ def test_hop_cap_time_splits_analysis_and_synthesis(monkeypatch):
                                        interpret=True, packed=True)
     spec_ref, st1r = ri.analysis_ri_batched(bank, st, x, use_pallas=False,
                                             packed=True)
+    # atols in this test cover the kernels' f32x3 matmuls on unnormalised
+    # random data (split-plumbing bugs give O(1) errors)
     np.testing.assert_allclose(np.asarray(spec), np.asarray(spec_ref),
-                               atol=1e-5)
+                               atol=2e-4)
     np.testing.assert_array_equal(np.asarray(st1.in_tail),
                                   np.asarray(st1r.in_tail))
     # tuple (unpacked) output shape agrees too
@@ -580,9 +586,9 @@ def test_hop_cap_time_splits_analysis_and_synthesis(monkeypatch):
                                       use_pallas=True, interpret=True)
     yr, str_ = ri.synthesis_ri_batched(bank, sty, (Yre, Yim),
                                        use_pallas=False)
-    np.testing.assert_allclose(np.asarray(ys), np.asarray(yr), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(yr), atol=2e-4)
     np.testing.assert_allclose(np.asarray(sts.ola_tail),
-                               np.asarray(str_.ola_tail), atol=1e-6)
+                               np.asarray(str_.ola_tail), atol=2e-4)
 
     # the fused renderer honours the cap as well (time-split before the
     # analysis front ever sees an over-cap H)
@@ -591,9 +597,9 @@ def test_hop_cap_time_splits_analysis_and_synthesis(monkeypatch):
     y_ref, st_ref = ri.render_tf_matrix_ri(bank, st, x, M,
                                            use_pallas=False)
     y2, st2 = ri.render_tf_matrix_fused(bank, st, x, M, interpret=True)
-    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y_ref), atol=2e-4)
     np.testing.assert_allclose(np.asarray(st2.ola_tail),
-                               np.asarray(st_ref.ola_tail), atol=2e-6)
+                               np.asarray(st_ref.ola_tail), atol=2e-4)
 
 
 def test_unsplittable_oversized_falls_back_to_einsum_path(monkeypatch):
