@@ -24,6 +24,7 @@ from spatial_audio_framework_tpu.models import _common as C
 from spatial_audio_framework_tpu.modules import hoa, hrir as hrir_mod, sh
 from spatial_audio_framework_tpu.ops.afstft import AfSTFT, AfSTFTState
 from spatial_audio_framework_tpu.utils import geometry as geo
+from spatial_audio_framework_tpu.ops import precision as _prec
 
 # HRIR_PREPROC_OPTIONS (ambi_bin.h)
 PREPROC_OFF = "off"
@@ -171,14 +172,14 @@ def process(cfg: AmbiBinConfig, weights: AmbiBinWeights, state: AfSTFTState,
         R = geo.yaw_pitch_roll2_rzyx(ypr[0], ypr[1], ypr[2])
         M_rot = sh.get_sh_rot_mtx_real(R.astype(jnp.float32), cfg.order)
         M = jnp.einsum("bes,st->bet", M, M_rot.astype(M.dtype),
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=_prec.HOT)
     conv = _fuma_conv(cfg)
     if conv is not None:
         M = jnp.einsum("bes,st->bet", M,
                        jnp.asarray(conv.astype(np.complex64)),
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=_prec.HOT)
     spec, state = bank.analysis(state, x)           # (nBands, nSH, H)
-    out = jnp.einsum("bes,bsh->beh", M, spec, precision=jax.lax.Precision.HIGHEST)       # batched over 133 bands
+    out = jnp.einsum("bes,bsh->beh", M, spec, precision=_prec.HOT)       # batched over 133 bands
     y, state = bank.synthesis(state, out)           # (2, T)
     return y, state
 
@@ -213,17 +214,17 @@ def process_ri(cfg: AmbiBinConfig, w_ri, state, x: jax.Array,
         assert ypr is not None
         R = geo.yaw_pitch_roll2_rzyx(ypr[0], ypr[1], ypr[2])
         M_rot = sh.get_sh_rot_mtx_real(R.astype(jnp.float32), cfg.order)
-        hp_rot = jax.lax.Precision.HIGHEST
+        hp_rot = _prec.HOT
         Mre = jnp.einsum("bes,st->bet", Mre, M_rot, precision=hp_rot)
         Mim = jnp.einsum("bes,st->bet", Mim, M_rot, precision=hp_rot)
     conv = _fuma_conv(cfg)
     if conv is not None:
         cv = jnp.asarray(conv.astype(np.float32))
-        hp_c = jax.lax.Precision.HIGHEST
+        hp_c = _prec.HOT
         Mre = jnp.einsum("bes,st->bet", Mre, cv, precision=hp_c)
         Mim = jnp.einsum("bes,st->bet", Mim, cv, precision=hp_c)
     (sre, sim), state = ri.analysis_ri(bank, state, x)
-    hp = jax.lax.Precision.HIGHEST
+    hp = _prec.HOT
     out_re = (jnp.einsum("bes,bsh->beh", Mre, sre, precision=hp)
               - jnp.einsum("bes,bsh->beh", Mim, sim, precision=hp))
     out_im = (jnp.einsum("bes,bsh->beh", Mre, sim, precision=hp)
@@ -254,7 +255,7 @@ def process_ri_batched(cfg: AmbiBinConfig, w_ri, state, x: jax.Array,
     conv = _fuma_conv(cfg)
     if conv is not None:  # FuMa: conversion not folded at design time
         cv = jnp.asarray(conv.astype(np.float32))
-        hp_c = jax.lax.Precision.HIGHEST
+        hp_c = _prec.HOT
         Mre = jnp.einsum("bes,st->bet", Mre, cv, precision=hp_c)
         Mim = jnp.einsum("bes,st->bet", Mim, cv, precision=hp_c)
     if use_pallas:
@@ -266,7 +267,7 @@ def process_ri_batched(cfg: AmbiBinConfig, w_ri, state, x: jax.Array,
     spec_p, state = ri.analysis_ri_batched(bank, state, x,
                                            use_pallas=use_pallas,
                                            interpret=interpret, packed=True)
-    hp = jax.lax.Precision.HIGHEST
+    hp = _prec.HOT
     # spec_p: (S, nSH, H, 2·B) packed [re | im]; M: (B, 2, nSH).  The whole
     # complex multiply is ONE einsum over a (B, 2, nSH, 2out, 2in) tensor so
     # the spectrum is read exactly once (the pipeline is HBM-bound):

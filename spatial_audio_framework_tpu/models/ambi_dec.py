@@ -22,6 +22,7 @@ from spatial_audio_framework_tpu.models import _common as C
 from spatial_audio_framework_tpu.modules import hoa, sh
 from spatial_audio_framework_tpu.ops.afstft import AfSTFT, AfSTFTState
 from spatial_audio_framework_tpu.utils import presets
+from spatial_audio_framework_tpu.ops import precision as _prec
 
 AMPLITUDE_PRESERVING = 0  # ambi_dec.h AMBI_DEC_DIFFUSE_FIELD_EQ_APPROACH
 ENERGY_PRESERVING = 1
@@ -182,9 +183,9 @@ def process(cfg: AmbiDecConfig, w: AmbiDecWeights, state: AfSTFTState,
     """x: (nSH, T) → ((nLS or 2, T), state)."""
     bank = cfg.afstft
     spec, state = bank.analysis(state, x)                # (nBands, nSH, H)
-    out = jnp.einsum("bls,bsh->blh", w.M, spec, precision=jax.lax.Precision.HIGHEST)          # (nBands, nLS, H)
+    out = jnp.einsum("bls,bsh->blh", w.M, spec, precision=_prec.HOT)          # (nBands, nLS, H)
     if cfg.binauralise_ls:
-        out = jnp.einsum("bel,blh->beh", w.H_bin.astype(out.dtype), out, precision=jax.lax.Precision.HIGHEST)
+        out = jnp.einsum("bel,blh->beh", w.H_bin.astype(out.dtype), out, precision=_prec.HOT)
     y, state = bank.synthesis(state, out)
     return y, state
 

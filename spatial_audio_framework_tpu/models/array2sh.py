@@ -22,6 +22,7 @@ from spatial_audio_framework_tpu.models import _common as C
 from spatial_audio_framework_tpu.modules import array_proc as AP, hoa, sh
 from spatial_audio_framework_tpu.ops.afstft import AfSTFT, AfSTFTState
 from spatial_audio_framework_tpu.utils import presets
+from spatial_audio_framework_tpu.ops import precision as _prec
 
 FILTER_SOFT_LIM = "soft_lim"
 FILTER_TIKHONOV = "tikhonov"
@@ -258,7 +259,7 @@ def process(cfg: Array2SHConfig, w: Array2SHWeights, state: AfSTFTState,
     """x: (Q, T) sensor signals → ((nSH, T), state)."""
     bank = cfg.afstft
     spec, state = bank.analysis(state, x)          # (nBands, Q, H)
-    out = jnp.einsum("bsq,bqh->bsh", w.W, spec, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("bsq,bqh->bsh", w.W, spec, precision=_prec.HOT)
     y, state = bank.synthesis(state, out)
     return y, state
 

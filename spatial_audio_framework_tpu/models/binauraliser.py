@@ -21,6 +21,7 @@ from spatial_audio_framework_tpu.modules import hrir as hrir_mod, vbap
 from spatial_audio_framework_tpu.ops.afstft import AfSTFT, AfSTFTState
 from spatial_audio_framework_tpu.utils import geometry as geo
 from spatial_audio_framework_tpu.models import _common as C
+from spatial_audio_framework_tpu.ops import precision as _prec
 
 INTERP_TRI = "tri"
 INTERP_TRI_PS = "tri_ps"
@@ -199,7 +200,7 @@ def process(cfg: BinauraliserConfig, w: BinauraliserWeights, state: AfSTFTState,
     H = interp_hrtfs(cfg, w, src_dirs_deg)            # (nBands, 2, nSrc)
     bank = cfg.afstft
     spec, state = bank.analysis(state, x)             # (nBands, nSrc, H)
-    out = jnp.einsum("bes,bsh->beh", H.astype(spec.dtype), spec, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("bes,bsh->beh", H.astype(spec.dtype), spec, precision=_prec.HOT)
     out = out / np.sqrt(cfg.n_sources)
     y, state = bank.synthesis(state, out)
     return y, state

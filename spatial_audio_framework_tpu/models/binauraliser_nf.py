@@ -20,6 +20,7 @@ from spatial_audio_framework_tpu.ops.afstft import AfSTFTState
 from spatial_audio_framework_tpu.utils import dvf as _dvf
 from spatial_audio_framework_tpu.utils import geometry as geo
 from spatial_audio_framework_tpu.models import _common as C
+from spatial_audio_framework_tpu.ops import precision as _prec
 
 
 @dataclass(frozen=True)
@@ -93,7 +94,7 @@ def process(cfg: BinauraliserNFConfig, w: B.BinauraliserWeights,
                             src_dists_m).astype(H.dtype)
     bank = cfg.afstft
     spec, state = bank.analysis(state, x)
-    out = jnp.einsum("bes,bsh->beh", H.astype(spec.dtype), spec, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("bes,bsh->beh", H.astype(spec.dtype), spec, precision=_prec.HOT)
     out = out / np.sqrt(cfg.n_sources)
     y, state = bank.synthesis(state, out)
     return y, state

@@ -20,6 +20,7 @@ from spatial_audio_framework_tpu.modules import vbap
 from spatial_audio_framework_tpu.ops.afstft import AfSTFT, AfSTFTState
 from spatial_audio_framework_tpu.utils import geometry as geo
 from spatial_audio_framework_tpu.models import _common as C
+from spatial_audio_framework_tpu.ops import precision as _prec
 
 
 @dataclass(frozen=True)
@@ -101,7 +102,7 @@ def process(cfg: PannerConfig, weights: PannerWeights, state: AfSTFTState,
     spec, state = bank.analysis(state, x)              # (nBands, nSrc, H)
     # 1/sqrt(nSources) master scaling (panner.c:312-314)
     out = jnp.einsum("bsl,bsh->blh", G.astype(spec.dtype), spec,
-                     precision=jax.lax.Precision.HIGHEST) \
+                     precision=_prec.HOT) \
         / np.sqrt(cfg.n_sources)
     y, state = bank.synthesis(state, out)
     return y, state

@@ -31,6 +31,7 @@ from spatial_audio_framework_tpu.modules import sh, sh_est, vbap
 from spatial_audio_framework_tpu.ops import afstft_ri as ri
 from spatial_audio_framework_tpu.ops.afstft import AfSTFT
 from spatial_audio_framework_tpu.utils import presets
+from spatial_audio_framework_tpu.ops import precision as _prec
 
 PM_PWD = "pwd"
 PM_MVDR = "mvdr"
@@ -156,7 +157,7 @@ def analysis(cfg: PowermapConfig, w: PowermapWeights, state: PowermapState,
     xc = w.conv_in @ x
     (sre, sim), bank_st = ri.analysis_ri(cfg.afstft, state.bank, xc)
     H = sre.shape[-1]
-    hp = jax.lax.Precision.HIGHEST
+    hp = _prec.HOT
     # SCM in RI: C = S Sᴴ → re = Sre Sreᵀ + Sim Simᵀ, im = Sim Sreᵀ − Sre Simᵀ
     new_re = (jnp.einsum("bsh,bth->bst", sre, sre, precision=hp)
               + jnp.einsum("bsh,bth->bst", sim, sim, precision=hp)) / H

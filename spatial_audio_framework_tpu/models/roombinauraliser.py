@@ -45,6 +45,7 @@ from spatial_audio_framework_tpu.ops.afstft import (AfSTFT, AfSTFTState,
                                                     fir_to_filterbank_coeffs)
 from spatial_audio_framework_tpu.utils import geometry as geo
 from spatial_audio_framework_tpu.models import _common as C
+from spatial_audio_framework_tpu.ops import precision as _prec
 
 INTERP_TRI = "tri"
 INTERP_TRI_PS = "tri_ps"
@@ -333,7 +334,7 @@ def process(cfg: RoomBinauraliserConfig, w: RoomBinauraliserWeights,
     bank = cfg.afstft
     spec, state = bank.analysis(state, x)      # (nBands, nSrc, H)
     out = jnp.einsum("sbe,bsh->beh", H.astype(spec.dtype), spec,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=_prec.HOT)
     out = out / np.sqrt(cfg.n_sources)
     y, state = bank.synthesis(state, out)
     return y, state

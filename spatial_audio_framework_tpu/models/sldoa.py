@@ -38,6 +38,7 @@ from spatial_audio_framework_tpu.modules import sh, vbap
 from spatial_audio_framework_tpu.ops import afstft_ri as ri
 from spatial_audio_framework_tpu.ops.afstft import AfSTFT
 from spatial_audio_framework_tpu.utils import presets
+from spatial_audio_framework_tpu.ops import precision as _prec
 
 
 def order2num_sectors(order: int) -> int:
@@ -200,7 +201,7 @@ def analysis(cfg: SldoaConfig, w: SldoaWeights, state: SldoaState,
     """x: (nSH, T) → (SldoaOutput, state).  Fully jittable, complex-free."""
     xc = w.conv_in @ x
     (sre, sim), bank_st = ri.analysis_ri(cfg.afstft, state.bank, xc)
-    hp = jax.lax.Precision.HIGHEST
+    hp = _prec.HOT
     # sector WXYZ signals (RI): real coefficients → two real einsums
     ws_re = jnp.einsum("bcws,bsh->bcwh", w.sec_coeffs, sre, precision=hp)
     ws_im = jnp.einsum("bcws,bsh->bcwh", w.sec_coeffs, sim, precision=hp)

@@ -30,6 +30,7 @@ from spatial_audio_framework_tpu.ops.afstft import AfSTFT
 from spatial_audio_framework_tpu.utils import decor
 from spatial_audio_framework_tpu.utils.geometry import unit_sph2cart
 from spatial_audio_framework_tpu.models import _common as C
+from spatial_audio_framework_tpu.ops import precision as _prec
 
 MODE_NAIVE = "naive"
 MODE_EVD = "evd"
@@ -345,7 +346,7 @@ def process_chunk(cfg: SpreaderConfig, w: SpreaderWeights,
     bank = cfg.afstft
     nF, nS, F = x_frames.shape
     Q = w.H_re.shape[1]
-    hp = jax.lax.Precision.HIGHEST
+    hp = _prec.HOT
     x_cat = jnp.moveaxis(x_frames, 0, 1).reshape(nS, nF * F)
     (sre, sim), bank_st = ri.analysis_ri(bank, state.bank, x_cat)
     S_tot = sre.shape[-1]

@@ -31,6 +31,7 @@ from spatial_audio_framework_tpu.modules import cdf4sap, hrir as hrir_mod
 from spatial_audio_framework_tpu.ops import afstft_ri as ri
 from spatial_audio_framework_tpu.ops.afstft import AfSTFT
 from spatial_audio_framework_tpu.utils import geometry as geo
+from spatial_audio_framework_tpu.ops import precision as _prec
 
 HADES_USE_COMEDIE = "comedie"
 HADES_USE_MUSIC = "music"
@@ -252,7 +253,7 @@ class HadesAnalysis:
         import jax.numpy as jnp
 
         (sre, sim), bank_state = ri.analysis_ri(self.bank, bank_state, x)
-        hp = jax.lax.Precision.HIGHEST
+        hp = _prec.HOT
         Cx_new = (jnp.einsum("bmh,bnh->bmn", sre, sre, precision=hp)
                   + jnp.einsum("bmh,bnh->bmn", sim, sim, precision=hp),
                   jnp.einsum("bmh,bnh->bmn", sim, sre, precision=hp)
@@ -600,7 +601,7 @@ class HadesPipeline:
             ana_bank, cx0, M0, syn_bank = state
             nb = x_blocks.shape[0]
             nm, bs, ts = ana.n_mics, ana.blocksize, ana.time_slots
-            hp = jax.lax.Precision.HIGHEST
+            hp = _prec.HOT
             x_cat = jnp.swapaxes(x_blocks, 0, 1).reshape(nm, nb * bs)
             (sre, sim), ana_bank = ri.analysis_ri(ana.bank, ana_bank, x_cat)
 

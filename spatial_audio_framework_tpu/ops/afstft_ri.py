@@ -27,8 +27,7 @@ from spatial_audio_framework_tpu.ops.afstft import (_COEFF1, _COEFF2,
                                                     _TOTAL_HOPS, AfSTFT,
                                                     _windows)
 from spatial_audio_framework_tpu.ops.fft import _rdft_mats
-
-_HP = jax.lax.Precision.HIGHEST
+from spatial_audio_framework_tpu.ops import precision as _prec
 
 # XLA's memory-space assignment keeps the fused synthesis kernels' FULL
 # outputs (y + OLA tail) in scoped VMEM when they are consumed inside the
@@ -290,8 +289,8 @@ def analysis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
     frames = seg.reshape(S * n_ch, He, bank.h_len) * jnp.asarray(w_ana)
     folded = frames.reshape(S * n_ch, He, _TOTAL_HOPS // 2,
                             2 * hop).sum(axis=2)
-    sre = jnp.matmul(folded, jnp.asarray(C), precision=_HP)
-    sim = jnp.matmul(folded, jnp.asarray(Smat), precision=_HP)
+    sre = jnp.matmul(folded, jnp.asarray(C), precision=_prec.HOT)
+    sim = jnp.matmul(folded, jnp.asarray(Smat), precision=_prec.HOT)
     sre = sre.reshape(S, n_ch, H + 6, hop + 1)
     sim = sim.reshape(S, n_ch, H + 6, hop + 1)
     state = state._replace(in_tail=new_in_tail)
@@ -402,8 +401,8 @@ def synthesis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, Y,
                            jnp.float32)
         Yre = Yre * sign
         Yim = Yim * sign
-    frame = (jnp.matmul(Yre, jnp.asarray(A), precision=_HP)
-             + jnp.matmul(Yim, jnp.asarray(B), precision=_HP))
+    frame = (jnp.matmul(Yre, jnp.asarray(A), precision=_prec.HOT)
+             + jnp.matmul(Yim, jnp.asarray(B), precision=_prec.HOT))
     contrib = jnp.tile(frame, (1, 1, 1, _TOTAL_HOPS // 2)) * jnp.asarray(w_syn)
     contrib = contrib.reshape(S, n_ch, H, _TOTAL_HOPS, hop)
     acc = jnp.zeros((S, n_ch, H + _TOTAL_HOPS - 1, hop), frame.dtype)
@@ -448,14 +447,14 @@ def render_tf_matrix_ri(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
     per_stream = Mre.ndim == 4
     if Mim is None:
         eq = "zbes,zshjb->zehjb" if per_stream else "bes,zshjb->zehjb"
-        out = jnp.einsum(eq, Mre, spec5, precision=_HP)
+        out = jnp.einsum(eq, Mre, spec5, precision=_prec.HOT)
         cout = Mre.shape[-2]
         out_p = out.reshape(S, cout, H, nb2)
     else:
         M4 = jnp.stack([jnp.stack([Mre, -Mim], axis=-1),
                         jnp.stack([Mim, Mre], axis=-1)], axis=-2)
         eq = "zbesij,zshjb->zehib" if per_stream else "besij,zshjb->zehib"
-        out = jnp.einsum(eq, M4, spec5, precision=_HP)
+        out = jnp.einsum(eq, M4, spec5, precision=_prec.HOT)
         cout = Mre.shape[-2]
         out_p = out.reshape(S, cout, H, nb2)
     return synthesis_ri_batched(bank, state, out_p, use_pallas=use_pallas,
@@ -613,8 +612,8 @@ def analysis_ri(bank: AfSTFT, state: AfSTFTStateRI, x: jax.Array
     seg = jnp.stack([hops[:, k:k + H] for k in range(_TOTAL_HOPS)], axis=2)
     frames = seg.reshape(n_ch, H, h_len) * jnp.asarray(w_ana)
     folded = frames.reshape(n_ch, H, _TOTAL_HOPS // 2, 2 * hop).sum(axis=2)
-    sre = jnp.matmul(folded, jnp.asarray(C), precision=_HP)
-    sim = jnp.matmul(folded, jnp.asarray(S), precision=_HP)
+    sre = jnp.matmul(folded, jnp.asarray(C), precision=_prec.HOT)
+    sim = jnp.matmul(folded, jnp.asarray(S), precision=_prec.HOT)
     new_in_tail = buf[:, H * hop:]
     if not bank.hybrid:
         return ((sre.transpose(2, 0, 1), sim.transpose(2, 0, 1)),
@@ -645,8 +644,8 @@ def synthesis_ri(bank: AfSTFT, state: AfSTFTStateRI,
                            jnp.float32)
         Yre = Yre * sign
         Yim = Yim * sign
-    frame = (jnp.matmul(Yre, jnp.asarray(A), precision=_HP)
-             + jnp.matmul(Yim, jnp.asarray(B), precision=_HP))
+    frame = (jnp.matmul(Yre, jnp.asarray(A), precision=_prec.HOT)
+             + jnp.matmul(Yim, jnp.asarray(B), precision=_prec.HOT))
     contrib = jnp.tile(frame, (1, 1, _TOTAL_HOPS // 2)) * jnp.asarray(w_syn)
     contrib = contrib.reshape(n_ch, H, _TOTAL_HOPS, hop)
     acc = jnp.zeros((n_ch, H + _TOTAL_HOPS - 1, hop), frame.dtype)

@@ -73,47 +73,51 @@ def _rdft_mats(n: int):
             A.astype(np.float32), B.astype(np.float32))
 
 
-def rfft_op(x, n: int):
-    """Forward real DFT of the last axis (length n), backend-adaptive."""
+def rfft_op(x, n: int, precision=None):
+    """Forward real DFT of the last axis (length n), backend-adaptive.
+
+    ``precision`` applies to the matmul-DFT backend only; None = exact f32
+    (HIGHEST — design-time callers must keep full accuracy on the MXU; the
+    bf16 1-pass default would blow the ≤1e-4 parity budget).  Per-block
+    process paths pass ``precision.HOT`` (3-pass f32x3; see ops/precision.py).
+    """
     if x.shape[-1] != n:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
         x = jnp.pad(x, pad)
     if _resolve_impl() == "fft":
         return jnp.fft.rfft(x, n=n, axis=-1)
     C, S, _, _ = _rdft_mats(n)
-    # HIGHEST: keep full f32 accuracy on the MXU (default would downcast to
-    # bf16 passes; the ≤1e-4 parity budget rules that out)
-    hp = jax.lax.Precision.HIGHEST
+    hp = precision or jax.lax.Precision.HIGHEST
     return jax.lax.complex(jnp.matmul(x, jnp.asarray(C), precision=hp),
                            jnp.matmul(x, jnp.asarray(S), precision=hp))
 
 
-def irfft_op(X, n: int):
+def irfft_op(X, n: int, precision=None):
     """Inverse real DFT (1/n-scaled) of the last axis, backend-adaptive."""
     if _resolve_impl() == "fft":
         return jnp.fft.irfft(X, n=n, axis=-1)
     _, _, A, B = _rdft_mats(n)
-    hp = jax.lax.Precision.HIGHEST
+    hp = precision or jax.lax.Precision.HIGHEST
     return (jnp.matmul(jnp.real(X), jnp.asarray(A), precision=hp)
             + jnp.matmul(jnp.imag(X), jnp.asarray(B), precision=hp))
 
 
-def rfft_op_ri(x, n: int):
+def rfft_op_ri(x, n: int, precision=None):
     """rfft_op returning an (re, im) float pair — for complex-free device
     paths (some runtimes poison d2h readback after any complex64)."""
     if x.shape[-1] != n:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
         x = jnp.pad(x, pad)
     C, S, _, _ = _rdft_mats(n)
-    hp = jax.lax.Precision.HIGHEST
+    hp = precision or jax.lax.Precision.HIGHEST
     return (jnp.matmul(x, jnp.asarray(C), precision=hp),
             jnp.matmul(x, jnp.asarray(S), precision=hp))
 
 
-def irfft_op_ri(Xre, Xim, n: int):
+def irfft_op_ri(Xre, Xim, n: int, precision=None):
     """irfft_op on an (re, im) float pair (1/n-scaled)."""
     _, _, A, B = _rdft_mats(n)
-    hp = jax.lax.Precision.HIGHEST
+    hp = precision or jax.lax.Precision.HIGHEST
     return (jnp.matmul(Xre, jnp.asarray(A), precision=hp)
             + jnp.matmul(Xim, jnp.asarray(B), precision=hp))
 

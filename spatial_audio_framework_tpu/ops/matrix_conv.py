@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spatial_audio_framework_tpu.ops.fft import irfft_op, rfft_op
+from spatial_audio_framework_tpu.ops import precision as _prec
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -154,7 +155,7 @@ class MatrixConv:
 
         assert self.partitioned
         hop = self.hop
-        hp = jax.lax.Precision.HIGHEST
+        hp = _prec.HOT  # per-block path: 3-pass f32x3 (ops/precision.py)
         Hre, Him = H_ri
         T = x.shape[-1]
         nh = T // hop
@@ -278,7 +279,7 @@ class MultiConv:
 
         assert self.partitioned
         hop = self.hop
-        hp = jax.lax.Precision.HIGHEST
+        hp = _prec.HOT  # per-block path: 3-pass f32x3 (ops/precision.py)
         Hre, Him = H_ri
         T = x.shape[-1]
         nh = T // hop
@@ -459,7 +460,7 @@ class TVConv:
 
         hop = self.hop
         nb = hop + 1
-        hp = jax.lax.Precision.HIGHEST
+        hp = _prec.HOT  # per-block path: 3-pass f32x3 (ops/precision.py)
         Hre, Him = H_ri
         C, Sm, A, B = _rdft_mats(2 * hop)
         xp = jnp.concatenate([x, jnp.zeros_like(x)], axis=-1)
@@ -503,7 +504,7 @@ class TVConv:
 
         hop = self.hop
         nb = hop + 1
-        hp = jax.lax.Precision.HIGHEST
+        hp = _prec.HOT  # per-block path: 3-pass f32x3 (ops/precision.py)
         Hre, Him = H_ri
         nh = x.shape[-1] // hop
         P = self.n_part
