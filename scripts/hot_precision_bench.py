@@ -1,9 +1,16 @@
 """A/B the HOT matmul precision (ops/precision.py) on real configs.
 
-Usage: SAF_TPU_MATMUL_PRECISION=high|highest python scripts/hot_precision_bench.py
-Prints per-config RTF with the two-chain-slope estimator (same method as
-bench.py) plus max|y_high − y_highest| when run with --check.
+Usage:
+  SAF_TPU_MATMUL_PRECISION=high|highest python scripts/hot_precision_bench.py
+      — per-config RTF with the two-chain-slope estimator (bench.py method)
+  python scripts/hot_precision_bench.py --check
+      — numerical A/B: renders one flagship chunk per mode via
+        set_hot_precision and prints max|y_mode − y_highest| for
+        mode ∈ {default, high}, asserting the documented error ordering
+        (default ≫ high > 0 on TPU; all ≈ 0 on CPU where precision is a
+        no-op).
 """
+import argparse
 import os
 import sys
 import time
@@ -13,6 +20,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+try:  # persistent compile cache + fail-fast on a wedged tunnel
+    jax.config.update("jax_compilation_cache_dir", "/tmp/saf_tpu_jit_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
 
 FS = 48000.0
 K = 8
@@ -55,6 +68,44 @@ def scan_chunks(body):
         st, e = jax.lax.scan(body, st, xs)
         return jnp.sum(e), st
     return step
+
+
+def check():
+    """max|y_mode − y_highest| of one flagship chunk, per HOT mode."""
+    from spatial_audio_framework_tpu.models import ambi_bin
+    from spatial_audio_framework_tpu.ops import precision as _prec
+
+    rng = np.random.default_rng(0)
+    cfg0 = ambi_bin.AmbiBinConfig(order=3, method="magls")
+    wri = ambi_bin.design_ri(cfg0)
+    x = jnp.asarray(rng.uniform(-1, 1, (8, cfg0.nsh, 32 * HOP))
+                    .astype(np.float32))
+
+    def render(mode):
+        # per-config override (threads mxu_mode through the fused kernels
+        # AND the XLA paths; ops/precision.py)
+        cfg = ambi_bin.AmbiBinConfig(order=3, method="magls",
+                                     mxu_precision=mode)
+        st = ambi_bin.init_state_batched(cfg, 8)
+        y, _ = jax.jit(lambda w, s, xx: ambi_bin.process_ri_batched(
+            cfg, w, s, xx))(wri, st, x)
+        return np.asarray(y)
+
+    y_exact = render("highest")
+    errs = {}
+    for mode in ("high", "default"):
+        errs[mode] = float(np.abs(render(mode) - y_exact).max())
+        print(f"max|y_{mode} - y_highest| = {errs[mode]:.3e}")
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        assert errs["default"] > errs["high"], (
+            "documented error ordering violated: 1-pass bf16 should be "
+            f"far coarser than 3-pass f32x3 ({errs})")
+        assert errs["high"] < 1e-4, (
+            f"'high' mode exceeds the C-parity budget: {errs['high']:.3e}")
+    print("ok (ordering %s)" % ("asserted" if on_tpu
+                                else "not checked on CPU: precision no-op"))
+    return errs
 
 
 def main():
@@ -101,4 +152,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true",
+                    help="numerical A/B of the HOT modes instead of RTFs")
+    args = ap.parse_args()
+    from spatial_audio_framework_tpu.runtime.watchdog import probe_device
+    probe_device(timeout_s=120.0)  # exits with a diagnostic on a dead tunnel
+    if args.check:
+        check()
+    else:
+        main()

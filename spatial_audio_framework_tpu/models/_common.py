@@ -77,6 +77,13 @@ def validate_config(cfg) -> None:
     hop = getattr(cfg, "hop", None)
     if hop is not None and (int(hop) <= 0 or (int(hop) & (int(hop) - 1))):
         err(f"hop={hop} must be a positive power of two")
+    mxu = getattr(cfg, "mxu_precision", None)
+    if mxu is not None:
+        from spatial_audio_framework_tpu.ops import precision as _prec
+        try:
+            _prec.normalize_mode(mxu)
+        except ValueError as e:
+            err(str(e))
 
 
 def round_half_up(x):

@@ -46,6 +46,11 @@ class AmbiBinConfig:
     enable_truncation_eq: bool = True   # only active for the LS method
     enable_rotation: bool = False
     hop: int = 128
+    # Per-config MXU matmul precision for the process paths
+    # ('default'|'high'|'highest'; None = the process default from
+    # ops/precision.py / SAF_TPU_MATMUL_PRECISION).  Applies to the fused
+    # Pallas kernels and the XLA einsum path alike.
+    mxu_precision: Optional[str] = None
 
     @property
     def nsh(self) -> int:
@@ -209,22 +214,20 @@ def process_ri(cfg: AmbiBinConfig, w_ri, state, x: jax.Array,
     from spatial_audio_framework_tpu.ops import afstft_ri as ri
 
     bank = cfg.afstft
+    hp = _prec.to_xla(_prec.resolve_mode(cfg.mxu_precision))
     Mre, Mim = w_ri
     if cfg.enable_rotation and cfg.order > 0:
         assert ypr is not None
         R = geo.yaw_pitch_roll2_rzyx(ypr[0], ypr[1], ypr[2])
         M_rot = sh.get_sh_rot_mtx_real(R.astype(jnp.float32), cfg.order)
-        hp_rot = _prec.HOT
-        Mre = jnp.einsum("bes,st->bet", Mre, M_rot, precision=hp_rot)
-        Mim = jnp.einsum("bes,st->bet", Mim, M_rot, precision=hp_rot)
+        Mre = jnp.einsum("bes,st->bet", Mre, M_rot, precision=hp)
+        Mim = jnp.einsum("bes,st->bet", Mim, M_rot, precision=hp)
     conv = _fuma_conv(cfg)
     if conv is not None:
         cv = jnp.asarray(conv.astype(np.float32))
-        hp_c = _prec.HOT
-        Mre = jnp.einsum("bes,st->bet", Mre, cv, precision=hp_c)
-        Mim = jnp.einsum("bes,st->bet", Mim, cv, precision=hp_c)
+        Mre = jnp.einsum("bes,st->bet", Mre, cv, precision=hp)
+        Mim = jnp.einsum("bes,st->bet", Mim, cv, precision=hp)
     (sre, sim), state = ri.analysis_ri(bank, state, x)
-    hp = _prec.HOT
     out_re = (jnp.einsum("bes,bsh->beh", Mre, sre, precision=hp)
               - jnp.einsum("bes,bsh->beh", Mim, sim, precision=hp))
     out_im = (jnp.einsum("bes,bsh->beh", Mre, sim, precision=hp)
@@ -251,11 +254,12 @@ def process_ri_batched(cfg: AmbiBinConfig, w_ri, state, x: jax.Array,
     from spatial_audio_framework_tpu.ops import afstft_ri as ri
 
     bank = cfg.afstft
+    mode = _prec.resolve_mode(cfg.mxu_precision)
     Mre, Mim = w_ri
     conv = _fuma_conv(cfg)
     if conv is not None:  # FuMa: conversion not folded at design time
         cv = jnp.asarray(conv.astype(np.float32))
-        hp_c = _prec.HOT
+        hp_c = _prec.to_xla(mode)
         Mre = jnp.einsum("bes,st->bet", Mre, cv, precision=hp_c)
         Mim = jnp.einsum("bes,st->bet", Mim, cv, precision=hp_c)
     if use_pallas:
@@ -263,11 +267,12 @@ def process_ri_batched(cfg: AmbiBinConfig, w_ri, state, x: jax.Array,
         # per-band mixing collapses into uniform-band taps; see
         # ops.pallas_afstft.render_decode_synthesis_ri)
         return ri.render_tf_matrix_fused(bank, state, x, Mre, Mim,
-                                         interpret=interpret)
+                                         interpret=interpret, mxu_mode=mode)
     spec_p, state = ri.analysis_ri_batched(bank, state, x,
                                            use_pallas=use_pallas,
-                                           interpret=interpret, packed=True)
-    hp = _prec.HOT
+                                           interpret=interpret, packed=True,
+                                           mxu_mode=mode)
+    hp = _prec.to_xla(mode)
     # spec_p: (S, nSH, H, 2·B) packed [re | im]; M: (B, 2, nSH).  The whole
     # complex multiply is ONE einsum over a (B, 2, nSH, 2out, 2in) tensor so
     # the spectrum is read exactly once (the pipeline is HBM-bound):
@@ -281,5 +286,6 @@ def process_ri_batched(cfg: AmbiBinConfig, w_ri, state, x: jax.Array,
     out_p = out.reshape(S, C.NUM_EARS, H, 2 * B)
     y, state = ri.synthesis_ri_batched(bank, state, out_p,
                                        use_pallas=use_pallas,
-                                       interpret=interpret, packed=True)
+                                       interpret=interpret, packed=True,
+                                       mxu_mode=mode)
     return y, state

@@ -214,7 +214,8 @@ def init_state_batched(bank: AfSTFT, n_streams: int, n_ch_in: int,
 
 def analysis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
                         use_pallas: bool = True, interpret: bool = False,
-                        packed: bool = False):
+                        packed: bool = False,
+                        mxu_mode: Optional[str] = None):
     """x: (S, n_ch, H*hop) → ((re, im) each (S, n_ch, H, n_bands), state).
 
     With use_pallas, the framing⊗window⊗fold⊗rDFT front-end runs as one
@@ -223,9 +224,12 @@ def analysis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
     of materialising the 10×-overlapped frame tensor.  H+6 spectral hops are
     produced per block (6 recomputed from the tail) so the hybrid stage
     slices the kernel output directly, with no carried spectral state.
+    ``mxu_mode``: per-call MXU matmul precision (ops/precision.py; None =
+    the process default) for both the kernel and the XLA reference path.
     """
     from spatial_audio_framework_tpu.ops.pallas_afstft import analysis_front_ri
 
+    mxu_mode = _prec.resolve_mode(mxu_mode)
     hop = bank.hop
     # every pallas kernel in this front-end hard-codes hop=128 (the
     # production afSTFT hop); other hops take the XLA reference path
@@ -241,7 +245,7 @@ def analysis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
         def body(st, xc):
             spec, st = analysis_ri_batched(bank, st, xc, use_pallas=True,
                                            interpret=interpret,
-                                           packed=packed)
+                                           packed=packed, mxu_mode=mxu_mode)
             return st, spec
 
         state, specs = jax.lax.scan(body, state, xk)
@@ -258,7 +262,8 @@ def analysis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
         sre, sim = analysis_front_ri(
             state.in_tail.reshape(S * n_ch, -1),
             x.reshape(S * n_ch, -1),
-            low_delay=bank.low_delay, interpret=interpret)   # (B, H+6, 129)
+            low_delay=bank.low_delay, interpret=interpret,
+            mxu_mode=mxu_mode)                               # (B, H+6, 129)
         if H >= _TAIL_HOPS:
             new_in_tail = x[..., (H - _TAIL_HOPS) * hop:]
         else:
@@ -289,8 +294,9 @@ def analysis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
     frames = seg.reshape(S * n_ch, He, bank.h_len) * jnp.asarray(w_ana)
     folded = frames.reshape(S * n_ch, He, _TOTAL_HOPS // 2,
                             2 * hop).sum(axis=2)
-    sre = jnp.matmul(folded, jnp.asarray(C), precision=_prec.HOT)
-    sim = jnp.matmul(folded, jnp.asarray(Smat), precision=_prec.HOT)
+    xprec = _prec.to_xla(mxu_mode)
+    sre = jnp.matmul(folded, jnp.asarray(C), precision=xprec)
+    sim = jnp.matmul(folded, jnp.asarray(Smat), precision=xprec)
     sre = sre.reshape(S, n_ch, H + 6, hop + 1)
     sim = sim.reshape(S, n_ch, H + 6, hop + 1)
     state = state._replace(in_tail=new_in_tail)
@@ -307,12 +313,15 @@ def analysis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
 
 def synthesis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, Y,
                          use_pallas: bool = True, interpret: bool = False,
-                         packed: bool = False):
+                         packed: bool = False,
+                         mxu_mode: Optional[str] = None):
     """Y: (re, im) each (S, n_ch, H, n_bands) — or, with packed=True, one
     (S, n_ch, H, 2·n_bands) [re | im] tensor — → ((S, n_ch, H*hop), state).
 
     With use_pallas, hybrid-inverse ⊗ irDFT ⊗ window ⊗ overlap-add run as one
-    fused TPU kernel (ops.pallas_afstft.synthesis_back_ri)."""
+    fused TPU kernel (ops.pallas_afstft.synthesis_back_ri).  ``mxu_mode``:
+    per-call MXU matmul precision (None = the process default)."""
+    mxu_mode = _prec.resolve_mode(mxu_mode)
     if packed:
         nb = Y.shape[-1] // 2
         Yre, Yim = Y[..., :nb], Y[..., nb:]
@@ -335,7 +344,8 @@ def synthesis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, Y,
 
         def body(st, yc):
             yy, st = synthesis_ri_batched(bank, st, yc, use_pallas=True,
-                                          interpret=interpret, packed=packed)
+                                          interpret=interpret, packed=packed,
+                                          mxu_mode=mxu_mode)
             return st, yy
 
         state, ys = jax.lax.scan(body, state, Yk)
@@ -366,7 +376,7 @@ def synthesis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, Y,
                 yg, sg = args
                 return synthesis_ri_batched(bank, sg, yg, use_pallas=True,
                                             interpret=interpret,
-                                            packed=packed)
+                                            packed=packed, mxu_mode=mxu_mode)
 
             y, nst = jax.lax.map(body, (Yg, stg))
 
@@ -386,7 +396,8 @@ def synthesis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, Y,
         y, new_tail = synthesis_back_ri(spec, tail,
                                         low_delay=bank.low_delay,
                                         hybrid=bank.hybrid,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        mxu_mode=mxu_mode)
         return (y.reshape(S, n_ch, H * hop),
                 state._replace(ola_tail=new_tail.reshape(S, n_ch,
                                                          h_len - hop)))
@@ -401,8 +412,9 @@ def synthesis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, Y,
                            jnp.float32)
         Yre = Yre * sign
         Yim = Yim * sign
-    frame = (jnp.matmul(Yre, jnp.asarray(A), precision=_prec.HOT)
-             + jnp.matmul(Yim, jnp.asarray(B), precision=_prec.HOT))
+    xprec = _prec.to_xla(mxu_mode)
+    frame = (jnp.matmul(Yre, jnp.asarray(A), precision=xprec)
+             + jnp.matmul(Yim, jnp.asarray(B), precision=xprec))
     contrib = jnp.tile(frame, (1, 1, 1, _TOTAL_HOPS // 2)) * jnp.asarray(w_syn)
     contrib = contrib.reshape(S, n_ch, H, _TOTAL_HOPS, hop)
     acc = jnp.zeros((S, n_ch, H + _TOTAL_HOPS - 1, hop), frame.dtype)
@@ -415,7 +427,8 @@ def synthesis_ri_batched(bank: AfSTFT, state: AfSTFTStateBatched, Y,
 
 def render_tf_matrix_ri(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
                         Mre: jax.Array, Mim: Optional[jax.Array] = None,
-                        use_pallas: bool = True, interpret: bool = False):
+                        use_pallas: bool = True, interpret: bool = False,
+                        mxu_mode: Optional[str] = None):
     """Generic TF-domain matrix renderer on the batched RI fast path:
     afSTFT analysis → per-band mixing matrix → afSTFT synthesis, the shape
     shared by ambi_bin / binauraliser / roombinauraliser / ambi_dec.
@@ -430,6 +443,7 @@ def render_tf_matrix_ri(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
     spectrum in HBM and no per-band einsum.  Larger mixing matrices (where
     the per-band contraction belongs on the MXU) keep the einsum path.
     """
+    mxu_mode = _prec.resolve_mode(mxu_mode)
     cout, cin = Mre.shape[-2], Mre.shape[-1]
     # The fused kernels hard-code hop=128 (the production afSTFT hop); any
     # other hop must take the generic einsum path rather than produce garbage.
@@ -438,32 +452,37 @@ def render_tf_matrix_ri(bank: AfSTFT, state: AfSTFTStateBatched, x: jax.Array,
     if use_pallas and cout * cin <= 128 and bank.hop == 128:
         return render_tf_matrix_fused(bank, state, x, Mre, Mim,
                                       use_pallas=use_pallas,
-                                      interpret=interpret)
+                                      interpret=interpret,
+                                      mxu_mode=mxu_mode)
     spec_p, state = analysis_ri_batched(bank, state, x, use_pallas=use_pallas,
-                                        interpret=interpret, packed=True)
+                                        interpret=interpret, packed=True,
+                                        mxu_mode=mxu_mode)
     S, cin, H, nb2 = spec_p.shape
     B = nb2 // 2
     spec5 = spec_p.reshape(S, cin, H, 2, B)
     per_stream = Mre.ndim == 4
+    xprec = _prec.to_xla(mxu_mode)
     if Mim is None:
         eq = "zbes,zshjb->zehjb" if per_stream else "bes,zshjb->zehjb"
-        out = jnp.einsum(eq, Mre, spec5, precision=_prec.HOT)
+        out = jnp.einsum(eq, Mre, spec5, precision=xprec)
         cout = Mre.shape[-2]
         out_p = out.reshape(S, cout, H, nb2)
     else:
         M4 = jnp.stack([jnp.stack([Mre, -Mim], axis=-1),
                         jnp.stack([Mim, Mre], axis=-1)], axis=-2)
         eq = "zbesij,zshjb->zehib" if per_stream else "besij,zshjb->zehib"
-        out = jnp.einsum(eq, M4, spec5, precision=_prec.HOT)
+        out = jnp.einsum(eq, M4, spec5, precision=xprec)
         cout = Mre.shape[-2]
         out_p = out.reshape(S, cout, H, nb2)
     return synthesis_ri_batched(bank, state, out_p, use_pallas=use_pallas,
-                                interpret=interpret, packed=True)
+                                interpret=interpret, packed=True,
+                                mxu_mode=mxu_mode)
 
 
 def _render_fused_group_split(bank: AfSTFT, state: AfSTFTStateBatched,
                               x: jax.Array, Mre: jax.Array,
-                              Mim: Optional[jax.Array], interpret: bool):
+                              Mim: Optional[jax.Array], interpret: bool,
+                              mxu_mode: Optional[str] = None):
     """Serve an over-VMEM-budget fused render as a lax.map over stream
     groups, each of which fits the budget.  Returns None when no equal
     split of the stream axis fits (the caller then takes the einsum path).
@@ -491,13 +510,15 @@ def _render_fused_group_split(bank: AfSTFT, state: AfSTFTStateBatched,
         def body(args):
             xg, stg, mre_g, mim_g = args
             return render_tf_matrix_fused(bank, stg, xg, mre_g, mim_g,
-                                          interpret=interpret)
+                                          interpret=interpret,
+                                          mxu_mode=mxu_mode)
     else:
 
         def body(args):
             xg, stg = args
             return render_tf_matrix_fused(bank, stg, xg, Mre, Mim,
-                                          interpret=interpret)
+                                          interpret=interpret,
+                                          mxu_mode=mxu_mode)
 
     y, nst = jax.lax.map(body, xs)
 
@@ -511,7 +532,8 @@ def _render_fused_group_split(bank: AfSTFT, state: AfSTFTStateBatched,
 def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
                            x: jax.Array, Mre: jax.Array,
                            Mim: Optional[jax.Array] = None,
-                           use_pallas: bool = True, interpret: bool = False):
+                           use_pallas: bool = True, interpret: bool = False,
+                           mxu_mode: Optional[str] = None):
     """Fully-fused TF-domain matrix renderer: one pallas kernel for the
     analysis front (framing⊗window⊗fold⊗rDFT) and one for everything after
     it (hybrid⊗decode⊗hybrid-inverse⊗irDFT⊗overlap-add, see
@@ -523,11 +545,13 @@ def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
     (tests/test_afstft_ri.py).  With ``use_pallas=False`` it simply calls
     the XLA reference path.
     """
+    mxu_mode = _prec.resolve_mode(mxu_mode)
     if not use_pallas or bank.hop != 128:
         # the fused kernels hard-code hop=128; other hops take the generic
         # einsum path rather than fail/garbage
         return render_tf_matrix_ri(bank, state, x, Mre, Mim,
-                                   use_pallas=False, interpret=interpret)
+                                   use_pallas=False, interpret=interpret,
+                                   mxu_mode=mxu_mode)
     if _synthesis_out_bytes(x.shape[0], Mre.shape[-2],
                             x.shape[2] // bank.hop,
                             bank.hop) > _VMEM_OUT_BUDGET:
@@ -537,13 +561,15 @@ def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
         # each group's output fits the budget and the stacked result lives
         # in HBM, keeping the ~4x fused-vs-einsum advantage at any batch
         # size (measured: 256 order-3 streams 165 ms -> ~43 ms/dispatch).
-        res = _render_fused_group_split(bank, state, x, Mre, Mim, interpret)
+        res = _render_fused_group_split(bank, state, x, Mre, Mim, interpret,
+                                        mxu_mode=mxu_mode)
         if res is not None:
             return res
         # no stream-group split fits (e.g. a single enormous stream):
         # fall back to the einsum path
         return render_tf_matrix_ri(bank, state, x, Mre, Mim,
-                                   use_pallas=False, interpret=interpret)
+                                   use_pallas=False, interpret=interpret,
+                                   mxu_mode=mxu_mode)
     from spatial_audio_framework_tpu.ops.pallas_afstft import (
         analysis_front_ri, decode_taps, render_decode_synthesis_ri)
 
@@ -564,13 +590,15 @@ def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
                      None)
         if h_sub is None:
             return render_tf_matrix_ri(bank, state, x, Mre, Mim,
-                                       use_pallas=False, interpret=interpret)
+                                       use_pallas=False, interpret=interpret,
+                                       mxu_mode=mxu_mode)
         xk = jnp.moveaxis(
             x.reshape(S, cin, H // h_sub, h_sub * hop), 2, 0)
 
         def body(st, xc):
             yc, st = render_tf_matrix_fused(bank, st, xc, Mre, Mim,
-                                            interpret=interpret)
+                                            interpret=interpret,
+                                            mxu_mode=mxu_mode)
             return st, yc
 
         state, ys = jax.lax.scan(body, state, xk)
@@ -578,7 +606,7 @@ def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
         return y, state
     sre, sim = analysis_front_ri(
         state.in_tail.reshape(S * cin, -1), x.reshape(S * cin, -1),
-        low_delay=bank.low_delay, interpret=interpret)
+        low_delay=bank.low_delay, interpret=interpret, mxu_mode=mxu_mode)
     if H >= _TAIL_HOPS:
         new_in_tail = x[..., (H - _TAIL_HOPS) * hop:]
     else:
@@ -593,7 +621,8 @@ def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
     tail = state.ola_tail.reshape(S, cout, _TOTAL_HOPS - 1, hop)
     y, new_tail = render_decode_synthesis_ri(
         sre, sim, tail, taps, low_delay=bank.low_delay, hybrid=bank.hybrid,
-        per_stream=per_stream_m, interpret=interpret, blk=blk)
+        per_stream=per_stream_m, interpret=interpret, blk=blk,
+        mxu_mode=mxu_mode)
     return y, AfSTFTStateBatched(
         in_tail=new_in_tail,
         ola_tail=new_tail.reshape(S, cout, -1))

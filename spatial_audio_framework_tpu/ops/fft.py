@@ -78,8 +78,10 @@ def rfft_op(x, n: int, precision=None):
 
     ``precision`` applies to the matmul-DFT backend only; None = exact f32
     (HIGHEST — design-time callers must keep full accuracy on the MXU; the
-    bf16 1-pass default would blow the ≤1e-4 parity budget).  Per-block
-    process paths pass ``precision.HOT`` (3-pass f32x3; see ops/precision.py).
+    bf16 1-pass default would blow the ≤1e-4 parity budget).  The complex
+    per-block process paths (ops/matrix_conv.py apply/apply_block) pass
+    ``precision.HOT`` (3-pass f32x3; see ops/precision.py), matching the RI
+    fast paths.
     """
     if x.shape[-1] != n:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]

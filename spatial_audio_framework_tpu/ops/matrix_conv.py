@@ -94,15 +94,16 @@ class MatrixConv:
         T = x.shape[-1]
         nh = T // hop
         if self.partitioned:
+            hp = _prec.HOT  # per-block path: same mode as the RI paths
             seg = x.reshape(self.n_in, nh, hop).transpose(1, 0, 2)
-            S = rfft_op(seg, 2 * hop)  # (nh, n_in, hop+1), newest last
+            S = rfft_op(seg, 2 * hop, precision=hp)  # (nh, n_in, hop+1)
             full = jnp.concatenate([state.X_hist, S], axis=0)  # (P-1+nh, ...)
             P = self.n_part
             # windows[t, k] = spectrum of hop (t - k): k=0 → current
             win = jnp.stack([full[P - 1 - k : P - 1 - k + nh] for k in range(P)],
                             axis=1)  # (nh, P, n_in, bins)
-            Y = jnp.einsum("tpib,poib->tob", win, Hf)
-            z = irfft_op(Y, 2 * hop)  # (nh, n_out, 2*hop)
+            Y = jnp.einsum("tpib,poib->tob", win, Hf, precision=hp)
+            z = irfft_op(Y, 2 * hop, precision=hp)  # (nh, n_out, 2*hop)
             heads = z[..., :hop]
             tails = z[..., hop:]
             prev_tails = jnp.concatenate([state.ola[None], tails[:-1]], axis=0)
@@ -114,9 +115,10 @@ class MatrixConv:
         nblk = nfft // hop
 
         def step(ola, xh):  # xh: (n_in, hop)
-            X = rfft_op(xh, nfft)
-            Y = jnp.einsum("oib,ib->ob", Hf, X)
-            z = irfft_op(Y, nfft)
+            hp = _prec.HOT  # per-block path: same mode as the RI paths
+            X = rfft_op(xh, nfft, precision=hp)
+            Y = jnp.einsum("oib,ib->ob", Hf, X, precision=hp)
+            z = irfft_op(Y, nfft, precision=hp)
             ola = jnp.concatenate(
                 [ola[:, hop:], jnp.zeros((self.n_out, hop), ola.dtype)], -1)
             ola = ola + z
@@ -231,14 +233,15 @@ class MultiConv:
         T = x.shape[-1]
         nh = T // hop
         if self.partitioned:
+            hp = _prec.HOT  # per-block path: same mode as the RI paths
             seg = x.reshape(self.n_ch, nh, hop).transpose(1, 0, 2)
-            S = rfft_op(seg, 2 * hop)
+            S = rfft_op(seg, 2 * hop, precision=hp)
             full = jnp.concatenate([state.X_hist, S], axis=0)
             P = self.n_part
             win = jnp.stack([full[P - 1 - k : P - 1 - k + nh] for k in range(P)],
                             axis=1)  # (nh, P, n_ch, bins)
-            Y = jnp.einsum("tpcb,pcb->tcb", win, Hf)
-            z = irfft_op(Y, 2 * hop)
+            Y = jnp.einsum("tpcb,pcb->tcb", win, Hf, precision=hp)
+            z = irfft_op(Y, 2 * hop, precision=hp)
             heads, tails = z[..., :hop], z[..., hop:]
             prev_tails = jnp.concatenate([state.ola[None], tails[:-1]], axis=0)
             out = heads + prev_tails
@@ -247,8 +250,9 @@ class MultiConv:
         nfft = state.ola.shape[-1]
 
         def step(ola, xh):
-            X = rfft_op(xh, nfft)
-            z = irfft_op(Hf * X, nfft)
+            hp = _prec.HOT  # per-block path: same mode as the RI paths
+            X = rfft_op(xh, nfft, precision=hp)
+            z = irfft_op(Hf * X, nfft, precision=hp)
             ola = jnp.concatenate(
                 [ola[:, hop:], jnp.zeros((self.n_ch, hop), ola.dtype)], -1)
             ola = ola + z
@@ -353,13 +357,15 @@ class TVConv:
         """One hop (saf_TVConv_apply).  x: (hop,); ir_idx: () int32 traced.
         → ((n_out, hop), state)."""
         hop = self.hop
-        X = rfft_op(x, 2 * hop)  # (bins,)
+        hp = _prec.HOT  # per-block path: same mode as the RI paths
+        X = rfft_op(x, 2 * hop, precision=hp)  # (bins,)
         full = jnp.concatenate([state.X_hist, X[None]], axis=0)  # (P, bins)
         win = full[::-1]  # win[k] = spectrum k hops ago
 
         def conv_with(idx):
-            Y = jnp.einsum("pob,pb->ob", jnp.take(Hf, idx, axis=0), win)
-            return irfft_op(Y, 2 * hop)  # (n_out, 2*hop)
+            Y = jnp.einsum("pob,pb->ob", jnp.take(Hf, idx, axis=0), win,
+                           precision=hp)
+            return irfft_op(Y, 2 * hop, precision=hp)  # (n_out, 2*hop)
 
         z = conv_with(ir_idx)
         z_last = jnp.where((ir_idx != state.pos_last)[..., None, None],
@@ -412,9 +418,10 @@ class TVConv:
         and the three crossfade conv streams as gathered einsums — the
         sequential pos_last/ola carries are shifts of batched arrays."""
         hop = self.hop
+        hp = _prec.HOT  # per-block path: same mode as the RI paths
         nh = x.shape[-1] // hop
         P = self.n_part
-        S = rfft_op(x.reshape(nh, hop), 2 * hop)       # (nh, bins)
+        S = rfft_op(x.reshape(nh, hop), 2 * hop, precision=hp)  # (nh, bins)
         full = jnp.concatenate([state.X_hist, S], axis=0)
         # win[t, k] = spectrum of hop (t - k)
         win = jnp.stack([full[P - 1 - k: P - 1 - k + nh] for k in range(P)],
@@ -422,8 +429,9 @@ class TVConv:
         idx0, idx1, idx2 = self._idx_streams(state, ir_idx)
 
         def conv_all(idx):
-            Y = jnp.einsum("tpob,tpb->tob", jnp.take(Hf, idx, axis=0), win)
-            return irfft_op(Y, 2 * hop)                # (nh, n_out, 2*hop)
+            Y = jnp.einsum("tpob,tpb->tob", jnp.take(Hf, idx, axis=0), win,
+                           precision=hp)
+            return irfft_op(Y, 2 * hop, precision=hp)  # (nh, n_out, 2*hop)
 
         z0 = conv_all(idx0)
         z_last = jnp.where((idx0 != idx1)[:, None, None], conv_all(idx1), z0)

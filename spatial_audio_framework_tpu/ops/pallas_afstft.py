@@ -18,7 +18,6 @@ interpreter mode for CPU tests.
 """
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import jax
@@ -27,6 +26,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from spatial_audio_framework_tpu.ops import precision as _prec
 from spatial_audio_framework_tpu.ops.afstft import (_COEFF1, _COEFF2,
                                                     _TOTAL_HOPS, _windows)
 from spatial_audio_framework_tpu.ops.fft import _rdft_mats
@@ -35,18 +35,19 @@ BLK_B = 8       # batch rows per grid step (f32 sublane)
 
 # MXU precision for the (ir)DFT matmuls inside the fused kernels.  The v5e
 # MXU multiplies bf16 natively; f32 matmuls are emulated by bf16 passes:
-# HIGHEST = 6 passes (exact f32), "f32x3" = a hand-rolled 3-pass split
-# (operands split into hi+lo bf16, the lo·lo term dropped — Mosaic does not
-# lower Precision.HIGH, so the split is done explicitly).  The dropped term
-# is bounded by 2^-18·|a|·|b| per product (~4e-6 relative after the K-sum),
-# an order of magnitude under the 1e-4 C-parity budget, for half the MXU
-# work.  Overridable via SAF_TPU_MXU_PRECISION=f32x3|highest|default.
-_MXU_MODE = os.environ.get("SAF_TPU_MXU_PRECISION", "f32x3").lower()
+# "highest" = 6 passes (exact f32), "high" = a hand-rolled 3-pass split
+# a.k.a. f32x3 (operands split into hi+lo bf16, the lo·lo term dropped —
+# Mosaic does not lower Precision.HIGH, so the split is done explicitly).
+# The dropped term is bounded by 2^-18·|a|·|b| per product (~4e-6 relative
+# after the K-sum), an order of magnitude under the 1e-4 C-parity budget,
+# for half the MXU work.  The mode is a PER-CALL static argument on every
+# kernel entry point (``mxu_mode``), resolved against the process default
+# (ops/precision.py, env SAF_TPU_MATMUL_PRECISION) when None.
 
 
-def _mm(a, b):
-    """f32 matmul at the configured MXU precision (see _MXU_MODE)."""
-    if _MXU_MODE == "f32x3":
+def _mm(a, b, mode: str = "high"):
+    """f32 matmul at the given MXU mode ('default'|'high'|'highest')."""
+    if mode == "high":  # 3-pass f32x3 split (see module comment)
         a_hi = a.astype(jnp.bfloat16)
         a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         b_hi = b.astype(jnp.bfloat16)
@@ -56,11 +57,12 @@ def _mm(a, b):
                  + jnp.dot(a_lo, b_hi, preferred_element_type=f32))
                 + jnp.dot(a_hi, b_hi, preferred_element_type=f32))
     prec = {"default": jax.lax.Precision.DEFAULT,
-            "highest": jax.lax.Precision.HIGHEST}[_MXU_MODE]
+            "highest": jax.lax.Precision.HIGHEST}[mode]
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
 
 
-def _kernel(H: int, tail_ref, x_ref, w_ref, c_ref, s_ref, re_ref, im_ref):
+def _kernel(H: int, mxu_mode: str, tail_ref, x_ref, w_ref, c_ref, s_ref,
+            re_ref, im_ref):
     hop = 128
     # VMEM concat of the carried tail and the new block (both offset-0 on
     # the sublane axis, which Mosaic supports) — avoids materialising the
@@ -80,15 +82,15 @@ def _kernel(H: int, tail_ref, x_ref, w_ref, c_ref, s_ref, re_ref, im_ref):
     nb = c_ref.shape[1]
     a = acc0.reshape(BLK_B * H, hop)
     b = acc1.reshape(BLK_B * H, hop)
-    re_ref[:] = (_mm(a, c_ref[:hop])
-                 + _mm(b, c_ref[hop:])).reshape(BLK_B, H, nb)
-    im_ref[:] = (_mm(a, s_ref[:hop])
-                 + _mm(b, s_ref[hop:])).reshape(BLK_B, H, nb)
+    re_ref[:] = (_mm(a, c_ref[:hop], mxu_mode)
+                 + _mm(b, c_ref[hop:], mxu_mode)).reshape(BLK_B, H, nb)
+    im_ref[:] = (_mm(a, s_ref[:hop], mxu_mode)
+                 + _mm(b, s_ref[hop:], mxu_mode)).reshape(BLK_B, H, nb)
 
 
-@partial(jax.jit, static_argnames=("low_delay", "interpret"))
 def analysis_front_ri(tail: jax.Array, x: jax.Array, low_delay: bool = False,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      mxu_mode: str | None = None):
     """Fused framing+window+fold+rDFT.
 
     tail: (B, T_tail) float32 — carried input history (multiple of hop);
@@ -97,8 +99,17 @@ def analysis_front_ri(tail: jax.Array, x: jax.Array, low_delay: bool = False,
     per input hop beyond the 9-hop window warm-up.  hop is fixed at 128
     (the window fold and tile sizes assume it; the reference uses hop 128
     throughout).  The tail/block concatenation happens inside the kernel in
-    VMEM — neither buffer is copied in HBM.
+    VMEM — neither buffer is copied in HBM.  ``mxu_mode`` selects the MXU
+    precision of the rDFT matmuls (None = the process default).
     """
+    return _analysis_front_ri(tail, x, low_delay=low_delay,
+                              interpret=interpret,
+                              mxu_mode=_prec.resolve_mode(mxu_mode))
+
+
+@partial(jax.jit, static_argnames=("low_delay", "interpret", "mxu_mode"))
+def _analysis_front_ri(tail: jax.Array, x: jax.Array, low_delay: bool,
+                       interpret: bool, mxu_mode: str):
     hop = 128
     interpret = interpret or jax.default_backend() != "tpu"
     B = x.shape[0]
@@ -117,7 +128,7 @@ def analysis_front_ri(tail: jax.Array, x: jax.Array, low_delay: bool = False,
     x3 = x.reshape(Bp, n_hops - t_hops, hop)
     tail3 = tail.reshape(Bp, t_hops, hop)
     sre, sim = pl.pallas_call(
-        partial(_kernel, H),
+        partial(_kernel, H, mxu_mode),
         grid=(Bp // BLK_B,),
         in_specs=[
             pl.BlockSpec((BLK_B, t_hops, hop),
@@ -200,8 +211,9 @@ def decode_taps(Mre, Mim, hybrid: bool = True):
 
 
 def _render_kernel(H: int, cin: int, cout: int, hybrid: bool,
-                   per_stream: bool, sre_ref, sim_ref, taps_ref, am_ref,
-                   bm_ref, w_ref, tail_ref, y_ref, tail_out_ref, acc):
+                   per_stream: bool, mxu_mode: str, sre_ref, sim_ref,
+                   taps_ref, am_ref, bm_ref, w_ref, tail_ref, y_ref,
+                   tail_out_ref, acc):
     hop = 128
     blk = sre_ref.shape[0]  # streams per grid step (see render's blk arg)
     nb = am_ref.shape[0]
@@ -241,8 +253,8 @@ def _render_kernel(H: int, cin: int, cout: int, hybrid: bool,
     w = w_ref[:]
     nt = _TOTAL_HOPS - 1
     for e in range(cout):
-        fr = (_mm(out_re[e].reshape(blk * H, nb), am_ref[:])
-              + _mm(out_im[e].reshape(blk * H, nb), bm_ref[:]))
+        fr = (_mm(out_re[e].reshape(blk * H, nb), am_ref[:], mxu_mode)
+              + _mm(out_im[e].reshape(blk * H, nb), bm_ref[:], mxu_mode))
         fr = fr.reshape(blk, H, 2 * hop)
         f0 = fr[..., :hop]
         f1 = fr[..., hop:]
@@ -260,14 +272,14 @@ def _render_kernel(H: int, cin: int, cout: int, hybrid: bool,
             tail_out_ref[:, e, :nt - H, :] += tail_ref[:, e, H:, :]
 
 
-@partial(jax.jit, static_argnames=("low_delay", "hybrid", "per_stream",
-                                   "interpret", "blk"))
 def render_decode_synthesis_ri(sre: jax.Array, sim: jax.Array,
                                tail: jax.Array, taps: jax.Array,
                                low_delay: bool = False, hybrid: bool = True,
                                per_stream: bool = False,
-                               interpret: bool = False, blk: int = BLK_S):
-    """Fused decode ⊗ irDFT ⊗ window ⊗ overlap-add.
+                               interpret: bool = False, blk: int = BLK_S,
+                               mxu_mode: str | None = None):
+    """Fused decode ⊗ irDFT ⊗ window ⊗ overlap-add (``mxu_mode``: MXU
+    precision of the irDFT matmuls; None = the process default).
 
     sre/sim: (S, Cin, H+6, 129) uniform-band spectra from
     :func:`analysis_front_ri` (6 leading warm-up hops);
@@ -279,6 +291,19 @@ def render_decode_synthesis_ri(sre: jax.Array, sim: jax.Array,
     with blk·Cin·(H+6), so wide-Cin dispatches (high SH orders) pass
     blk=1 (see afstft_ri._fused_step_vmem_bytes).
     """
+    return _render_decode_synthesis_ri(
+        sre, sim, tail, taps, low_delay=low_delay, hybrid=hybrid,
+        per_stream=per_stream, interpret=interpret, blk=blk,
+        mxu_mode=_prec.resolve_mode(mxu_mode))
+
+
+@partial(jax.jit, static_argnames=("low_delay", "hybrid", "per_stream",
+                                   "interpret", "blk", "mxu_mode"))
+def _render_decode_synthesis_ri(sre: jax.Array, sim: jax.Array,
+                                tail: jax.Array, taps: jax.Array,
+                                low_delay: bool, hybrid: bool,
+                                per_stream: bool, interpret: bool,
+                                blk: int, mxu_mode: str):
     hop = 128
     interpret = interpret or jax.default_backend() != "tpu"
     S, cin, Hp6, nb = sre.shape
@@ -307,7 +332,7 @@ def render_decode_synthesis_ri(sre: jax.Array, sim: jax.Array,
                                  lambda i: (0, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
     y, new_tail = pl.pallas_call(
-        partial(_render_kernel, H, cin, cout, hybrid, per_stream),
+        partial(_render_kernel, H, cin, cout, hybrid, per_stream, mxu_mode),
         grid=(Sp // blk,),
         in_specs=[
             pl.BlockSpec((blk, cin, Hp6, nb),
@@ -364,12 +389,12 @@ def _hybrid_inverse_mtx(n_bands_hyb: int, hop: int) -> np.ndarray:
     return P
 
 
-def _syn_kernel(H: int, spec_ref, tail_ref, ab_ref, w_ref, y_ref,
-                tail_out_ref, acc):
+def _syn_kernel(H: int, mxu_mode: str, spec_ref, tail_ref, ab_ref, w_ref,
+                y_ref, tail_out_ref, acc):
     hop = 128
     nbh2 = spec_ref.shape[2]
     # frames = [spec_re | spec_im] @ [P·A; P·B]  → (BLK_B·H, 2·hop)
-    frames = _mm(spec_ref[:].reshape(BLK_B * H, nbh2), ab_ref[:])
+    frames = _mm(spec_ref[:].reshape(BLK_B * H, nbh2), ab_ref[:], mxu_mode)
     frames = frames.reshape(BLK_B, H, 2 * hop)
     f0 = frames[..., :hop]
     f1 = frames[..., hop:]
@@ -389,16 +414,25 @@ def _syn_kernel(H: int, spec_ref, tail_ref, ab_ref, w_ref, y_ref,
         tail_out_ref[:, : nt - H, :] += tail_ref[:, H:, :]
 
 
-@partial(jax.jit, static_argnames=("low_delay", "hybrid", "interpret"))
 def synthesis_back_ri(spec: jax.Array, tail: jax.Array,
                       low_delay: bool = False, hybrid: bool = True,
-                      interpret: bool = False):
+                      interpret: bool = False, mxu_mode: str | None = None):
     """Fused hybrid-inverse + irDFT + window + overlap-add.
 
     spec: (B, H, 2·n_bands) float32, packed [re | im] (post-decode);
     tail:  (B, 9, hop) float32 — previous block's overlap carry.
-    Returns (y (B, H, hop), new_tail (B, 9, hop)).
+    Returns (y (B, H, hop), new_tail (B, 9, hop)).  ``mxu_mode``: MXU
+    precision of the irDFT matmul (None = the process default).
     """
+    return _synthesis_back_ri(spec, tail, low_delay=low_delay,
+                              hybrid=hybrid, interpret=interpret,
+                              mxu_mode=_prec.resolve_mode(mxu_mode))
+
+
+@partial(jax.jit, static_argnames=("low_delay", "hybrid", "interpret",
+                                   "mxu_mode"))
+def _synthesis_back_ri(spec: jax.Array, tail: jax.Array, low_delay: bool,
+                       hybrid: bool, interpret: bool, mxu_mode: str):
     hop = 128
     interpret = interpret or jax.default_backend() != "tpu"
     B, H = spec.shape[:2]
@@ -418,7 +452,7 @@ def synthesis_back_ri(spec: jax.Array, tail: jax.Array,
         tail = jnp.concatenate(
             [tail, jnp.zeros((Bp - B,) + tail.shape[1:], tail.dtype)], 0)
     y, new_tail = pl.pallas_call(
-        partial(_syn_kernel, H),
+        partial(_syn_kernel, H, mxu_mode),
         grid=(Bp // BLK_B,),
         in_specs=[
             pl.BlockSpec((BLK_B, H, 2 * nbh),
