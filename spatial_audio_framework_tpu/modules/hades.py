@@ -454,23 +454,36 @@ class HadesSynthesis:
                     * jnp.eye(n_mics)
                 Cx_l = (Cx[0] + load, Cx[1])
 
-                def bmvdr_row(Asx, g):
-                    rhs = (Asx[0][..., None], -Asx[1][..., None])  # conj
-                    wv = H.herm_solve(Cx_l, rhs)
-                    wv = (wv[0][..., 0], wv[1][..., 0])
+                # w = Cx⁻¹ conj(As) exactly as the C's utility_cglslv (f32
+                # LAPACK cgesv op-order; saf_hades_synthesis.c:411) — the
+                # e2e parity floor was the C's own cgesv noise.  Both ears
+                # share one factorization (the C's two cglslv calls LU the
+                # identical matrix; per-RHS ops are independent).
+                wv2 = H.cgesv_ri(
+                    Cx_l, (jnp.stack([As_l[0], As_r[0]], -1),
+                           jnp.stack([-As_l[1], -As_r[1]], -1)))
+
+                def bmvdr_row(wv, Asx, g):
                     den = (jnp.einsum("bm,bm->b", wv[0], Asx[0])
                            - jnp.einsum("bm,bm->b", wv[1], Asx[1]) + 1e-5,
                            jnp.einsum("bm,bm->b", wv[0], Asx[1])
                            + jnp.einsum("bm,bm->b", wv[1], Asx[0]))
-                    row = H.cdiv(wv, (den[0][:, None], den[1][:, None]))
+                    # the C computes 1/den once (ccdivf = __divsc3, Smith
+                    # division) then cscal-multiplies it through
+                    rr, ri = H._sladiv(jnp.ones_like(den[0]),
+                                       jnp.zeros_like(den[0]),
+                                       den[0], den[1])
+                    row = H.cmul(wv, (rr[:, None], ri[:, None]))
                     return H.cmul(row, (g[0][:, None], g[1][:, None]))
 
-                rl = bmvdr_row(As_l, g_l)
-                rr = bmvdr_row(As_r, g_r)
+                rl = bmvdr_row((wv2[0][..., 0], wv2[1][..., 0]), As_l, g_l)
+                rr = bmvdr_row((wv2[0][..., 1], wv2[1][..., 1]), As_r, g_r)
                 Q_dir = (jnp.stack([rl[0], rr[0]], 1),
                          jnp.stack([rl[1], rr[1]], 1))
+                # the C's check is cblas_scasum = sum(|re|+|im|), not the
+                # sum of magnitudes (saf_hades_synthesis.c:396)
                 dead = ((tr < 1e-4)
-                        | (jnp.sqrt(H.cabs2(As)).sum(-1) < 1e-4))
+                        | ((jnp.abs(As[0]) + jnp.abs(As[1])).sum(-1) < 1e-4))
                 Q_dir = (jnp.where(dead[:, None, None], 0.0, Q_dir[0]),
                          jnp.where(dead[:, None, None], 0.0, Q_dir[1]))
             wd = (eq * a * (1.0 - psi))[:, None, None]

@@ -424,3 +424,134 @@ def svd_2x2(A: Cmplx):
     u2_im = jnp.where(use_c, c_im, g_im / gs)
     U = (jnp.stack([u1_re, u2_re], -1), jnp.stack([u1_im, u2_im], -1))
     return U, s, V
+
+
+# ---------------------------------------------------------------------------
+# bit-faithful LAPACK cgesv for small static n (C-parity noise matching)
+# ---------------------------------------------------------------------------
+
+def _sladiv(a: jax.Array, b: jax.Array, c: jax.Array, d: jax.Array):
+    """(a+ib)/(c+id) in the operation order of LAPACK sladiv/cladiv
+    (Baudin-Smith; LAPACK >= 3.5, as bundled by the OpenBLAS the C
+    reference goldens link).  The R==0 / B*R==0 sub-branches of SLADIV2
+    are numerically identical to the main path when they trigger, so only
+    the |d| <= |c| swap is materialised.  All f32, elementwise, batched."""
+    swap = jnp.abs(d) > jnp.abs(c)
+    aa = jnp.where(swap, b, a)
+    bb = jnp.where(swap, a, b)
+    cc = jnp.where(swap, d, c)
+    dd = jnp.where(swap, c, d)
+    # SLADIV1: R = D/C; T = 1/(C + D*R); P = (A + B*R)*T; Q = (B - A*R)*T
+    cc_safe = jnp.where(cc == 0.0, 1.0, cc)
+    r = dd / cc_safe
+    t = 1.0 / jnp.where(cc + dd * r == 0.0, 1.0, cc + dd * r)
+    p = (aa + bb * r) * t
+    q = (bb + (-aa) * r) * t
+    return p, jnp.where(swap, -q, q)
+
+
+def cgesv_ri(A: Cmplx, b: Cmplx) -> Cmplx:
+    """Solve A x = b exactly as LAPACK's f32 cgesv does, batched.
+
+    Mirrors the unblocked factorization the reference's utility_cglslv →
+    LAPACKE_cgesv executes for small n (saf_utility_veclib.c; OpenBLAS
+    dispatches n=6 to the reference-LAPACK cgetf2 + cgetrs):
+
+    * partial pivoting on CABS1 = |re| + |im| (icamax), full-row swaps;
+    * column scaling by ``1/a_jj`` computed ONCE via cladiv (Smith
+      division) then multiplied through (cscal) — NOT per-element
+      division;
+    * rank-1 trailing update (cgeru), then unit-lower forward and
+      non-unit-upper backward substitution in ctrsm's k-ordering.
+
+    Everything stays f32 with the same operation ORDER, so the f32
+    rounding pattern tracks the C's — this is what closes the HADES BMVDR
+    output gap vs the compiled C (the residual was the C's own cgesv
+    noise, not algorithmic difference; see tests/test_c_goldens.py).
+    TPU note: the row swaps are masked selects built from a one-hot of the
+    pivot index (no gathers — take_along_axis per LU step measured 22x
+    slower in the fused HADES chunk).
+
+    A: (..., n, n) complex pair; b: (..., n) or (..., n, k) complex pair;
+    n static/small (the loops unroll).  A k-RHS solve shares ONE
+    factorization — exactly what two utility_cglslv calls on the same
+    matrix produce, since the LU is deterministic and per-column ops are
+    independent.  Returns x with b's shape.
+    """
+    Ar, Ai = A
+    br, bi = b
+    vec = br.ndim == Ar.ndim - 1
+    if vec:
+        br, bi = br[..., None], bi[..., None]
+    n = Ar.shape[-1]
+    rows = jnp.arange(n)
+    col = jnp.arange(n)
+
+    def swap_rows(M, row_j, row_p, is_j, is_p):
+        # M with rows j and p exchanged, as pure elementwise selects
+        return jnp.where(is_j, row_p, jnp.where(is_p, row_j, M))
+
+    for j in range(n):
+        # icamax over rows j.. of column j.  LAPACK takes the FIRST max;
+        # argmax also returns the first of equal values.
+        cab1 = jnp.abs(Ar[..., :, j]) + jnp.abs(Ai[..., :, j])
+        p = jnp.argmax(jnp.where(rows >= j, cab1, -1.0), axis=-1)
+        onehot_p = (rows == p[..., None]).astype(Ar.dtype)  # (..., n)
+        is_p = (rows == p[..., None])[..., None]            # (..., n, 1)
+        is_j = (rows == j)[:, None]                         # (n, 1)
+        # row p extracted as a masked reduction (no gather)
+        rowp_r = (Ar * onehot_p[..., None]).sum(-2, keepdims=True)
+        rowp_i = (Ai * onehot_p[..., None]).sum(-2, keepdims=True)
+        rowj_r = Ar[..., j:j + 1, :]
+        rowj_i = Ai[..., j:j + 1, :]
+        Ar = swap_rows(Ar, rowj_r, rowp_r, is_j, is_p)
+        Ai = swap_rows(Ai, rowj_i, rowp_i, is_j, is_p)
+        # pivot the rhs too (cgetrs applies the interchanges via claswp)
+        bp_r = (br * onehot_p[..., None]).sum(-2, keepdims=True)
+        bp_i = (bi * onehot_p[..., None]).sum(-2, keepdims=True)
+        br = swap_rows(br, br[..., j:j + 1, :], bp_r, is_j, is_p)
+        bi = swap_rows(bi, bi[..., j:j + 1, :], bp_i, is_j, is_p)
+        # cgetf2 column scale: alpha = 1/a_jj (cladiv), cscal on rows j+1..
+        inv_r, inv_i = _sladiv(jnp.ones_like(Ar[..., j, j]),
+                               jnp.zeros_like(Ar[..., j, j]),
+                               Ar[..., j, j], Ai[..., j, j])
+        colr, coli = Ar[..., :, j], Ai[..., :, j]
+        sr = colr * inv_r[..., None] - coli * inv_i[..., None]
+        si = colr * inv_i[..., None] + coli * inv_r[..., None]
+        below = rows > j
+        colr = jnp.where(below, sr, colr)
+        coli = jnp.where(below, si, coli)
+        colmask = (col == j)
+        Ar = jnp.where(colmask, colr[..., None], Ar)
+        Ai = jnp.where(colmask, coli[..., None], Ai)
+        # cgeru trailing update: A[i,k] -= A[i,j]*A[j,k]  (i>j, k>j)
+        lr = jnp.where(below, colr, 0.0)[..., :, None]
+        li = jnp.where(below, coli, 0.0)[..., :, None]
+        right = col > j
+        ur = jnp.where(right, Ar[..., j, :], 0.0)[..., None, :]
+        ui = jnp.where(right, Ai[..., j, :], 0.0)[..., None, :]
+        Ar = Ar - (lr * ur - li * ui)
+        Ai = Ai - (lr * ui + li * ur)
+    # ctrsm 'Left, Lower, NoTrans, Unit': b[i] -= b[k]*L[i,k], k ascending
+    for k in range(n - 1):
+        below = (rows > k)[:, None]
+        lr = jnp.where(below, Ar[..., :, k:k + 1], 0.0)
+        li = jnp.where(below, Ai[..., :, k:k + 1], 0.0)
+        bkr, bki = br[..., k:k + 1, :], bi[..., k:k + 1, :]
+        br = br - (bkr * lr - bki * li)
+        bi = bi - (bkr * li + bki * lr)
+    # ctrsm 'Left, Upper, NoTrans, NonUnit': divide then eliminate upward
+    for k in range(n - 1, -1, -1):
+        qr, qi = _sladiv(br[..., k, :], bi[..., k, :],
+                         Ar[..., k, k, None], Ai[..., k, k, None])
+        is_k = (rows == k)[:, None]
+        br = jnp.where(is_k, qr[..., None, :], br)
+        bi = jnp.where(is_k, qi[..., None, :], bi)
+        above = (rows < k)[:, None]
+        ur = jnp.where(above, Ar[..., :, k:k + 1], 0.0)
+        ui = jnp.where(above, Ai[..., :, k:k + 1], 0.0)
+        br = br - (qr[..., None, :] * ur - qi[..., None, :] * ui)
+        bi = bi - (qr[..., None, :] * ui + qi[..., None, :] * ur)
+    if vec:
+        return br[..., 0], bi[..., 0]
+    return br, bi

@@ -617,12 +617,15 @@ def test_hades_end_to_end_vs_c(g):
         assert (params.doa_idx == ref_doa[blk]).all(), blk
         outs.append(syn.apply(params, sigs))
     out = np.concatenate(outs, -1)
-    # binaural output: observed 1.05e-4 on CPU / 2.9e-4 on TPU for a
-    # 1.8-peak signal.  The floor is the C's OWN f32 cgesv/cgesvd noise,
-    # not ours: re-running this chain with the BMVDR herm_solve and the
-    # CM formulate_M_and_Cr_ri upcast to float64 moves the error by <2%
-    # (1.054e-4 -> 1.054e-4), so only bit-mimicking LAPACK's f32
-    # factorization order could tighten it further.
+    # binaural output: observed 2.9e-4 for a 1.8-peak signal.  This budget
+    # is NOT slack: the C's own pipeline, fed input differing by ONE ULP
+    # per sample, moves its output by 5.26e-4 (tools/c_goldens/
+    # hades_chaos_probe.c) — the CM's f32 cgesvd is rotation-chaotic in
+    # the near-rank-1 SCM's degenerate subspace (a 1-ulp SCM perturbation
+    # moves the C's M by 3-10% relative).  We sit INSIDE the C's own
+    # chaos radius; f64-upcasting our side moves <2% (round 3), and the
+    # BMVDR solve is op-order-faithful LAPACK cgesv (herm_ri.cgesv_ri).
+    # Full analysis: docs/C_PARITY.md "HADES end-to-end".
     assert np.abs(out - ref_out).max() <= 5e-4
 
 
