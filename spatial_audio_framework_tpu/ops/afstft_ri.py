@@ -17,6 +17,7 @@ with spectra as (re, im) tuples in BANDS_CH_TIME layout.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -89,6 +90,51 @@ def _fused_step_vmem_bytes(blk: int, cin: int, cout: int, H: int, hop: int,
 # this validated bound are time-split and scanned through the carried
 # state (exact — streaming is the design).
 _PALLAS_MAX_HOPS = 128
+
+
+def _full_render_vmem_bytes(blk: int, cin: int, cout: int, H: int, hop: int,
+                            per_stream: bool = False) -> int:
+    """Per-grid-step scoped-VMEM model for pallas_afstft.render_full_ri
+    (the ONE-kernel analysis⊗decode⊗synthesis path): the spectra values
+    (lane-padded to 2·hop) and the fold accumulators live entirely in VMEM
+    alongside the pipeline-buffered input/output tiles."""
+    def ru8(v):
+        return -(-v // 8) * 8
+
+    buf = 3                             # Mosaic pipeline depth (worst case)
+    He = H + 6
+    nbp = 2 * hop
+    nt = _TOTAL_HOPS - 1
+    inx = buf * blk * cin * ru8(H) * hop * 4
+    intail = buf * blk * cin * ru8(_TAIL_HOPS) * hop * 4
+    xx = blk * cin * ru8(H + _TAIL_HOPS) * hop * 4      # VMEM concat
+    accs = 2 * blk * cin * ru8(He) * hop * 4            # fold accumulators
+    # the 10 window-fold slices are misaligned on the sublane (hop) axis,
+    # so Mosaic materialises each as a shifted copy that stays live
+    # (measured: blk=2/cin=16/H=64 compiles to a 30.0 MiB stack vs 14 MiB
+    # modelled without this term)
+    fold = _TOTAL_HOPS * blk * cin * ru8(He) * hop * 4
+    spec = 2 * blk * cin * ru8(He) * nbp * 4            # sre + sim values
+    outs = buf * blk * cout * (ru8(H) + ru8(nt)) * hop * 4
+    otail = buf * blk * cout * ru8(nt) * hop * 4
+    scr = blk * cout * ru8(H + nt) * hop * 4
+    taps = (buf * blk if per_stream else 1) * cin * cout * 4 * nbp * 4
+    mats = (2 * 2 * hop * nbp + 2 * ru8(hop + 1) * nbp) * 4
+    return (inx + intail + xx + accs + fold + spec + outs + otail + scr
+            + taps + mats)
+
+
+def _fit_full_render_block(cin: int, cout: int, H: int, hop: int,
+                           per_stream: bool):
+    """Largest streams-per-grid-step (2 or 1) for the one-kernel fused
+    renderer; None when even blk=1 exceeds the VMEM budget."""
+    if H > _PALLAS_MAX_HOPS:
+        return None
+    for blk in (2, 1):
+        if (_full_render_vmem_bytes(blk, cin, cout, H, hop, per_stream)
+                <= _VMEM_STEP_BUDGET):
+            return blk
+    return None
 
 
 def _fit_render_block(cin: int, cout: int, H: int, hop: int,
@@ -571,13 +617,44 @@ def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
                                    use_pallas=False, interpret=interpret,
                                    mxu_mode=mxu_mode)
     from spatial_audio_framework_tpu.ops.pallas_afstft import (
-        analysis_front_ri, decode_taps, render_decode_synthesis_ri)
+        analysis_front_ri, decode_taps, render_decode_synthesis_ri,
+        render_full_ri)
 
     hop = bank.hop
     S, cin = x.shape[:2]
     H = x.shape[2] // hop
     cout_m = Mre.shape[-2]
     per_stream_m = Mre.ndim == 4
+    # ONE-kernel path: the uniform-band spectra never round-trip HBM (the
+    # two-kernel pipeline writes + re-reads 2·S·cin·(H+6)·129 f32 between
+    # the kernels — 3-4x the flagship's algorithmic-floor traffic).
+    # MEASURED SLOWER on v5e and therefore opt-in (SAF_TPU_FULL_FUSION=1):
+    # the VMEM stack forces blk=1 and the 10 misaligned fold slices
+    # materialise per step, costing more than the ~0.2 ms/chunk of HBM
+    # round-trip it saves (flagship 13.7 vs 7.9 ms/dispatch, 2026-08-20;
+    # docs/TPU_RUNTIME_NOTES.md "full-fusion experiment").  Kept because
+    # it is the right structure if a future toolchain lifts the scoped-
+    # VMEM limit or folds without sublane-shift copies.
+    blk_full = (_fit_full_render_block(cin, cout_m, H, hop, per_stream_m)
+                if os.environ.get("SAF_TPU_FULL_FUSION", "") not in ("", "0")
+                else None)
+    if blk_full is not None:
+        if Mim is None:
+            Mim = jnp.zeros_like(Mre)
+        taps = decode_taps(Mre, Mim, hybrid=bank.hybrid)
+        tail_ola = state.ola_tail.reshape(S, cout_m, _TOTAL_HOPS - 1, hop)
+        y, new_tail = render_full_ri(
+            state.in_tail, x, tail_ola, taps, low_delay=bank.low_delay,
+            hybrid=bank.hybrid, per_stream=per_stream_m,
+            interpret=interpret, blk=blk_full, mxu_mode=mxu_mode)
+        if H >= _TAIL_HOPS:
+            new_in_tail = x[..., (H - _TAIL_HOPS) * hop:]
+        else:
+            new_in_tail = jnp.concatenate(
+                [state.in_tail[..., H * hop:], x], axis=-1)
+        return y, AfSTFTStateBatched(
+            in_tail=new_in_tail,
+            ola_tail=new_tail.reshape(S, cout_m, -1))
     blk = _fit_render_block(cin, cout_m, H, hop, per_stream_m)
     if blk is None:
         # even one stream per grid step is too wide (high SH order ×

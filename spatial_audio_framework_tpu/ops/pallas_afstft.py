@@ -370,6 +370,196 @@ def _render_decode_synthesis_ri(sre: jax.Array, sim: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# FULLY-fused renderer: framing ⊗ window ⊗ fold ⊗ rDFT ⊗ hybrid ⊗ decode ⊗
+# hybrid-inverse ⊗ irDFT ⊗ window ⊗ overlap-add — ONE kernel, so the
+# uniform-band spectra never exist in HBM at all.  The two-kernel pipeline
+# (analysis_front_ri → render_decode_synthesis_ri) writes + re-reads
+# S·Cin·(H+6)·129 f32 ×2 between the kernels (~148 MB/chunk for the
+# 64-stream order-3 flagship — 3-4x the algorithmic floor traffic).
+# ---------------------------------------------------------------------------
+
+
+def _render_full_kernel(H: int, cin: int, cout: int, hybrid: bool,
+                        per_stream: bool, mxu_mode: str, tail_ref, x_ref,
+                        taps_ref, wa_ref, c_ref, s_ref, am_ref, bm_ref,
+                        ws_ref, otail_ref, y_ref, tail_out_ref, acc):
+    hop = 128
+    blk = x_ref.shape[0]
+    He = H + 6                       # hybrid-FIR context hops
+    # ---- analysis front (same math as _kernel, batched over blk·cin) ----
+    xx = jnp.concatenate([tail_ref[:], x_ref[:]], axis=2)
+    wa = wa_ref[:]
+    acc0 = jnp.zeros((blk, cin, He, hop), jnp.float32)
+    acc1 = jnp.zeros((blk, cin, He, hop), jnp.float32)
+    for m in range(_TOTAL_HOPS // 2):
+        acc0 = acc0 + xx[:, :, 2 * m: 2 * m + He, :] * wa[2 * m]
+        acc1 = acc1 + xx[:, :, 2 * m + 1: 2 * m + 1 + He, :] * wa[2 * m + 1]
+    a = acc0.reshape(blk * cin * He, hop)
+    b = acc1.reshape(blk * cin * He, hop)
+    nb = c_ref.shape[1]
+    sre = (_mm(a, c_ref[:hop], mxu_mode)
+           + _mm(b, c_ref[hop:], mxu_mode)).reshape(blk, cin, He, nb)
+    sim = (_mm(a, s_ref[:hop], mxu_mode)
+           + _mm(b, s_ref[hop:], mxu_mode)).reshape(blk, cin, He, nb)
+
+    # ---- decode (same math as _render_kernel, on VALUES not refs) -------
+    d_off = 3 if hybrid else 6
+
+    def tap(s_, e, k):
+        if per_stream:
+            return taps_ref[:, s_, e, k][:, None, :]    # (blk, 1, nb)
+        return taps_ref[s_, e, k]                       # (nb,)
+
+    out_re = [None] * cout
+    out_im = [None] * cout
+    for s_ in range(cin):
+        d_re = sre[:, s_, d_off:d_off + H, :]
+        d_im = sim[:, s_, d_off:d_off + H, :]
+        if hybrid:
+            g_re = (_COEFF1 * (sre[:, s_, 6:6 + H, :] - sre[:, s_, 0:H, :])
+                    + _COEFF2 * (sre[:, s_, 4:4 + H, :]
+                                 - sre[:, s_, 2:2 + H, :]))
+            g_im = (_COEFF1 * (sim[:, s_, 6:6 + H, :] - sim[:, s_, 0:H, :])
+                    + _COEFF2 * (sim[:, s_, 4:4 + H, :]
+                                 - sim[:, s_, 2:2 + H, :]))
+            w_re, w_im = -g_im, g_re                    # j · g
+        for e in range(cout):
+            are, aim = tap(s_, e, 0), tap(s_, e, 1)
+            t_re = are * d_re - aim * d_im
+            t_im = are * d_im + aim * d_re
+            if hybrid:
+                bre, bim = tap(s_, e, 2), tap(s_, e, 3)
+                t_re = t_re + bre * w_re - bim * w_im
+                t_im = t_im + bre * w_im + bim * w_re
+            out_re[e] = t_re if s_ == 0 else out_re[e] + t_re
+            out_im[e] = t_im if s_ == 0 else out_im[e] + t_im
+
+    # ---- irDFT + window + overlap-add (same math as _render_kernel) -----
+    ws = ws_ref[:]
+    nt = _TOTAL_HOPS - 1
+    for e in range(cout):
+        fr = (_mm(out_re[e].reshape(blk * H, nb), am_ref[:], mxu_mode)
+              + _mm(out_im[e].reshape(blk * H, nb), bm_ref[:], mxu_mode))
+        fr = fr.reshape(blk, H, 2 * hop)
+        f0 = fr[..., :hop]
+        f1 = fr[..., hop:]
+        acc[:, e] = jnp.zeros((blk, H + nt, hop), jnp.float32)
+        for k in range(_TOTAL_HOPS):
+            fk = f0 if k % 2 == 0 else f1
+            acc[:, e, k:k + H, :] += fk * ws[k]
+        if H >= nt:
+            y_ref[:, e] = acc[:, e, :H, :]
+            y_ref[:, e, :nt, :] += otail_ref[:, e]
+            tail_out_ref[:, e] = acc[:, e, H:, :]
+        else:
+            y_ref[:, e] = acc[:, e, :H, :] + otail_ref[:, e, :H, :]
+            tail_out_ref[:, e] = acc[:, e, H:, :]
+            tail_out_ref[:, e, :nt - H, :] += otail_ref[:, e, H:, :]
+
+
+def render_full_ri(in_tail: jax.Array, x: jax.Array, ola_tail: jax.Array,
+                   taps: jax.Array, low_delay: bool = False,
+                   hybrid: bool = True, per_stream: bool = False,
+                   interpret: bool = False, blk: int = 1,
+                   mxu_mode: str | None = None):
+    """One-kernel TF-matrix renderer.
+
+    in_tail: (S, cin, 15·hop) carried input history; x: (S, cin, H·hop);
+    ola_tail: (S, cout, 9, hop); taps from :func:`decode_taps`, shared
+    (cin, cout, 4, 129) or per-stream (S, cin, cout, 4, 129).
+    Returns (y (S, cout, H·hop), new_ola_tail).  Numerically identical to
+    analysis_front_ri → render_decode_synthesis_ri (the math is the same
+    ops in the same order); the packed uniform-band spectra stay in VMEM.
+    """
+    return _render_full_ri(in_tail, x, ola_tail, taps, low_delay=low_delay,
+                           hybrid=hybrid, per_stream=per_stream,
+                           interpret=interpret, blk=blk,
+                           mxu_mode=_prec.resolve_mode(mxu_mode))
+
+
+@partial(jax.jit, static_argnames=("low_delay", "hybrid", "per_stream",
+                                   "interpret", "blk", "mxu_mode"))
+def _render_full_ri(in_tail: jax.Array, x: jax.Array, ola_tail: jax.Array,
+                    taps: jax.Array, low_delay: bool, hybrid: bool,
+                    per_stream: bool, interpret: bool, blk: int,
+                    mxu_mode: str):
+    hop = 128
+    interpret = interpret or jax.default_backend() != "tpu"
+    S, cin = x.shape[:2]
+    H = x.shape[2] // hop
+    t_hops = in_tail.shape[2] // hop
+    cout = taps.shape[-3]
+    w_ana, w_syn = _windows(hop, low_delay)
+    C, Smat, A, Bm = _rdft_mats(2 * hop)
+    if low_delay:
+        sign = np.where(np.arange(hop + 1) % 2, -1.0, 1.0)[:, None]
+        A = A * sign
+        Bm = Bm * sign
+    Sp = -(-S // blk) * blk
+    if Sp != S:
+        pad = lambda a_: jnp.concatenate(
+            [a_, jnp.zeros((Sp - S,) + a_.shape[1:], a_.dtype)], axis=0)
+        in_tail, x, ola_tail = pad(in_tail), pad(x), pad(ola_tail)
+        if per_stream:
+            taps = pad(taps)
+    nt = _TOTAL_HOPS - 1
+    if per_stream:
+        taps_spec = pl.BlockSpec((blk, cin, cout, 4, hop + 1),
+                                 lambda i: (i, 0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        taps_spec = pl.BlockSpec((cin, cout, 4, hop + 1),
+                                 lambda i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    y, new_tail = pl.pallas_call(
+        partial(_render_full_kernel, H, cin, cout, hybrid, per_stream,
+                mxu_mode),
+        grid=(Sp // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, cin, t_hops, hop),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, cin, H, hop),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            taps_spec,
+            pl.BlockSpec((_TOTAL_HOPS, hop),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * hop, hop + 1),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * hop, hop + 1),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hop + 1, 2 * hop),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hop + 1, 2 * hop),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TOTAL_HOPS, hop),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, cout, nt, hop),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((blk, cout, H, hop),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, cout, nt, hop),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Sp, cout, H, hop), jnp.float32),
+            jax.ShapeDtypeStruct((Sp, cout, nt, hop), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((blk, cout, H + nt, hop), jnp.float32),
+        ],
+        interpret=interpret,
+    )(in_tail.reshape(Sp, cin, t_hops, hop),
+      x.reshape(Sp, cin, H, hop), taps,
+      jnp.asarray(w_ana.reshape(_TOTAL_HOPS, hop)),
+      jnp.asarray(C), jnp.asarray(Smat),
+      jnp.asarray(A.astype(np.float32)), jnp.asarray(Bm.astype(np.float32)),
+      jnp.asarray(w_syn.reshape(_TOTAL_HOPS, hop)), ola_tail)
+    return (y[:S].reshape(S, cout, H * hop), new_tail[:S])
+
+
+# ---------------------------------------------------------------------------
 # synthesis back-end: hybrid-inverse ⊗ irDFT ⊗ window ⊗ overlap-add
 # ---------------------------------------------------------------------------
 

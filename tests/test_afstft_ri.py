@@ -613,6 +613,7 @@ def test_unsplittable_oversized_falls_back_to_einsum_path(monkeypatch):
 
     monkeypatch.setattr(pk, "render_decode_synthesis_ri", boom)
     monkeypatch.setattr(pk, "synthesis_back_ri", boom)
+    monkeypatch.setattr(pk, "render_full_ri", boom)
 
     bank = AfSTFT(hop=128, hybrid=True)
     S, cin, cout, H = 2, 2, 2, 4
@@ -633,3 +634,47 @@ def test_unsplittable_oversized_falls_back_to_einsum_path(monkeypatch):
     with np.testing.assert_raises(AssertionError):
         ri.render_tf_matrix_ri(bank, st, x, M, use_pallas=True,
                                interpret=True)
+
+
+def test_full_fusion_path_matches_default(monkeypatch):
+    """The opt-in ONE-kernel renderer (SAF_TPU_FULL_FUSION=1, kept for
+    future toolchains — measured slower on today's v5e, see
+    afstft_ri.render_tf_matrix_fused) must stay numerically identical to
+    the reference path and actually be the path taken."""
+    from spatial_audio_framework_tpu.ops import pallas_afstft as pk
+
+    monkeypatch.setenv("SAF_TPU_FULL_FUSION", "1")
+    calls = []
+    real = pk.render_full_ri
+    monkeypatch.setattr(
+        pk, "render_full_ri",
+        lambda *a, **kw: calls.append(1) or real(*a, **kw))
+
+    bank = AfSTFT(hop=128, hybrid=True)
+    S, cin, cout, H = 3, 4, 2, 8
+    rng = np.random.default_rng(11)
+    st = ri.init_state_batched(bank, S, cin, cout)
+    x = jnp.asarray(rng.uniform(-1, 1, (S, cin, H * 128)).astype(np.float32))
+    Mre = jnp.asarray(rng.standard_normal(
+        (bank.n_bands, cout, cin)).astype(np.float32))
+    Mim = jnp.asarray(rng.standard_normal(
+        (bank.n_bands, cout, cin)).astype(np.float32))
+    y1, st1 = ri.render_tf_matrix_fused(bank, st, x, Mre, Mim,
+                                        interpret=True, mxu_mode="highest")
+    assert calls, "full-fusion kernel was not dispatched"
+    y2, st2 = ri.render_tf_matrix_ri(bank, st, x, Mre, Mim,
+                                     use_pallas=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(st1.ola_tail),
+                               np.asarray(st2.ola_tail), atol=2e-6)
+
+    # per-stream taps variant
+    Mre_s = jnp.asarray(rng.standard_normal(
+        (S, bank.n_bands, cout, cin)).astype(np.float32))
+    Mim_s = jnp.asarray(rng.standard_normal(
+        (S, bank.n_bands, cout, cin)).astype(np.float32))
+    y3, _ = ri.render_tf_matrix_fused(bank, st, x, Mre_s, Mim_s,
+                                      interpret=True, mxu_mode="highest")
+    y4, _ = ri.render_tf_matrix_ri(bank, st, x, Mre_s, Mim_s,
+                                   use_pallas=False)
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(y4), atol=2e-6)
