@@ -82,7 +82,9 @@ def main():
     FS = 48000.0
     HOP = 128
     T = 64 * HOP                 # one ~171 ms chunk per dispatch
-    S_PER = 8                    # streams per device (weak-scaling unit)
+    # streams per device (weak-scaling unit); SAF_MULTICHIP_S_PER=32 with
+    # 8 devices = the 256-stream production scale
+    S_PER = int(os.environ.get("SAF_MULTICHIP_S_PER", "8"))
     CHAIN = 8
     REPS = 3
 
