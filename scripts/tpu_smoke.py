@@ -25,6 +25,13 @@ def fenced(f, *args):
 
 
 def main():
+    # fail fast with a diagnostic (not an external rc=124 kill) if the
+    # device->host tunnel is wedged — see runtime/watchdog.py
+    from spatial_audio_framework_tpu.runtime.watchdog import probe_device
+    rtt = probe_device(timeout_s=float(
+        os.environ.get("SAF_SMOKE_PROBE_TIMEOUT_S", "120")))
+    print(f"device probe ok: fence rtt {1e3 * rtt:.1f} ms", flush=True)
+
     rng = np.random.default_rng(0)
     S, T = 8, 16 * 128
     results = []
