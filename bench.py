@@ -131,21 +131,26 @@ class BenchReport:
         }
 
     def set_value(self, value: float) -> None:
-        self.result["value"] = round(float(value), 2)
-        self.result["vs_baseline"] = round(
-            float(value) / self.baseline_divisor, 3)
+        with self._lock:
+            self.result["value"] = round(float(value), 2)
+            self.result["vs_baseline"] = round(
+                float(value) / self.baseline_divisor, 3)
 
     def extra(self, **kv) -> None:
-        self.result["extra"].update(kv)
+        with self._lock:
+            self.result["extra"].update(kv)
 
     def config(self, name: str, entry: dict) -> None:
-        self.result["extra"]["config_rtfs"][name] = entry
+        with self._lock:
+            self.result["extra"]["config_rtfs"][name] = entry
 
     def error(self, name: str, msg: str) -> None:
-        self.result["extra"]["config_errors"][name] = msg
+        with self._lock:
+            self.result["extra"]["config_errors"][name] = msg
 
     def skipped(self, name: str) -> None:
-        self.result["extra"]["skipped_configs"].append(name)
+        with self._lock:
+            self.result["extra"]["skipped_configs"].append(name)
 
     def emit(self, status: str = None) -> None:
         with self._lock:
@@ -534,7 +539,12 @@ def main():
     def run_calibration():
         # MXU ceiling: state-carrying chained square matmuls, two-chain
         # slope (same estimator as the configs).  f32@HIGH = the 3-pass
-        # f32x3 scheme every process path uses; bf16 = the nominal-peak mode
+        # f32x3 scheme every process path uses; bf16 = the nominal-peak
+        # mode.  Results land in a LOCAL dict and publish into the shared
+        # ``calibration`` only once complete — a mid-calibration failure
+        # must not leave later rooflines quoting achievable-peak fractions
+        # whose basis never reached the artifact.
+        c = {}
         N = 2048 if SMOKE else 6144
         a32 = jnp.asarray(rng.standard_normal((N, N)).astype(np.float32)
                           / np.sqrt(N))
@@ -552,7 +562,7 @@ def main():
         e, s0 = p32(s0, None)
         float(e)
         per32 = slope_time(p32, s0, None, c1=2, c2=18, n_rep=2)
-        calibration["matmul_f32x3_tflops"] = round(flops / per32 / 1e12, 2)
+        c["matmul_f32x3_tflops"] = round(flops / per32 / 1e12, 2)
 
         a16 = a32.astype(jnp.bfloat16)
         p16 = jax.jit(mk(a16, jax.lax.Precision.DEFAULT))
@@ -560,7 +570,7 @@ def main():
         e, s1 = p16(s1, None)
         float(e)
         per16 = slope_time(p16, s1, None, c1=2, c2=18, n_rep=2)
-        calibration["matmul_bf16_tflops"] = round(flops / per16 / 1e12, 2)
+        c["matmul_bf16_tflops"] = round(flops / per16 / 1e12, 2)
 
         # HBM ceiling: streaming triad s = s*c + x over HBM-resident arrays
         # (2 reads + 1 write per element per step)
@@ -577,9 +587,10 @@ def main():
         float(e)
         pert = slope_time(pt, st, xbig, c1=2, c2=18, n_rep=2)
         bytes_per = 3.0 * 4 * M[0] * M[1]
-        calibration["hbm_gbps"] = round(bytes_per / pert / 1e9, 1)
-        calibration["matmul_dim"] = N
-        calibration["triad_mb"] = round(bytes_per / 3 / 2**20, 1)
+        c["hbm_gbps"] = round(bytes_per / pert / 1e9, 1)
+        c["matmul_dim"] = N
+        c["triad_mb"] = round(bytes_per / 3 / 2**20, 1)
+        calibration.update(c)
         report.extra(calibration=dict(calibration),
                      roofline_peaks={"tflops_bf16_nominal": PEAK_TFLOPS,
                                      "hbm_gbps_nominal": PEAK_GBPS,

@@ -227,12 +227,14 @@ def process_ri(cfg: AmbiBinConfig, w_ri, state, x: jax.Array,
         cv = jnp.asarray(conv.astype(np.float32))
         Mre = jnp.einsum("bes,st->bet", Mre, cv, precision=hp)
         Mim = jnp.einsum("bes,st->bet", Mim, cv, precision=hp)
-    (sre, sim), state = ri.analysis_ri(bank, state, x)
+    (sre, sim), state = ri.analysis_ri(bank, state, x,
+                                       mxu_mode=cfg.mxu_precision)
     out_re = (jnp.einsum("bes,bsh->beh", Mre, sre, precision=hp)
               - jnp.einsum("bes,bsh->beh", Mim, sim, precision=hp))
     out_im = (jnp.einsum("bes,bsh->beh", Mre, sim, precision=hp)
               + jnp.einsum("bes,bsh->beh", Mim, sre, precision=hp))
-    y, state = ri.synthesis_ri(bank, state, (out_re, out_im))
+    y, state = ri.synthesis_ri(bank, state, (out_re, out_im),
+                               mxu_mode=cfg.mxu_precision)
     return y, state
 
 

@@ -705,9 +705,11 @@ def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
         ola_tail=new_tail.reshape(S, cout, -1))
 
 
-def analysis_ri(bank: AfSTFT, state: AfSTFTStateRI, x: jax.Array
+def analysis_ri(bank: AfSTFT, state: AfSTFTStateRI, x: jax.Array,
+                mxu_mode: Optional[str] = None
                 ) -> Tuple[Tuple[jax.Array, jax.Array], AfSTFTStateRI]:
-    """x: (n_ch, H*hop) → ((re, im) each (n_bands, n_ch, H), state)."""
+    """x: (n_ch, H*hop) → ((re, im) each (n_bands, n_ch, H), state).
+    ``mxu_mode``: per-call MXU matmul precision (None = process default)."""
     hop, h_len = bank.hop, bank.h_len
     n_ch = x.shape[0]
     H = x.shape[1] // hop
@@ -718,8 +720,9 @@ def analysis_ri(bank: AfSTFT, state: AfSTFTStateRI, x: jax.Array
     seg = jnp.stack([hops[:, k:k + H] for k in range(_TOTAL_HOPS)], axis=2)
     frames = seg.reshape(n_ch, H, h_len) * jnp.asarray(w_ana)
     folded = frames.reshape(n_ch, H, _TOTAL_HOPS // 2, 2 * hop).sum(axis=2)
-    sre = jnp.matmul(folded, jnp.asarray(C), precision=_prec.HOT)
-    sim = jnp.matmul(folded, jnp.asarray(S), precision=_prec.HOT)
+    xprec = _prec.to_xla(_prec.resolve_mode(mxu_mode))
+    sre = jnp.matmul(folded, jnp.asarray(C), precision=xprec)
+    sim = jnp.matmul(folded, jnp.asarray(S), precision=xprec)
     new_in_tail = buf[:, H * hop:]
     if not bank.hybrid:
         return ((sre.transpose(2, 0, 1), sim.transpose(2, 0, 1)),
@@ -734,8 +737,10 @@ def analysis_ri(bank: AfSTFT, state: AfSTFTStateRI, x: jax.Array
 
 
 def synthesis_ri(bank: AfSTFT, state: AfSTFTStateRI,
-                 Y: Tuple[jax.Array, jax.Array]):
-    """Y: (re, im) each (n_bands, n_ch, H) → ((n_ch, H*hop), state)."""
+                 Y: Tuple[jax.Array, jax.Array],
+                 mxu_mode: Optional[str] = None):
+    """Y: (re, im) each (n_bands, n_ch, H) → ((n_ch, H*hop), state).
+    ``mxu_mode``: per-call MXU matmul precision (None = process default)."""
     hop, h_len = bank.hop, bank.h_len
     _, w_syn = _windows(hop, bank.low_delay)
     _, _, A, B = _rdft_mats(2 * hop)
@@ -750,8 +755,9 @@ def synthesis_ri(bank: AfSTFT, state: AfSTFTStateRI,
                            jnp.float32)
         Yre = Yre * sign
         Yim = Yim * sign
-    frame = (jnp.matmul(Yre, jnp.asarray(A), precision=_prec.HOT)
-             + jnp.matmul(Yim, jnp.asarray(B), precision=_prec.HOT))
+    xprec = _prec.to_xla(_prec.resolve_mode(mxu_mode))
+    frame = (jnp.matmul(Yre, jnp.asarray(A), precision=xprec)
+             + jnp.matmul(Yim, jnp.asarray(B), precision=xprec))
     contrib = jnp.tile(frame, (1, 1, _TOTAL_HOPS // 2)) * jnp.asarray(w_syn)
     contrib = contrib.reshape(n_ch, H, _TOTAL_HOPS, hop)
     acc = jnp.zeros((n_ch, H + _TOTAL_HOPS - 1, hop), frame.dtype)

@@ -61,6 +61,21 @@ def _mm(a, b, mode: str = "high"):
     return jnp.dot(a, b, preferred_element_type=jnp.float32, precision=prec)
 
 
+def _fold(xx, w, H: int):
+    """Window fold along the hop (sublane, second-to-last) axis: parity p
+    accumulates window taps k = p, p+2, …, p+8 of the 10-hop prototype
+    (afSTFT_internal.c:266-299).  xx: (..., n_hops, hop); w: (10, hop).
+    Returns (acc0, acc1) each (..., H, hop) — shared by the analysis
+    kernel and the full-fusion renderer (identical op order)."""
+    sh = xx.shape[:-2] + (H, xx.shape[-1])
+    acc0 = jnp.zeros(sh, jnp.float32)
+    acc1 = jnp.zeros(sh, jnp.float32)
+    for m in range(_TOTAL_HOPS // 2):
+        acc0 = acc0 + xx[..., 2 * m: 2 * m + H, :] * w[2 * m]
+        acc1 = acc1 + xx[..., 2 * m + 1: 2 * m + 1 + H, :] * w[2 * m + 1]
+    return acc0, acc1
+
+
 def _kernel(H: int, mxu_mode: str, tail_ref, x_ref, w_ref, c_ref, s_ref,
             re_ref, im_ref):
     hop = 128
@@ -68,13 +83,7 @@ def _kernel(H: int, mxu_mode: str, tail_ref, x_ref, w_ref, c_ref, s_ref,
     # the sublane axis, which Mosaic supports) — avoids materialising the
     # concatenated buffer in HBM every block.
     x = jnp.concatenate([tail_ref[:], x_ref[:]], axis=1)
-    w = w_ref[:]                                    # (10, hop)
-    # fold: parity p gets window taps k = p, p+2, ..., p+8
-    acc0 = jnp.zeros((BLK_B, H, hop), jnp.float32)
-    acc1 = jnp.zeros((BLK_B, H, hop), jnp.float32)
-    for m in range(_TOTAL_HOPS // 2):
-        acc0 = acc0 + x[:, 2 * m: 2 * m + H, :] * w[2 * m]
-        acc1 = acc1 + x[:, 2 * m + 1: 2 * m + 1 + H, :] * w[2 * m + 1]
+    acc0, acc1 = _fold(x, w_ref[:], H)
     # spec = [acc0 | acc1] @ [C; S] as two half-K matmuls per part (a lane
     # concat of the parity accumulators trips Mosaic's layout rules).  The
     # re/im parts go to separate outputs so no consumer ever needs a
@@ -210,34 +219,34 @@ def decode_taps(Mre, Mim, hybrid: bool = True):
     return xp.stack([r(A_re), r(A_im), r(B_re), r(B_im)], axis=-2)
 
 
-def _render_kernel(H: int, cin: int, cout: int, hybrid: bool,
-                   per_stream: bool, mxu_mode: str, sre_ref, sim_ref,
-                   taps_ref, am_ref, bm_ref, w_ref, tail_ref, y_ref,
-                   tail_out_ref, acc):
-    hop = 128
-    blk = sre_ref.shape[0]  # streams per grid step (see render's blk arg)
-    nb = am_ref.shape[0]
-    d_off = 3 if hybrid else 6
-
+def _tap_getter(taps_ref, per_stream: bool):
+    """taps accessor shared by the render kernels: tap(s, e, k) is
+    broadcastable against a (blk, H, nb) band tensor."""
     def tap(s, e, k):
         if per_stream:
             return taps_ref[:, s, e, k][:, None, :]     # (blk, 1, nb)
         return taps_ref[s, e, k]                        # (nb,)
+    return tap
 
+
+def _decode_mix(sre, sim, tap, H: int, cin: int, cout: int, hybrid: bool):
+    """Per-uniform-band decode with the hybrid stage collapsed into A/B
+    taps (see the fused-renderer comment above): sre/sim are sliceable
+    (blk, cin, H+6, nb) spectra (VMEM refs or values).  Returns per-ear
+    accumulations (out_re, out_im), each a list of (blk, H, nb)."""
+    d_off = 3 if hybrid else 6
     out_re = [None] * cout
     out_im = [None] * cout
     for s in range(cin):
-        d_re = sre_ref[:, s, d_off:d_off + H, :]
-        d_im = sim_ref[:, s, d_off:d_off + H, :]
+        d_re = sre[:, s, d_off:d_off + H, :]
+        d_im = sim[:, s, d_off:d_off + H, :]
         if hybrid:
-            g_re = (_COEFF1 * (sre_ref[:, s, 6:6 + H, :]
-                               - sre_ref[:, s, 0:H, :])
-                    + _COEFF2 * (sre_ref[:, s, 4:4 + H, :]
-                                 - sre_ref[:, s, 2:2 + H, :]))
-            g_im = (_COEFF1 * (sim_ref[:, s, 6:6 + H, :]
-                               - sim_ref[:, s, 0:H, :])
-                    + _COEFF2 * (sim_ref[:, s, 4:4 + H, :]
-                                 - sim_ref[:, s, 2:2 + H, :]))
+            g_re = (_COEFF1 * (sre[:, s, 6:6 + H, :] - sre[:, s, 0:H, :])
+                    + _COEFF2 * (sre[:, s, 4:4 + H, :]
+                                 - sre[:, s, 2:2 + H, :]))
+            g_im = (_COEFF1 * (sim[:, s, 6:6 + H, :] - sim[:, s, 0:H, :])
+                    + _COEFF2 * (sim[:, s, 4:4 + H, :]
+                                 - sim[:, s, 2:2 + H, :]))
             w_re, w_im = -g_im, g_re                    # j · g
         for e in range(cout):
             are, aim = tap(s, e, 0), tap(s, e, 1)
@@ -249,12 +258,21 @@ def _render_kernel(H: int, cin: int, cout: int, hybrid: bool,
                 t_im = t_im + bre * w_im + bim * w_re
             out_re[e] = t_re if s == 0 else out_re[e] + t_re
             out_im[e] = t_im if s == 0 else out_im[e] + t_im
+    return out_re, out_im
 
-    w = w_ref[:]
+
+def _irdft_ola_writeback(out_re, out_im, am, bm, w, H: int, blk: int,
+                         cout: int, mxu_mode: str, acc, y_ref, tail_ref,
+                         tail_out_ref):
+    """Per-ear irDFT ⊗ synthesis window ⊗ overlap-add ⊗ tail merge, shared
+    by the two-kernel renderer and the full-fusion renderer (identical op
+    order).  Writes y_ref/tail_out_ref through the (blk, cout, …) refs."""
+    hop = 128
+    nb = am.shape[0]
     nt = _TOTAL_HOPS - 1
     for e in range(cout):
-        fr = (_mm(out_re[e].reshape(blk * H, nb), am_ref[:], mxu_mode)
-              + _mm(out_im[e].reshape(blk * H, nb), bm_ref[:], mxu_mode))
+        fr = (_mm(out_re[e].reshape(blk * H, nb), am, mxu_mode)
+              + _mm(out_im[e].reshape(blk * H, nb), bm, mxu_mode))
         fr = fr.reshape(blk, H, 2 * hop)
         f0 = fr[..., :hop]
         f1 = fr[..., hop:]
@@ -270,6 +288,19 @@ def _render_kernel(H: int, cin: int, cout: int, hybrid: bool,
             y_ref[:, e] = acc[:, e, :H, :] + tail_ref[:, e, :H, :]
             tail_out_ref[:, e] = acc[:, e, H:, :]
             tail_out_ref[:, e, :nt - H, :] += tail_ref[:, e, H:, :]
+
+
+def _render_kernel(H: int, cin: int, cout: int, hybrid: bool,
+                   per_stream: bool, mxu_mode: str, sre_ref, sim_ref,
+                   taps_ref, am_ref, bm_ref, w_ref, tail_ref, y_ref,
+                   tail_out_ref, acc):
+    blk = sre_ref.shape[0]  # streams per grid step (see render's blk arg)
+    out_re, out_im = _decode_mix(sre_ref, sim_ref,
+                                 _tap_getter(taps_ref, per_stream),
+                                 H, cin, cout, hybrid)
+    _irdft_ola_writeback(out_re, out_im, am_ref[:], bm_ref[:], w_ref[:],
+                         H, blk, cout, mxu_mode, acc, y_ref, tail_ref,
+                         tail_out_ref)
 
 
 def render_decode_synthesis_ri(sre: jax.Array, sim: jax.Array,
@@ -386,14 +417,9 @@ def _render_full_kernel(H: int, cin: int, cout: int, hybrid: bool,
     hop = 128
     blk = x_ref.shape[0]
     He = H + 6                       # hybrid-FIR context hops
-    # ---- analysis front (same math as _kernel, batched over blk·cin) ----
+    # analysis front (the _kernel math, batched over blk·cin)
     xx = jnp.concatenate([tail_ref[:], x_ref[:]], axis=2)
-    wa = wa_ref[:]
-    acc0 = jnp.zeros((blk, cin, He, hop), jnp.float32)
-    acc1 = jnp.zeros((blk, cin, He, hop), jnp.float32)
-    for m in range(_TOTAL_HOPS // 2):
-        acc0 = acc0 + xx[:, :, 2 * m: 2 * m + He, :] * wa[2 * m]
-        acc1 = acc1 + xx[:, :, 2 * m + 1: 2 * m + 1 + He, :] * wa[2 * m + 1]
+    acc0, acc1 = _fold(xx, wa_ref[:], He)
     a = acc0.reshape(blk * cin * He, hop)
     b = acc1.reshape(blk * cin * He, hop)
     nb = c_ref.shape[1]
@@ -401,60 +427,12 @@ def _render_full_kernel(H: int, cin: int, cout: int, hybrid: bool,
            + _mm(b, c_ref[hop:], mxu_mode)).reshape(blk, cin, He, nb)
     sim = (_mm(a, s_ref[:hop], mxu_mode)
            + _mm(b, s_ref[hop:], mxu_mode)).reshape(blk, cin, He, nb)
-
-    # ---- decode (same math as _render_kernel, on VALUES not refs) -------
-    d_off = 3 if hybrid else 6
-
-    def tap(s_, e, k):
-        if per_stream:
-            return taps_ref[:, s_, e, k][:, None, :]    # (blk, 1, nb)
-        return taps_ref[s_, e, k]                       # (nb,)
-
-    out_re = [None] * cout
-    out_im = [None] * cout
-    for s_ in range(cin):
-        d_re = sre[:, s_, d_off:d_off + H, :]
-        d_im = sim[:, s_, d_off:d_off + H, :]
-        if hybrid:
-            g_re = (_COEFF1 * (sre[:, s_, 6:6 + H, :] - sre[:, s_, 0:H, :])
-                    + _COEFF2 * (sre[:, s_, 4:4 + H, :]
-                                 - sre[:, s_, 2:2 + H, :]))
-            g_im = (_COEFF1 * (sim[:, s_, 6:6 + H, :] - sim[:, s_, 0:H, :])
-                    + _COEFF2 * (sim[:, s_, 4:4 + H, :]
-                                 - sim[:, s_, 2:2 + H, :]))
-            w_re, w_im = -g_im, g_re                    # j · g
-        for e in range(cout):
-            are, aim = tap(s_, e, 0), tap(s_, e, 1)
-            t_re = are * d_re - aim * d_im
-            t_im = are * d_im + aim * d_re
-            if hybrid:
-                bre, bim = tap(s_, e, 2), tap(s_, e, 3)
-                t_re = t_re + bre * w_re - bim * w_im
-                t_im = t_im + bre * w_im + bim * w_re
-            out_re[e] = t_re if s_ == 0 else out_re[e] + t_re
-            out_im[e] = t_im if s_ == 0 else out_im[e] + t_im
-
-    # ---- irDFT + window + overlap-add (same math as _render_kernel) -----
-    ws = ws_ref[:]
-    nt = _TOTAL_HOPS - 1
-    for e in range(cout):
-        fr = (_mm(out_re[e].reshape(blk * H, nb), am_ref[:], mxu_mode)
-              + _mm(out_im[e].reshape(blk * H, nb), bm_ref[:], mxu_mode))
-        fr = fr.reshape(blk, H, 2 * hop)
-        f0 = fr[..., :hop]
-        f1 = fr[..., hop:]
-        acc[:, e] = jnp.zeros((blk, H + nt, hop), jnp.float32)
-        for k in range(_TOTAL_HOPS):
-            fk = f0 if k % 2 == 0 else f1
-            acc[:, e, k:k + H, :] += fk * ws[k]
-        if H >= nt:
-            y_ref[:, e] = acc[:, e, :H, :]
-            y_ref[:, e, :nt, :] += otail_ref[:, e]
-            tail_out_ref[:, e] = acc[:, e, H:, :]
-        else:
-            y_ref[:, e] = acc[:, e, :H, :] + otail_ref[:, e, :H, :]
-            tail_out_ref[:, e] = acc[:, e, H:, :]
-            tail_out_ref[:, e, :nt - H, :] += otail_ref[:, e, H:, :]
+    # decode + irDFT/OLA — the _render_kernel helpers on VALUES not refs
+    out_re, out_im = _decode_mix(sre, sim, _tap_getter(taps_ref, per_stream),
+                                 H, cin, cout, hybrid)
+    _irdft_ola_writeback(out_re, out_im, am_ref[:], bm_ref[:], ws_ref[:],
+                         H, blk, cout, mxu_mode, acc, y_ref, otail_ref,
+                         tail_out_ref)
 
 
 def render_full_ri(in_tail: jax.Array, x: jax.Array, ola_tail: jax.Array,

@@ -18,7 +18,15 @@ import sys
 
 
 def fmt_rtf(v):
+    # None-safe: the un-losable bench intentionally emits partial
+    # artifacts (value=null on a wedged tunnel); render them too
+    if v is None:
+        return "—"
     return format(int(round(v)), ",").replace(",", " ")
+
+
+def fmt_g(v):
+    return "—" if v is None else f"{v:.2g}"
 
 
 LABELS = {
@@ -102,17 +110,18 @@ def main():
     w("")
     w("| metric | value |")
     w("|---|---|")
+    tgt = ("—" if r["value"] is None else f"{r['value'] / 100:.0f}")
     w(f"| ambi_bin order-3 MagLS, 64 streams | **{fmt_rtf(r['value'])}× RT**"
-      f" ({r['value'] / 100:.0f}× the target) |")
+      f" ({tgt}× the target) |")
     w(f"| ms per dispatch (8 chunks × 171 ms × 64 streams) | "
       f"{e.get('ms_per_dispatch_flagship', '—')} ms |")
     w(f"| p50 latency, one 85 ms block per dispatch (incl. tunnel RTT "
       f"{e.get('dispatch_fence_rtt_ms', '—')} ms) | "
       f"{e.get('p50_block_latency_ms_85ms_block', '—')} ms |")
     w(f"| max abs error vs CPU f32 | "
-      f"{e.get('max_abs_err_vs_cpu_f32', float('nan')):.2g} |")
+      f"{fmt_g(e.get('max_abs_err_vs_cpu_f32'))} |")
     w(f"| max abs error vs compiled C reference (budget 1e-4) | "
-      f"{e.get('max_abs_err_vs_c_reference', float('nan')):.2g} |")
+      f"{fmt_g(e.get('max_abs_err_vs_c_reference'))} |")
     w(f"| MXU precision mode | {e.get('mxu_precision', '—')} |")
     if fr:
         w(f"| achieved compute | {fr.get('achieved_tflops', '—')} TF/s "
@@ -158,7 +167,7 @@ def main():
     w("algorithmic bytes.")
     slowest = min(rows, key=lambda t: t[1] or 1e18)
     w("")
-    w(f"Every config clears the 100× baseline by ≥{slowest[1] / 100:.0f}×;"
+    w(f"Every config clears the 100× baseline by ≥{(slowest[1] or 0) / 100:.0f}×;"
       f" the slowest ({slowest[0]}) still renders "
       f"{fmt_rtf(slowest[1])} seconds of audio per second.")
     w("")
@@ -210,11 +219,11 @@ def main():
           f" streams | {me.get('t_Ndev_step_s')} s "
           f"({fmt_rtf(me.get('rtf_Ndev_total', 0))}× RT aggregate) |")
         w(f"| dp max err vs 1-device render | "
-          f"{me.get('dp_max_err_vs_1dev'):.2g} |")
+          f"{fmt_g(me.get('dp_max_err_vs_1dev'))} |")
         if "tp2_rtf" in me:
             w(f"| tp=2 GSPMD decode, {me.get('tp2_streams')} streams | "
               f"{me.get('tp2_step_s')} s ({fmt_rtf(me.get('tp2_rtf', 0))}×"
-              f" RT), max err {me.get('tp2_max_err_vs_unsharded'):.2g} |")
+              f" RT), max err {fmt_g(me.get('tp2_max_err_vs_unsharded'))} |")
         w("")
         w("On this single-chip environment the mesh is host-simulated")
         w("(`--xla_force_host_platform_device_count`), so these numbers")
