@@ -5,7 +5,10 @@ value is audio-seconds rendered per wall-second per chip (RTF) and
 vs_baseline is value / 100 (the driver target: >100x real-time per v5e chip;
 the reference publishes no numbers — BASELINE.json "published" is empty).
 
-Emission protocol (the driver parses the LAST line printed):
+Emission protocol (the driver parses the LAST line from a ~2000-char tail
+of stdout — so the last line printed is ALWAYS a compact ≤1500-byte summary;
+every emit prints the full enriched line first, then the compact line, and
+optionally rewrites the full record to ``$SAF_BENCH_ARTIFACT`` atomically):
 * The benchmark is UN-LOSABLE by construction (round-3 lesson: a wedged
   device->host tunnel cost the round its entire perf record — BENCH_r03.json
   was rc=124 with zero output).  Concretely:
@@ -107,14 +110,37 @@ class BenchReport:
     """Incrementally-emitted benchmark result.
 
     Holds the single result dict; ``emit()`` prints the WHOLE current state
-    as one JSON line and flushes, so the last line the driver sees always
-    carries everything measured so far.  Thread-safe: the watchdog thread
+    as one JSON line, then a COMPACT (≤ :data:`COMPACT_MAX_BYTES` bytes)
+    summary line, and flushes.  The driver captures only a ~2000-char tail
+    of stdout and parses the LAST line from it — round 4's enriched final
+    line grew to ~8.8 KB and was truncated mid-JSON (BENCH_r04.json
+    ``parsed: null``), so the last line printed must always be the compact
+    one: metric/value/unit/vs_baseline plus the handful of headline extras
+    (flagship ms/dispatch, C-parity error, latency, config/error counts)
+    and a pointer to the full artifact.  Set ``artifact_path`` (env
+    ``SAF_BENCH_ARTIFACT``) to also atomically rewrite the FULL enriched
+    record to a file on every emit — that file is what
+    ``tools/gen_perf_md.py`` renders.  Thread-safe: the watchdog thread
     emits from ``on_expire`` while the main thread may be blocked.
     """
 
+    COMPACT_MAX_BYTES = 1500
+    # extra fields copied into the compact line when present, in
+    # keep-priority order (later ones are dropped first if the cap binds)
+    _COMPACT_KEYS = (
+        "ms_per_dispatch_flagship",
+        "max_abs_err_vs_c_reference",
+        "p50_device_block_latency_ms_85ms_block",
+        "p50_block_latency_ms_85ms_block",
+        "max_abs_err_vs_cpu_f32",
+        "dispatch_fence_rtt_ms",
+        "mxu_precision",
+    )
+
     def __init__(self, metric: str, unit: str, baseline_divisor: float = 100.0,
-                 stream=None):
+                 stream=None, artifact_path: str = None):
         self._stream = stream if stream is not None else sys.stdout
+        self._artifact_path = artifact_path
         self._lock = threading.Lock()
         self.baseline_divisor = baseline_divisor
         self.result = {
@@ -152,11 +178,60 @@ class BenchReport:
         with self._lock:
             self.result["extra"]["skipped_configs"].append(name)
 
+    def compact_line(self) -> str:
+        """The ≤1500-byte driver-tail-safe summary line (see class doc).
+
+        Hard-capped by construction: optional fields are dropped (reverse
+        keep-priority) and the status truncated until the encoded line
+        fits — CI asserts this for fully-populated reports
+        (tests/test_bench_harness.py::test_compact_line_stays_under_cap).
+        """
+        with self._lock:
+            return self._compact_line_locked()
+
+    def _compact_line_locked(self) -> str:
+        ex = self.result["extra"]
+        extra = {"compact": True, "artifact": "BENCH_ARTIFACT.json",
+                 "status": str(ex.get("status", ""))[:180]}
+        for k in self._COMPACT_KEYS:
+            if k in ex:
+                extra[k] = ex[k]
+        extra["n_configs"] = len(ex.get("config_rtfs", {}))
+        extra["n_errors"] = len(ex.get("config_errors", {}))
+        extra["n_skipped"] = len(ex.get("skipped_configs", []))
+        if ex.get("error"):
+            extra["error"] = str(ex["error"])[:200]
+        rec = {"metric": self.result["metric"], "value": self.result["value"],
+               "unit": self.result["unit"],
+               "vs_baseline": self.result["vs_baseline"], "extra": extra}
+        line = json.dumps(rec)
+        droppable = [k for k in extra if k not in ("compact", "status")]
+        while len(line.encode()) > self.COMPACT_MAX_BYTES and droppable:
+            extra.pop(droppable.pop())
+            line = json.dumps(rec)
+        if len(line.encode()) > self.COMPACT_MAX_BYTES:
+            extra["status"] = extra["status"][:40]
+            line = json.dumps(rec)
+        return line
+
     def emit(self, status: str = None) -> None:
         with self._lock:
             if status is not None:
                 self.result["extra"]["status"] = status
-            print(json.dumps(self.result), file=self._stream, flush=True)
+            full = json.dumps(self.result)
+            # full enriched line first, compact line LAST — whatever point
+            # the stream is truncated or the process dies at, the last
+            # complete line is parseable and carries the headline value
+            print(full, file=self._stream, flush=True)
+            print(self._compact_line_locked(), file=self._stream, flush=True)
+            if self._artifact_path:
+                try:
+                    tmp = self._artifact_path + ".tmp"
+                    with open(tmp, "w") as f:
+                        f.write(full + "\n")
+                    os.replace(tmp, self._artifact_path)
+                except OSError:
+                    pass  # artifact write must never kill the report
 
 
 def install_signal_handlers(report: BenchReport) -> None:
@@ -179,7 +254,9 @@ def main():
     probe_timeout_s = float(os.environ.get("SAF_BENCH_PROBE_TIMEOUT_S", "120"))
 
     report = BenchReport("ambi_bin_order3_magls_64streams_rtf",
-                         "audio_sec/sec/chip")
+                         "audio_sec/sec/chip",
+                         artifact_path=os.environ.get("SAF_BENCH_ARTIFACT")
+                         or None)
     install_signal_handlers(report)
 
     from spatial_audio_framework_tpu.runtime.watchdog import (

@@ -435,7 +435,16 @@ def _sladiv(a: jax.Array, b: jax.Array, c: jax.Array, d: jax.Array):
     (Baudin-Smith; LAPACK >= 3.5, as bundled by the OpenBLAS the C
     reference goldens link).  The R==0 / B*R==0 sub-branches of SLADIV2
     are numerically identical to the main path when they trigger, so only
-    the |d| <= |c| swap is materialised.  All f32, elementwise, batched."""
+    the |d| <= |c| swap is materialised.  All f32, elementwise, batched.
+
+    DIVERGENCE FROM LAPACK ON SINGULAR INPUT: a zero (or fully
+    cancelling) denominator is where-guarded to 1.0 so the whole batch
+    stays NaN-free under vmap/jit — LAPACK would instead produce inf/NaN
+    here.  Consequently :func:`cgesv_ri` on an exactly singular pivot
+    returns unspecified FINITE values rather than LAPACK's inf/NaN; its
+    in-framework caller (the diagonally-loaded HADES BMVDR solve) can
+    never hit this, but external callers must not rely on NaN to detect
+    singularity — check the pivot magnitudes instead."""
     swap = jnp.abs(d) > jnp.abs(c)
     aa = jnp.where(swap, b, a)
     bb = jnp.where(swap, a, b)
@@ -477,6 +486,10 @@ def cgesv_ri(A: Cmplx, b: Cmplx) -> Cmplx:
     factorization — exactly what two utility_cglslv calls on the same
     matrix produce, since the LU is deterministic and per-column ops are
     independent.  Returns x with b's shape.
+
+    Singular input: unlike LAPACK (inf/NaN), an exactly singular pivot
+    yields unspecified finite values (see :func:`_sladiv`); callers that
+    need singularity detection must test pivots themselves.
     """
     Ar, Ai = A
     br, bi = b

@@ -120,6 +120,7 @@ class Watchdog:
         self._lock = threading.Lock()
         self._op: Optional[str] = None
         self._op_deadline: Optional[float] = None
+        self._op_timeout_s: Optional[float] = None
         self._budget_deadline = (time.monotonic() + budget_s
                                  if budget_s else None)
         self._stopped = False
@@ -131,11 +132,13 @@ class Watchdog:
         with self._lock:
             self._op = name
             self._op_deadline = time.monotonic() + timeout_s
+            self._op_timeout_s = timeout_s
 
     def end(self) -> None:
         with self._lock:
             self._op = None
             self._op_deadline = None
+            self._op_timeout_s = None
 
     def budget_remaining_s(self) -> float:
         if self._budget_deadline is None:
@@ -143,25 +146,34 @@ class Watchdog:
         return self._budget_deadline - time.monotonic()
 
     def stop(self) -> None:
-        self._stopped = True
+        with self._lock:
+            self._stopped = True
 
     # -- internals ----------------------------------------------------------
     def _run(self) -> None:
         while not self._stopped:
             time.sleep(self._poll_s)
             now = time.monotonic()
-            with self._lock:
-                op, op_dl = self._op, self._op_deadline
+            # expiry is DECIDED and latched under the same lock begin()/
+            # end()/stop() take, so an op that completed (or a stop()) in
+            # the last poll interval can never be force-exited after the
+            # fact — op state and the _stopped latch change atomically
             reason = None
-            if (self._budget_deadline is not None
-                    and now > self._budget_deadline):
-                reason = ("wall-clock budget exhausted"
-                          + (f" during '{op}'" if op else ""))
-            elif op_dl is not None and now > op_dl:
-                reason = (f"operation '{op}' exceeded its {self._poll_s:g}s-"
-                          "polled watchdog deadline (device/tunnel wedge?)")
-            if reason is not None and not self._stopped:
-                self._stopped = True
+            with self._lock:
+                if self._stopped:
+                    return
+                if (self._budget_deadline is not None
+                        and now > self._budget_deadline):
+                    reason = ("wall-clock budget exhausted"
+                              + (f" during '{self._op}'" if self._op else ""))
+                elif (self._op_deadline is not None
+                        and now > self._op_deadline):
+                    reason = (f"operation '{self._op}' exceeded its "
+                              f"{self._op_timeout_s:g}s deadline "
+                              "(device/tunnel wedge?)")
+                if reason is not None:
+                    self._stopped = True
+            if reason is not None:
                 try:
                     self._on_expire(reason)
                 finally:

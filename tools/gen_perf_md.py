@@ -62,17 +62,22 @@ def main():
     ap.add_argument("--date", required=True)
     args = ap.parse_args()
 
-    lines = [ln for ln in open(args.bench_artifact).read().splitlines()
-             if ln.strip()]
-    r = json.loads(lines[-1])
+    def last_full_record(path):
+        # a bench run interleaves full enriched lines with compact ≤1500-B
+        # driver-tail lines (extra.compact=true); render from the last FULL
+        # record (pre-round-5 artifacts have no compact lines — unchanged)
+        recs = [json.loads(ln) for ln in open(path).read().splitlines()
+                if ln.strip()]
+        full = [x for x in recs if not x.get("extra", {}).get("compact")]
+        return (full or recs)[-1]
+
+    r = last_full_record(args.bench_artifact)
     e = r["extra"]
     cal = e.get("calibration", {})
     fr = e.get("flagship_roofline", {})
     mc = None
     if args.multichip_artifact:
-        mlines = [ln for ln in open(args.multichip_artifact).read()
-                  .splitlines() if ln.strip()]
-        mc = json.loads(mlines[-1])
+        mc = last_full_record(args.multichip_artifact)
 
     out = []
     w = out.append
