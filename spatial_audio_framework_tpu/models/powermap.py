@@ -156,17 +156,73 @@ def analysis(cfg: PowermapConfig, w: PowermapWeights, state: PowermapState,
     (nBands,), clipped to [0, 2] (powermap.c:284 pmapEQ)."""
     xc = w.conv_in @ x
     (sre, sim), bank_st = ri.analysis_ri(cfg.afstft, state.bank, xc)
+    pmap_i, Cx_re, Cx_im, prev = _post_front(cfg, w, state, sre, sim,
+                                             pmap_eq)
+    return pmap_i, PowermapState(bank=bank_st, Cx_re=Cx_re, Cx_im=Cx_im,
+                                 prev_pmap=prev)
+
+
+def init_state_batched(cfg: PowermapConfig, w: PowermapWeights,
+                       n: int) -> PowermapState:
+    """State for ``analysis_batched``: n independent analyser instances.
+    The filterbank state is the BATCHED afSTFT state (15-hop input tail,
+    hybrid warm-up recomputed), so the fused Pallas analysis front-end
+    serves all instances in one kernel on TPU."""
+    n_bands = cfg.afstft.n_bands
+    return PowermapState(
+        bank=ri.init_state_batched(cfg.afstft, n, cfg.nsh, 1),
+        Cx_re=jnp.zeros((n, n_bands, cfg.nsh, cfg.nsh), jnp.float32),
+        Cx_im=jnp.zeros((n, n_bands, cfg.nsh, cfg.nsh), jnp.float32),
+        prev_pmap=jnp.zeros((n, w.grid_dirs_deg.shape[0]), jnp.float32))
+
+
+def analysis_batched(cfg: PowermapConfig, w: PowermapWeights,
+                     state: PowermapState, x: jax.Array,
+                     pmap_eq: Optional[jax.Array] = None):
+    """n independent powermap instances in ONE dispatch.
+
+    x: (n, nSH, T) → (pmaps (n, nInterp), state from init_state_batched).
+    Unlike ``vmap(analysis)``, the afSTFT front-end runs as ONE fused
+    batched kernel over all n·nSH channels (ops.afstft_ri
+    .analysis_ri_batched → the Pallas front on TPU), which is what makes
+    many-instance batching a throughput WIN instead of an HBM-temporary
+    loss (round-4 ``_32x`` regression); everything after the front is
+    batch-tolerant over the leading instance axis.
+    """
+    xc = w.conv_in @ x                             # (n, nSH, T)
+    (sre, sim), bank_st = ri.analysis_ri_batched(
+        cfg.afstft, state.bank, xc,
+        use_pallas=jax.default_backend() == "tpu")
+    # batched front layout (n, nSH, H, nBands) → per-instance (nB, nSH, H)
+    sre = sre.transpose(0, 3, 1, 2)
+    sim = sim.transpose(0, 3, 1, 2)
+    pmap_i, Cx_re, Cx_im, prev = _post_front(cfg, w, state, sre, sim,
+                                             pmap_eq)
+    return pmap_i, PowermapState(bank=bank_st, Cx_re=Cx_re, Cx_im=Cx_im,
+                                 prev_pmap=prev)
+
+
+def _scm_update(cfg: PowermapConfig, Cx_re, Cx_im, sre, sim):
+    """One-pole SCM recursion from (..., nB, nSH, H) spectra (any leading
+    batch dims): C = S Sᴴ in RI → re = Sre Sreᵀ + Sim Simᵀ,
+    im = Sim Sreᵀ − Sre Simᵀ (powermap.c:257-266)."""
     H = sre.shape[-1]
     hp = _prec.HOT
-    # SCM in RI: C = S Sᴴ → re = Sre Sreᵀ + Sim Simᵀ, im = Sim Sreᵀ − Sre Simᵀ
-    new_re = (jnp.einsum("bsh,bth->bst", sre, sre, precision=hp)
-              + jnp.einsum("bsh,bth->bst", sim, sim, precision=hp)) / H
-    new_im = (jnp.einsum("bsh,bth->bst", sim, sre, precision=hp)
-              - jnp.einsum("bsh,bth->bst", sre, sim, precision=hp)) / H
+    new_re = (jnp.einsum("...sh,...th->...st", sre, sre, precision=hp)
+              + jnp.einsum("...sh,...th->...st", sim, sim, precision=hp)) / H
+    new_im = (jnp.einsum("...sh,...th->...st", sim, sre, precision=hp)
+              - jnp.einsum("...sh,...th->...st", sre, sim, precision=hp)) / H
     a = cfg.cov_avg_coeff
-    Cx_re = a * state.Cx_re + (1.0 - a) * new_re
-    Cx_im = a * state.Cx_im + (1.0 - a) * new_im
+    return a * Cx_re + (1.0 - a) * new_re, a * Cx_im + (1.0 - a) * new_im
 
+
+def _map_from_cov(cfg: PowermapConfig, w: PowermapWeights, Cx_re, Cx_im,
+                  pmap_eq: Optional[jax.Array]):
+    """Grouped covariance → activity map on the analysis grid, batched over
+    any leading dims of Cx (..., nB, nSH, nSH) → (..., nGrid).  Batch-
+    tolerance is what lets analysis_chunks run ONE eigh over all chunks ×
+    instances instead of K sequential ones inside the scan."""
+    hp = _prec.HOT
     # order-truncated grouping with per-band EQ (powermap.c:275-289)
     nsh_max = w.Y_grid.shape[0]
     if pmap_eq is None:
@@ -174,10 +230,12 @@ def analysis(cfg: PowermapConfig, w: PowermapWeights, state: PowermapState,
     else:
         eq = jnp.clip(pmap_eq, 0.0, 2.0)
     m = w.band_mask * (1e3 * eq)[:, None]          # (nBands, nSH_max)
-    Ct_re = Cx_re[:, :nsh_max, :nsh_max]
-    Ct_im = Cx_im[:, :nsh_max, :nsh_max]
-    C_grp = (jnp.einsum("bi,bj,bij->ij", m, w.band_mask, Ct_re, precision=hp),
-             jnp.einsum("bi,bj,bij->ij", m, w.band_mask, Ct_im, precision=hp))
+    Ct_re = Cx_re[..., :nsh_max, :nsh_max]
+    Ct_im = Cx_im[..., :nsh_max, :nsh_max]
+    C_grp = (jnp.einsum("bi,bj,...bij->...ij", m, w.band_mask, Ct_re,
+                        precision=hp),
+             jnp.einsum("bi,bj,...bij->...ij", m, w.band_mask, Ct_im,
+                        precision=hp))
 
     if cfg.mode == PM_PWD:
         pmap = sh_est.generate_pwd_map_ri(C_grp, w.Y_grid)
@@ -195,15 +253,83 @@ def analysis(cfg: PowermapConfig, w: PowermapWeights, state: PowermapState,
         raise ValueError(cfg.mode)
     # trace guard: a silent scene yields a zero map (powermap.c:295-343)
     if cfg.mode != PM_PWD:
-        tr = jnp.trace(C_grp[0])
-        pmap = jnp.where(tr > 1e-8, pmap, jnp.zeros_like(pmap))
+        tr = jnp.trace(C_grp[0], axis1=-2, axis2=-1)
+        pmap = jnp.where((tr > 1e-8)[..., None], pmap,
+                         jnp.zeros_like(pmap))
+    return pmap
 
-    # average over time on the ANALYSIS grid, then interpolate
+
+def _display(cfg: PowermapConfig, w: PowermapWeights, pmap, prev_pmap):
+    """Map EWMA + VBAP display interpolation + [0,1] normalisation
+    (powermap.c:345-365), batched over leading dims."""
     pmap = (1.0 - cfg.pmap_avg_coeff) * pmap \
-        + cfg.pmap_avg_coeff * state.prev_pmap
-    new_state = PowermapState(bank=bank_st, Cx_re=Cx_re, Cx_im=Cx_im,
-                              prev_pmap=pmap)
-    pmap_i = w.interp_table @ pmap.astype(jnp.float32)
-    # normalise to [0, 1] for display (powermap.c:360-365 min/max scaling)
-    pmin, pmax = pmap_i.min(), pmap_i.max()
-    return (pmap_i - pmin) / jnp.maximum(pmax - pmin, 1e-12), new_state
+        + cfg.pmap_avg_coeff * prev_pmap
+    pmap_i = jnp.einsum("ig,...g->...i", w.interp_table,
+                        pmap.astype(jnp.float32))
+    pmin = pmap_i.min(axis=-1, keepdims=True)
+    pmax = pmap_i.max(axis=-1, keepdims=True)
+    return (pmap_i - pmin) / jnp.maximum(pmax - pmin, 1e-12), pmap
+
+
+def _post_front(cfg: PowermapConfig, w: PowermapWeights,
+                state: PowermapState, sre: jax.Array, sim: jax.Array,
+                pmap_eq: Optional[jax.Array]):
+    """SCM averaging → grouping → map → display interp, from (..., nB,
+    nSH, H) spectra.  Shared by the single-instance and batched entry
+    points (every piece is batched over leading dims)."""
+    Cx_re, Cx_im = _scm_update(cfg, state.Cx_re, state.Cx_im, sre, sim)
+    pmap = _map_from_cov(cfg, w, Cx_re, Cx_im, pmap_eq)
+    pmap_i, prev = _display(cfg, w, pmap, state.prev_pmap)
+    return pmap_i, Cx_re, Cx_im, prev
+
+
+def analysis_chunks(cfg: PowermapConfig, w: PowermapWeights,
+                    state: PowermapState, xs: jax.Array,
+                    pmap_eq: Optional[jax.Array] = None):
+    """K sequential chunks in one dispatch, with the map computation
+    HOISTED out of the chunk recursion.
+
+    xs: (K, nSH, T) — or (K, n, nSH, T) with a state from
+    init_state_batched — → (pmaps (K[, n], nInterp), state).
+
+    The SCM one-pole is the only true chunk-to-chunk dependency, so the
+    scan carries just filterbank + Cx while stacking each chunk's
+    smoothed covariance; the activity maps (including the MUSIC/MinNorm
+    eigendecomposition — the dominant cost, ~2/3 of a MUSIC dispatch) then
+    run ONCE batched over all K chunks (× n instances).  Numerically
+    identical to K calls of ``analysis`` — the same eigh on the same
+    matrices, just batched.  This is TPU-native restructuring with no C
+    counterpart (powermap.c processes one hopsize per call); cite:
+    /root/reference/examples/src/powermap/powermap.c:298-338.
+    """
+    batched = xs.ndim == 4
+
+    def step(carry, xk):
+        bank, Cre, Cim = carry
+        xc = w.conv_in @ xk
+        if batched:
+            (sre, sim), bank = ri.analysis_ri_batched(
+                cfg.afstft, bank, xc,
+                use_pallas=jax.default_backend() == "tpu")
+            sre = sre.transpose(0, 3, 1, 2)
+            sim = sim.transpose(0, 3, 1, 2)
+        else:
+            (sre, sim), bank = ri.analysis_ri(cfg.afstft, bank, xc)
+        Cre, Cim = _scm_update(cfg, Cre, Cim, sre, sim)
+        return (bank, Cre, Cim), (Cre, Cim)
+
+    (bank, Cre, Cim), (Cres, Cims) = jax.lax.scan(
+        step, (state.bank, state.Cx_re, state.Cx_im), xs)
+    pmaps = _map_from_cov(cfg, w, Cres, Cims, pmap_eq)  # ONE batched map
+
+    def dstep(prev, pm):      # chunk-sequential display EWMA (tiny)
+        nxt = (1.0 - cfg.pmap_avg_coeff) * pm + cfg.pmap_avg_coeff * prev
+        return nxt, nxt
+
+    prev, seq = jax.lax.scan(dstep, state.prev_pmap, pmaps)
+    pmap_i = jnp.einsum("ig,...g->...i", w.interp_table,
+                        seq.astype(jnp.float32))
+    pmin = pmap_i.min(axis=-1, keepdims=True)
+    pmax = pmap_i.max(axis=-1, keepdims=True)
+    return ((pmap_i - pmin) / jnp.maximum(pmax - pmin, 1e-12),
+            PowermapState(bank=bank, Cx_re=Cre, Cx_im=Cim, prev_pmap=prev))

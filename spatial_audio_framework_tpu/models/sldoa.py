@@ -122,6 +122,13 @@ class SldoaWeights(NamedTuple):
     conv_in: jax.Array
     sec_dirs_deg: dict      # order → (nSec, 2) sector directions
     orders_per_band: np.ndarray
+    # static per-ORDER band groups: (band_mask (nB,), coeffs (maxSec·4,
+    # nSH)) per distinct analysis order.  All bands in a group share one
+    # coefficient matrix, so the sector-signal contraction is ONE
+    # (maxSec·4, nSH) @ (nSH, nB·H) matmul per group instead of nB
+    # MXU-starved (36×16)@(16×H) batched matmuls — the difference between
+    # negative and positive 32-instance batch scaling on TPU
+    order_groups: tuple
 
 
 def design(cfg: SldoaConfig) -> SldoaWeights:
@@ -155,6 +162,14 @@ def design(cfg: SldoaConfig) -> SldoaWeights:
         coeffs[b, :cb.shape[0]] = cb
         mask[b, :cb.shape[0]] = 1.0
 
+    groups = []
+    for o in sorted(set(orders.tolist())):
+        cb = per_order[o] if o >= 2 else o1
+        cfull = np.zeros((max_sec * 4, cfg.nsh), np.float32)
+        cfull[:cb.shape[0] * 4] = cb.reshape(-1, cfg.nsh)
+        groups.append((jnp.asarray((orders == o).astype(np.float32)),
+                       jnp.asarray(cfull)))
+
     freqs = cfg.afstft.centre_freqs(cfg.fs)
     in_range = ((freqs >= cfg.min_freq) & (freqs <= cfg.max_freq))
     in_range[0] = False  # ignore DC (sldoa.c:266)
@@ -168,7 +183,8 @@ def design(cfg: SldoaConfig) -> SldoaWeights:
         sec_coeffs=jnp.asarray(coeffs), sec_mask=jnp.asarray(mask),
         band_in_range=jnp.asarray(in_range.astype(np.float32)),
         colour_scale=jnp.asarray(colour), conv_in=jnp.asarray(conv),
-        sec_dirs_deg=sec_dirs_deg, orders_per_band=orders)
+        sec_dirs_deg=sec_dirs_deg, orders_per_band=orders,
+        order_groups=tuple(groups))
 
 
 class SldoaState(NamedTuple):
@@ -201,45 +217,127 @@ def analysis(cfg: SldoaConfig, w: SldoaWeights, state: SldoaState,
     """x: (nSH, T) → (SldoaOutput, state).  Fully jittable, complex-free."""
     xc = w.conv_in @ x
     (sre, sim), bank_st = ri.analysis_ri(cfg.afstft, state.bank, xc)
+    out, doa_xyz, energy = _post_front(cfg, w, state, sre, sim)
+    return out, SldoaState(bank=bank_st, doa_xyz=doa_xyz, energy=energy)
+
+
+def init_state_batched(cfg: SldoaConfig, n: int) -> SldoaState:
+    """State for ``analysis_batched``: n independent analyser instances
+    (batched afSTFT front state; see powermap.init_state_batched)."""
+    n_bands = cfg.afstft.n_bands
+    init_xyz = jnp.zeros((n, n_bands, cfg.max_sectors, 3), jnp.float32)
+    init_xyz = init_xyz.at[..., 0].set(1.0)
+    return SldoaState(bank=ri.init_state_batched(cfg.afstft, n, cfg.nsh, 1),
+                      doa_xyz=init_xyz,
+                      energy=jnp.zeros((n, n_bands, cfg.max_sectors),
+                                       jnp.float32))
+
+
+def analysis_batched(cfg: SldoaConfig, w: SldoaWeights, state: SldoaState,
+                     x: jax.Array):
+    """n independent sldoa instances in ONE dispatch: x (n, nSH, T) →
+    (SldoaOutput with a leading n axis, state).  The afSTFT front-end runs
+    as ONE fused batched kernel over all n·nSH channels (Pallas on TPU);
+    the estimator is per-instance vmapped.  Same rationale as
+    powermap.analysis_batched (round-4 ``_32x`` batching regression)."""
+    xc = w.conv_in @ x
+    (sre, sim), bank_st = ri.analysis_ri_batched(
+        cfg.afstft, state.bank, xc,
+        use_pallas=jax.default_backend() == "tpu")
+    sre = sre.transpose(0, 3, 1, 2)    # (n, nB, nSH, H)
+    sim = sim.transpose(0, 3, 1, 2)
+    out, doa_xyz, energy = jax.vmap(
+        lambda st, a, b: _post_front(cfg, w, st, a, b))(state, sre, sim)
+    return out, SldoaState(bank=bank_st, doa_xyz=doa_xyz, energy=energy)
+
+
+def _post_front(cfg: SldoaConfig, w: SldoaWeights, state: SldoaState,
+                sre: jax.Array, sim: jax.Array):
+    """Sector estimation + slot averaging from (nB, nSH, H) spectra;
+    shared by the single-instance and batched entry points."""
     hp = _prec.HOT
-    # sector WXYZ signals (RI): real coefficients → two real einsums
-    ws_re = jnp.einsum("bcws,bsh->bcwh", w.sec_coeffs, sre, precision=hp)
-    ws_im = jnp.einsum("bcws,bsh->bcwh", w.sec_coeffs, sim, precision=hp)
+    # TPU layout: every H-scale tensor below is (…, nB·H) — a trailing
+    # 3-wide (xyz) or 4-wide (WXYZ) axis on a big tensor pads its
+    # (8, 128) tiles ~40×/2× and made the 32-instance batched dispatch
+    # bandwidth-bound on PADDING traffic, not useful bytes
+    nB, nsh, H = sre.shape
+    S_ = w.sec_mask.shape[1]
+    BH = nB * H
+    st_re = sre.transpose(1, 0, 2).reshape(nsh, BH)
+    st_im = sim.transpose(1, 0, 2).reshape(nsh, BH)
+    # sector WXYZ signals (RI): one lane-wide matmul per static order
+    # group (see SldoaWeights.order_groups) — contraction identical to
+    # einsum("bcws,bsh->bcwh", sec_coeffs, s*)
+    ws_re = jnp.zeros((S_ * 4, BH), jnp.float32)
+    ws_im = jnp.zeros((S_ * 4, BH), jnp.float32)
+    for gm, coef in w.order_groups:
+        mb = jnp.broadcast_to(gm[:, None], (nB, H)).reshape(1, BH)
+        ws_re = ws_re + mb * jnp.matmul(coef, st_re, precision=hp)
+        ws_im = ws_im + mb * jnp.matmul(coef, st_im, precision=hp)
     # N3D→SN3D on the dipoles (sldoa_internal.c:182-185)
     scale = jnp.asarray([1.0] + [1.0 / np.sqrt(3.0)] * 3, jnp.float32)
-    ws_re = ws_re * scale[None, None, :, None]
-    ws_im = ws_im * scale[None, None, :, None]
-    energy = 0.5 * jnp.sum(ws_re ** 2 + ws_im ** 2, axis=2)  # (B, S, H)
-    # active intensity: Re(conj(W) · dipole); dipole slots are the ACN rows
-    # (Y, Z, X) so azi = atan2(I_y, I_x), elev vs the horizontal plane
-    # (sldoa_internal.c:196-199)
-    inten = (ws_re[:, :, 0:1] * ws_re[:, :, 1:]
-             + ws_im[:, :, 0:1] * ws_im[:, :, 1:])            # (B, S, 3, H)
-    azi = jnp.arctan2(inten[:, :, 0], inten[:, :, 2])
-    elev = jnp.arctan2(inten[:, :, 1],
-                       jnp.sqrt(inten[:, :, 2] ** 2 + inten[:, :, 0] ** 2))
-    doa = jnp.stack([azi, elev], axis=-1)                     # (B, S, H, 2)
+    ws_re = ws_re.reshape(S_, 4, BH) * scale[None, :, None]
+    ws_im = ws_im.reshape(S_, 4, BH) * scale[None, :, None]
+    energy_s = 0.5 * jnp.sum(ws_re ** 2 + ws_im ** 2, axis=1)   # (S, BH)
+    # active intensity: Re(conj(W) · dipole); dipole slots are the ACN
+    # rows (Y, Z, X) so azi = atan2(I_y, I_x), elev vs the horizontal
+    # plane (sldoa_internal.c:196-199)
+    Iy = ws_re[:, 0] * ws_re[:, 1] + ws_im[:, 0] * ws_im[:, 1]  # (S, BH)
+    Iz = ws_re[:, 0] * ws_re[:, 2] + ws_im[:, 0] * ws_im[:, 2]
+    Ix = ws_re[:, 0] * ws_re[:, 3] + ws_im[:, 0] * ws_im[:, 3]
 
-    # one-pole averaging, sequential across slots (sldoa.c:279-292)
+    def to_bsh(t):   # (S, B·H) → (B, S, H)
+        return t.reshape(S_, nB, H).transpose(1, 0, 2)
+
+    azi = jnp.arctan2(Iy, Ix)
+    elev = jnp.arctan2(Iz, jnp.sqrt(Ix * Ix + Iy * Iy))
+    doa = jnp.stack([to_bsh(azi), to_bsh(elev)], axis=-1)    # (B, S, H, 2)
+    energy = to_bsh(energy_s)                                # (B, S, H)
+
+    # one-pole averaging across slots (sldoa.c:279-292)
     a = cfg.avg_coeff
-    new_xyz = jnp.stack([jnp.cos(elev) * jnp.cos(azi),
-                         jnp.cos(elev) * jnp.sin(azi),
-                         jnp.sin(elev)], axis=-1)             # (B, S, H, 3)
+    # per-slot DoA unit vector: the C's cos/sin(atan2(..)) round trip is
+    # algebraically I/‖I‖, so skip the five transcendental maps; the
+    # all-zero intensity case maps to (1, 0, 0) exactly as cos(0)cos(0)
+    n2 = Ix * Ix + Iy * Iy + Iz * Iz
+    inv = jax.lax.rsqrt(jnp.maximum(n2, jnp.float32(1e-38)))
+    nz = n2 > 0
+    ux = jnp.where(nz, Ix * inv, 1.0)                        # (S, BH) each
+    uy = jnp.where(nz, Iy * inv, 0.0)
+    uz = jnp.where(nz, Iz * inv, 0.0)
     gate = (w.band_in_range[:, None] * w.sec_mask)[..., None]  # (B, S, 1)
+    gate_t = (w.sec_mask * w.band_in_range[:, None]).transpose(1, 0) > 0
 
+    # energy: the gated one-pole is LINEAR, so fold all H slots in closed
+    # form — one weighted reduction instead of H sequential steps
+    wgt = a * (1.0 - a) ** jnp.arange(H - 1, -1, -1.0, dtype=jnp.float32)
+    en_fold = (state.energy.transpose(1, 0) * (1.0 - a) ** H
+               + jnp.einsum("sbh,h->sb", 1e6 * energy_s.reshape(S_, nB, H),
+                            wgt, precision=hp))
+    avg_en = jnp.where(gate_t, en_fold,
+                       state.energy.transpose(1, 0)).transpose(1, 0)
+
+    # DoA: per-slot renormalisation makes the fold nonlinear — keep the
+    # sequential scan; carry the three (S, nB) component planes
     def slot_step(carry, slot):
-        xyz, en = carry
-        xyz_n, en_n = slot
-        upd = xyz_n * a + xyz * (1.0 - a)
-        upd = upd / jnp.maximum(jnp.linalg.norm(upd, axis=-1, keepdims=True),
-                                1e-12)
-        xyz = jnp.where(gate > 0, upd, xyz)
-        en = jnp.where(gate[..., 0] > 0, en_n * a + en * (1.0 - a), en)
-        return (xyz, en), None
+        x, y, z = carry
+        xn, yn, zn = slot
+        px = xn * a + x * (1.0 - a)
+        py = yn * a + y * (1.0 - a)
+        pz = zn * a + z * (1.0 - a)
+        nrm = jnp.maximum(jnp.sqrt(px * px + py * py + pz * pz), 1e-12)
+        x = jnp.where(gate_t, px / nrm, x)
+        y = jnp.where(gate_t, py / nrm, y)
+        z = jnp.where(gate_t, pz / nrm, z)
+        return (x, y, z), None
 
-    slots = (jnp.moveaxis(new_xyz, 2, 0), jnp.moveaxis(energy * 1e6, 2, 0))
-    (avg_xyz, avg_en), _ = jax.lax.scan(slot_step,
-                                        (state.doa_xyz, state.energy), slots)
+    def slots(t):    # (S, B·H) → (H, S, B) scan steps
+        return t.reshape(S_, nB, H).transpose(2, 0, 1)
+
+    carry0 = tuple(state.doa_xyz[..., j].transpose(1, 0) for j in range(3))
+    (cx, cy, cz), _ = jax.lax.scan(slot_step, carry0,
+                                   (slots(ux), slots(uy), slots(uz)))
+    avg_xyz = jnp.stack([cx, cy, cz], axis=-1).transpose(1, 0, 2)
 
     # display vectors (sldoa.c:297-336)
     azi_avg = jnp.degrees(jnp.arctan2(avg_xyz[..., 1], avg_xyz[..., 0]))
@@ -261,4 +359,4 @@ def analysis(cfg: SldoaConfig, w: SldoaWeights, state: SldoaState,
         azi_deg=azi_avg * g2, elev_deg=elev_avg * g2,
         colour_scale=w.colour_scale[:, None] * w.sec_mask,
         alpha_scale=alpha * g2)
-    return out, SldoaState(bank=bank_st, doa_xyz=avg_xyz, energy=avg_en)
+    return out, avg_xyz, avg_en

@@ -15,6 +15,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# full C-parity lane: ~15 min of the suite's runtime lives here.  CI keeps a
+# fast default lane (`pytest -m "not goldens"`, <3 min) and a full golden
+# lane (`pytest -m goldens`); `pytest` with no -m still runs everything.
+pytestmark = pytest.mark.goldens
+
 GOLDENS = os.path.join(os.path.dirname(__file__), "goldens", "c_goldens.npz")
 TOL = 1e-4
 
