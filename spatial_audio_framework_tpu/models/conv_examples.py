@@ -109,17 +109,20 @@ class TVConvExample:
 
     @staticmethod
     def nearest_position(positions: jax.Array, listener_pos: jax.Array):
-        """Traced nearest-neighbour position index."""
-        d = jnp.sum((positions - listener_pos[None, :]) ** 2, axis=-1)
-        return jnp.argmin(d).astype(jnp.int32)
+        """Traced nearest-neighbour position index; listener_pos (..., 3)
+        → (...,) int32 (batch-tolerant)."""
+        d = jnp.sum((positions - listener_pos[..., None, :]) ** 2, axis=-1)
+        return jnp.argmin(d, axis=-1).astype(jnp.int32)
 
     def process(self, conv: TVConv, Hf, state: TVConvState, x: jax.Array,
                 listener_pos: jax.Array, positions: jax.Array):
-        """x: (T,); listener_pos: traced (3,) → ((nCH, T), state)."""
+        """x: (..., T); listener_pos: traced (..., 3) → ((..., nCH, T),
+        state).  Leading batch dims run independent instances in one
+        dispatch (state from init_state(batch=...))."""
         idx = self.nearest_position(positions, listener_pos)
         n_hops = x.shape[-1] // self.hop
-        return conv.apply_block(Hf, state, x,
-                                jnp.full((n_hops,), idx, jnp.int32))
+        return conv.apply_block(Hf, state, x, jnp.broadcast_to(
+            idx[..., None], idx.shape + (n_hops,)))
 
     # complex-free variant
     def design_ri(self, irs: np.ndarray, positions: np.ndarray):
@@ -132,7 +135,8 @@ class TVConvExample:
 
     def process_ri(self, conv: TVConv, H_ri, state: TVConvState, x: jax.Array,
                    listener_pos: jax.Array, positions: jax.Array):
+        """Batch-tolerant like :meth:`process` (x (..., T))."""
         idx = self.nearest_position(positions, listener_pos)
         n_hops = x.shape[-1] // self.hop
-        return conv.apply_block_ri(H_ri, state, x,
-                                   jnp.full((n_hops,), idx, jnp.int32))
+        return conv.apply_block_ri(H_ri, state, x, jnp.broadcast_to(
+            idx[..., None], idx.shape + (n_hops,)))

@@ -26,6 +26,12 @@ from spatial_audio_framework_tpu.ops.fft import irfft_op, rfft_op
 from spatial_audio_framework_tpu.ops import precision as _prec
 
 
+# natively-batched MatrixConv RI dispatches at or above this many instances
+# use the grouped-conv spectral core instead of the sliding-window einsum
+# (measured crossover ~8 on v5e; see MatrixConv._conv_core_ri)
+_CONV_CORE_MIN_BATCH = 8
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -150,9 +156,42 @@ class MatrixConv:
         ola = jnp.zeros(batch + (self.n_out, self.hop), jnp.float32)
         return MatrixConvState(X_hist=X, ola=ola)
 
+    def _conv_core_ri(self, Hre, Him, full, nh: int, bshape: tuple):
+        """Grouped-conv spectral MAC: full (..., nh+P-1, n_in, 2·nb) →
+        (Yre, Yim) each (..., nh, n_out, nb).  Exactly the einsum core's
+        sums (Σ_p Σ_i win·H with the same re/im combinations), expressed
+        as a bins-grouped 1-D conv so the MAC streams the spectra once."""
+        hop = self.hop
+        nb = hop + 1
+        P = self.n_part
+        hp = _prec.HOT
+        # kernel (P, n_in·2, nb·n_out·2): tap p holds partition P-1-p
+        base_re = jnp.transpose(Hre[::-1], (0, 2, 3, 1))   # (P, i, b, o)
+        base_im = jnp.transpose(Him[::-1], (0, 2, 3, 1))
+        K = jnp.stack([jnp.stack([base_re, base_im], axis=-1),
+                       jnp.stack([-base_im, base_re], axis=-1)],
+                      axis=2)                    # (P, i, in_ri, b, o, o_ri)
+        K = K.reshape(P, self.n_in * 2, nb * self.n_out * 2)
+        nhp = full.shape[-3]
+        fre, fim = full[..., :nb], full[..., nb:]
+        xin = jnp.stack([fre, fim], axis=-1)     # (..., nh', i, nb, 2)
+        xin = jnp.moveaxis(xin, -2, -3)          # (..., nh', nb, i, 2)
+        xin = xin.reshape((-1, nhp, nb * self.n_in * 2))
+        out = jax.lax.conv_general_dilated(
+            xin, K, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=nb, precision=hp)
+        out = out.reshape(bshape + (nh, nb, self.n_out, 2))
+        return (jnp.swapaxes(out[..., 0], -1, -2),
+                jnp.swapaxes(out[..., 1], -1, -2))
+
     def apply_block_ri(self, H_ri, state: "MatrixConvState", x: jax.Array):
         """apply_block on packed [re | im] float32 spectra: H_ri = (Hre, Him)
-        from design_ri; X_hist carries (P-1, n_in, 2·(hop+1))."""
+        from design_ri; X_hist carries (..., P-1, n_in, 2·(hop+1)).
+
+        Batch-tolerant: x (..., n_in, T) with state from
+        init_state_ri(batch=x.shape[:-2]) runs independent convolver
+        instances in one dispatch."""
         from spatial_audio_framework_tpu.ops.fft import _rdft_mats
 
         assert self.partitioned
@@ -163,28 +202,49 @@ class MatrixConv:
         nh = T // hop
         nb = hop + 1
         C, Sm, A, B = _rdft_mats(2 * hop)
-        seg = x.reshape(self.n_in, nh, hop).transpose(1, 0, 2)
+        bshape = x.shape[:-2]
+        seg = x.reshape(bshape + (self.n_in, nh, hop))
         segp = jnp.concatenate([seg, jnp.zeros_like(seg)], axis=-1)
         S_p = jnp.concatenate(
             [jnp.matmul(segp, jnp.asarray(C), precision=hp),
-             jnp.matmul(segp, jnp.asarray(Sm), precision=hp)], axis=-1)
-        full = jnp.concatenate([state.X_hist, S_p], axis=0)
+             jnp.matmul(segp, jnp.asarray(Sm), precision=hp)],
+            axis=-1)                                  # (..., n_in, nh, 2nb)
+        full = jnp.concatenate([state.X_hist,
+                                jnp.moveaxis(S_p, -2, -3)], axis=-3)
         P = self.n_part
-        win = jnp.stack([full[P - 1 - k: P - 1 - k + nh] for k in range(P)],
-                        axis=1)                       # (nh, P, n_in, 2·nb)
-        wre, wim = win[..., :nb], win[..., nb:]
-        Yre = (jnp.einsum("tpib,poib->tob", wre, Hre, precision=hp)
-               - jnp.einsum("tpib,poib->tob", wim, Him, precision=hp))
-        Yim = (jnp.einsum("tpib,poib->tob", wre, Him, precision=hp)
-               + jnp.einsum("tpib,poib->tob", wim, Hre, precision=hp))
+        if int(np.prod(bshape, dtype=np.int64)) >= _CONV_CORE_MIN_BATCH:
+            # many-instance core: the spectral MAC runs as ONE grouped 1-D
+            # convolution over the hop axis (groups = bins; per group a
+            # (n_in·2 → n_out·2) re/im mixing kernel, partitions reversed
+            # into conv taps).  No (nh, P, n_in, bins) sliding-window
+            # stack is materialised — at 32 instances that stack made the
+            # dispatch 4.4× slower than this core (measured); below ~8
+            # instances the einsum core wins (the conv has a ~4 ms floor).
+            Yre, Yim = self._conv_core_ri(Hre, Him, full, nh, bshape)
+        else:
+            win = jnp.stack([full[..., P - 1 - k: P - 1 - k + nh, :, :]
+                             for k in range(P)],
+                            axis=-3)                  # (..., nh, P, i, 2nb)
+            wre, wim = win[..., :nb], win[..., nb:]
+            Yre = (jnp.einsum("...tpib,poib->...tob", wre, Hre,
+                              precision=hp)
+                   - jnp.einsum("...tpib,poib->...tob", wim, Him,
+                                precision=hp))
+            Yim = (jnp.einsum("...tpib,poib->...tob", wre, Him,
+                              precision=hp)
+                   + jnp.einsum("...tpib,poib->...tob", wim, Hre,
+                                precision=hp))
         z = (jnp.matmul(Yre, jnp.asarray(A), precision=hp)
              + jnp.matmul(Yim, jnp.asarray(B), precision=hp))
-        heads = z[..., :hop]
+        heads = z[..., :hop]                          # (..., nh, o, hop)
         tails = z[..., hop:]
-        prev_tails = jnp.concatenate([state.ola[None], tails[:-1]], axis=0)
+        prev_tails = jnp.concatenate([state.ola[..., None, :, :],
+                                      tails[..., :-1, :, :]], axis=-3)
         out = heads + prev_tails
-        new_state = MatrixConvState(X_hist=full[nh:], ola=tails[-1])
-        return out.transpose(1, 0, 2).reshape(self.n_out, T), new_state
+        new_state = MatrixConvState(X_hist=full[..., nh:, :, :],
+                                    ola=tails[..., -1, :, :])
+        return (jnp.moveaxis(out, -2, -3).reshape(
+            bshape + (self.n_out, T)), new_state)
 
 
 class MatrixConvState(NamedTuple):
@@ -386,61 +446,91 @@ class TVConv:
     @staticmethod
     def _idx_streams(state: TVConvState, ir_idx: jax.Array):
         """Vectorised crossfade index recurrences: the sequential carry
-        pos_last/pos_last2 are pure shifts of the per-hop index stream."""
+        pos_last/pos_last2 are pure shifts of the per-hop index stream.
+        Batch-tolerant: ir_idx (..., nh), pos_last* (...,)."""
         idx0 = jnp.asarray(ir_idx, jnp.int32)
-        idx1 = jnp.concatenate([state.pos_last[None], idx0[:-1]])
-        idx2 = jnp.concatenate([state.pos_last2[None], idx1[:-1]])
+        idx1 = jnp.concatenate([state.pos_last[..., None],
+                                idx0[..., :-1]], axis=-1)
+        idx2 = jnp.concatenate([state.pos_last2[..., None],
+                                idx1[..., :-1]], axis=-1)
         return idx0, idx1, idx2
 
     def _xfade_combine(self, state: TVConvState, z0, z_last, z_last2,
                       idx0, idx1, x_dtype):
-        """Shared OLA + crossfade tail of both block paths.  z*: (nh, n_out,
-        2·hop); the per-hop OLA carries are shifts of the batched tails."""
+        """Shared OLA + crossfade tail of both block paths.  z*: (..., nh,
+        n_out, 2·hop); the per-hop OLA carries are shifts of the batched
+        tails."""
         hop = self.hop
-        prev0 = jnp.concatenate([state.ola[None], z0[:-1, ..., hop:]], axis=0)
-        prev_l = jnp.concatenate([state.ola_last[None],
-                                  z_last[:-1, ..., hop:]], axis=0)
+        prev0 = jnp.concatenate([state.ola[..., None, :, :],
+                                 z0[..., :-1, :, hop:]], axis=-3)
+        prev_l = jnp.concatenate([state.ola_last[..., None, :, :],
+                                  z_last[..., :-1, :, hop:]], axis=-3)
         out1 = z_last[..., :hop] + prev0
         out2 = z_last2[..., :hop] + prev_l
         n = jnp.arange(hop, dtype=x_dtype)
         fade_in = n / (hop - 1.0)
         out = out1 * fade_in + out2 * (1.0 - fade_in)
-        new_state_tail = dict(ola=z0[-1, ..., hop:],
-                              ola_last=z_last[-1, ..., hop:],
-                              pos_last=idx0[-1], pos_last2=idx1[-1])
+        new_state_tail = dict(ola=z0[..., -1, :, hop:],
+                              ola_last=z_last[..., -1, :, hop:],
+                              pos_last=idx0[..., -1], pos_last2=idx1[..., -1])
         return out, new_state_tail
+
+    @staticmethod
+    def _xfade_streams(conv_all, z0, idx0, idx1, idx2):
+        """The two crossfade conv streams, or ``z0`` pass-throughs when NO
+        index changed anywhere in the block (a static listener).  The
+        whole-block predicate is scalar even for batched states, so
+        ``lax.cond`` genuinely skips the two extra convolutions — the C
+        engine likewise only convolves with previous filter sets on a
+        position change (saf_utility_matrixConv.c:548 saf_TVConv_apply);
+        the per-hop ``where`` selects reproduce its hop-exact crossfade
+        when it does fire."""
+        changed = jnp.any(idx0 != idx1) | jnp.any(idx1 != idx2)
+
+        def with_xfade(_):
+            z_last = jnp.where((idx0 != idx1)[..., None, None],
+                               conv_all(idx1), z0)
+            z_last2 = jnp.where((idx1 != idx2)[..., None, None],
+                                conv_all(idx2), z_last)
+            return z_last, z_last2
+
+        return jax.lax.cond(changed, with_xfade, lambda _: (z0, z0), None)
 
     def apply_block(self, Hf: jax.Array, state: TVConvState, x: jax.Array,
                     ir_idx: jax.Array):
-        """x: (T,) with one position index per hop: ir_idx (T//hop,) int32.
+        """x: (..., T) with one position index per hop: ir_idx (..., nh)
+        int32; state from init_state(batch=x.shape[:-1]).
 
         Batched (no scan): all hop spectra at once, sliding spectral windows,
         and the three crossfade conv streams as gathered einsums — the
-        sequential pos_last/ola carries are shifts of batched arrays."""
+        sequential pos_last/ola carries are shifts of batched arrays.
+        Leading batch dims run any number of independent convolver
+        instances in one dispatch."""
         hop = self.hop
         hp = _prec.HOT  # per-block path: same mode as the RI paths
         nh = x.shape[-1] // hop
         P = self.n_part
-        S = rfft_op(x.reshape(nh, hop), 2 * hop, precision=hp)  # (nh, bins)
-        full = jnp.concatenate([state.X_hist, S], axis=0)
+        bshape = x.shape[:-1]
+        S = rfft_op(x.reshape(bshape + (nh, hop)), 2 * hop,
+                    precision=hp)                      # (..., nh, bins)
+        full = jnp.concatenate([state.X_hist, S], axis=-2)
         # win[t, k] = spectrum of hop (t - k)
-        win = jnp.stack([full[P - 1 - k: P - 1 - k + nh] for k in range(P)],
-                        axis=1)                        # (nh, P, bins)
+        win = jnp.stack([full[..., P - 1 - k: P - 1 - k + nh, :]
+                         for k in range(P)], axis=-2)  # (..., nh, P, bins)
         idx0, idx1, idx2 = self._idx_streams(state, ir_idx)
 
         def conv_all(idx):
-            Y = jnp.einsum("tpob,tpb->tob", jnp.take(Hf, idx, axis=0), win,
-                           precision=hp)
-            return irfft_op(Y, 2 * hop, precision=hp)  # (nh, n_out, 2*hop)
+            Y = jnp.einsum("...tpob,...tpb->...tob",
+                           jnp.take(Hf, idx, axis=0), win, precision=hp)
+            return irfft_op(Y, 2 * hop, precision=hp)  # (..., nh, o, 2*hop)
 
         z0 = conv_all(idx0)
-        z_last = jnp.where((idx0 != idx1)[:, None, None], conv_all(idx1), z0)
-        z_last2 = jnp.where((idx1 != idx2)[:, None, None], conv_all(idx2),
-                            z_last)
+        z_last, z_last2 = self._xfade_streams(conv_all, z0, idx0, idx1, idx2)
         out, tail = self._xfade_combine(state, z0, z_last, z_last2,
                                         idx0, idx1, x.dtype)
-        state = TVConvState(X_hist=full[nh:], **tail)
-        return out.transpose(1, 0, 2).reshape(self.n_out, nh * hop), state
+        state = TVConvState(X_hist=full[..., nh:, :], **tail)
+        return (jnp.moveaxis(out, -2, -3).reshape(
+            bshape + (self.n_out, nh * hop)), state)
 
     # -- split real/imaginary variant -----------------------------------------
 
@@ -507,7 +597,9 @@ class TVConv:
 
     def apply_block_ri(self, H_ri, state: TVConvState, x: jax.Array,
                        ir_idx: jax.Array):
-        """Batched complex-free block path (see apply_block)."""
+        """Batched complex-free block path (see apply_block).  x: (..., T),
+        ir_idx: (..., nh); leading batch dims run independent instances in
+        one dispatch (state from init_state_ri(batch=x.shape[:-1]))."""
         from spatial_audio_framework_tpu.ops.fft import _rdft_mats
 
         hop = self.hop
@@ -516,33 +608,37 @@ class TVConv:
         Hre, Him = H_ri
         nh = x.shape[-1] // hop
         P = self.n_part
+        bshape = x.shape[:-1]
         C, Sm, A, B = _rdft_mats(2 * hop)
-        seg = x.reshape(nh, hop)
+        seg = x.reshape(bshape + (nh, hop))
         segp = jnp.concatenate([seg, jnp.zeros_like(seg)], axis=-1)
         S_p = jnp.concatenate(
             [jnp.matmul(segp, jnp.asarray(C), precision=hp),
              jnp.matmul(segp, jnp.asarray(Sm), precision=hp)], axis=-1)
-        full = jnp.concatenate([state.X_hist, S_p], axis=0)
-        win = jnp.stack([full[P - 1 - k: P - 1 - k + nh] for k in range(P)],
-                        axis=1)                        # (nh, P, 2·nb)
+        full = jnp.concatenate([state.X_hist, S_p], axis=-2)
+        win = jnp.stack([full[..., P - 1 - k: P - 1 - k + nh, :]
+                         for k in range(P)], axis=-2)  # (..., nh, P, 2·nb)
         wre, wim = win[..., :nb], win[..., nb:]
         idx0, idx1, idx2 = self._idx_streams(state, ir_idx)
 
         def conv_all(idx):
-            hre = jnp.take(Hre, idx, axis=0)           # (nh, P, n_out, nb)
+            hre = jnp.take(Hre, idx, axis=0)       # (..., nh, P, n_out, nb)
             him = jnp.take(Him, idx, axis=0)
-            Yre = (jnp.einsum("tpob,tpb->tob", hre, wre, precision=hp)
-                   - jnp.einsum("tpob,tpb->tob", him, wim, precision=hp))
-            Yim = (jnp.einsum("tpob,tpb->tob", him, wre, precision=hp)
-                   + jnp.einsum("tpob,tpb->tob", hre, wim, precision=hp))
+            Yre = (jnp.einsum("...tpob,...tpb->...tob", hre, wre,
+                              precision=hp)
+                   - jnp.einsum("...tpob,...tpb->...tob", him, wim,
+                                precision=hp))
+            Yim = (jnp.einsum("...tpob,...tpb->...tob", him, wre,
+                              precision=hp)
+                   + jnp.einsum("...tpob,...tpb->...tob", hre, wim,
+                                precision=hp))
             return (jnp.matmul(Yre, jnp.asarray(A), precision=hp)
                     + jnp.matmul(Yim, jnp.asarray(B), precision=hp))
 
         z0 = conv_all(idx0)
-        z_last = jnp.where((idx0 != idx1)[:, None, None], conv_all(idx1), z0)
-        z_last2 = jnp.where((idx1 != idx2)[:, None, None], conv_all(idx2),
-                            z_last)
+        z_last, z_last2 = self._xfade_streams(conv_all, z0, idx0, idx1, idx2)
         out, tail = self._xfade_combine(state, z0, z_last, z_last2,
                                         idx0, idx1, x.dtype)
-        state = TVConvState(X_hist=full[nh:], **tail)
-        return out.transpose(1, 0, 2).reshape(self.n_out, nh * hop), state
+        state = TVConvState(X_hist=full[..., nh:, :], **tail)
+        return (jnp.moveaxis(out, -2, -3).reshape(
+            bshape + (self.n_out, nh * hop)), state)
