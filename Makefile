@@ -1,12 +1,21 @@
 # Convenience targets (no installation required; run from the repo root).
 
-.PHONY: test bench smoke demos native docs clean
+.PHONY: test test-fast test-goldens bench smoke demos native docs clean
 
 docs:
 	python tools/gen_api_docs.py
 
+# full suite = fast lane + parity/goldens lane
 test:
 	python -m pytest tests/ -q
+
+# <3-min default CI lane (unit/behavioural tests)
+test-fast:
+	python -m pytest tests/ -q -m "not goldens"
+
+# full C-reference parity + heavy equivalence lane (~15 min)
+test-goldens:
+	python -m pytest tests/ -q -m goldens
 
 bench:
 	python bench.py

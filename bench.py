@@ -468,9 +468,13 @@ def main():
         per = (t2 - t1) / (c2 - c1)
         if per <= 0:  # slope lost in RTT jitter: fall back to the long chain
             per = t2 / c2
-        # adaptive span: make the slope's compute window dwarf RTT jitter
+        # adaptive span: make the slope's compute window dwarf RTT jitter.
+        # The chain cap must accommodate sub-0.3 ms configs — a 512 cap
+        # left their span at ~0.15 s, and on a 400+ ms-RTT day the jitter
+        # overwhelmed it (round-5: sub-ms 1× configs drifted ±2× between
+        # runs while the flagship held steady)
         if per * (c2 - c1) < SPAN_S:
-            c2 = c1 + min(512, int(np.ceil(SPAN_S / max(per, 1e-5))))
+            c2 = c1 + min(4096, int(np.ceil(SPAN_S / max(per, 1e-5))))
             t2 = run(c2)
             per2 = (t2 - t1) / (c2 - c1)
             per = per2 if per2 > 0 else t2 / c2

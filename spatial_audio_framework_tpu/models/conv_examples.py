@@ -135,8 +135,8 @@ class TVConvExample:
 
     def process_ri(self, conv: TVConv, H_ri, state: TVConvState, x: jax.Array,
                    listener_pos: jax.Array, positions: jax.Array):
-        """Batch-tolerant like :meth:`process` (x (..., T))."""
+        """Batch-tolerant like :meth:`process` (x (..., T)).  One position
+        per call ⇒ the const-index fast path (filters gathered once,
+        boundary-only crossfade rows — apply_block_ri_const)."""
         idx = self.nearest_position(positions, listener_pos)
-        n_hops = x.shape[-1] // self.hop
-        return conv.apply_block_ri(H_ri, state, x, jnp.broadcast_to(
-            idx[..., None], idx.shape + (n_hops,)))
+        return conv.apply_block_ri_const(H_ri, state, x, idx)

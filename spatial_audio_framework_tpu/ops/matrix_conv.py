@@ -595,6 +595,96 @@ class TVConv:
                                 pos_last2=state.pos_last)
         return out, new_state
 
+    def apply_block_ri_const(self, H_ri, state: TVConvState, x: jax.Array,
+                             ir_idx: jax.Array):
+        """apply_block_ri when the position is CONSTANT across the block —
+        one index per call, the tvconv example's contract (the C likewise
+        looks the filter up once per process call,
+        tvconv_internal ``tvconv_findNearestNeigbour``).  x: (..., T),
+        ir_idx: (...,) int32.
+
+        Exactly the values of ``apply_block_ri`` with a broadcast index:
+        filters are gathered ONCE per call instead of per hop, the block
+        convolution is one einsum, and the crossfade streams differ from
+        it only in their first one/two hops (where the previous filter
+        sets apply) — built by splicing single-hop convolutions, inside a
+        whole-block ``lax.cond`` that skips them when nothing changed.
+        The splice is exact even when some indices coincide (equal
+        filters give equal rows)."""
+        from spatial_audio_framework_tpu.ops.fft import _rdft_mats
+
+        hop = self.hop
+        nb = hop + 1
+        hp = _prec.HOT
+        Hre, Him = H_ri
+        nh = x.shape[-1] // hop
+        P = self.n_part
+        bshape = x.shape[:-1]
+        if nh < 2:
+            return self.apply_block_ri(
+                H_ri, state, x, jnp.broadcast_to(
+                    jnp.asarray(ir_idx, jnp.int32)[..., None],
+                    bshape + (nh,)))
+        C, Sm, A, B = _rdft_mats(2 * hop)
+        seg = x.reshape(bshape + (nh, hop))
+        segp = jnp.concatenate([seg, jnp.zeros_like(seg)], axis=-1)
+        S_p = jnp.concatenate(
+            [jnp.matmul(segp, jnp.asarray(C), precision=hp),
+             jnp.matmul(segp, jnp.asarray(Sm), precision=hp)], axis=-1)
+        full = jnp.concatenate([state.X_hist, S_p], axis=-2)
+        win = jnp.stack([full[..., P - 1 - k: P - 1 - k + nh, :]
+                         for k in range(P)], axis=-2)  # (..., nh, P, 2·nb)
+        wre, wim = win[..., :nb], win[..., nb:]
+        idxc = jnp.asarray(ir_idx, jnp.int32)
+
+        def conv_with(idx, wre_, wim_):
+            hre = jnp.take(Hre, idx, axis=0)           # (..., P, n_out, nb)
+            him = jnp.take(Him, idx, axis=0)
+            Yre = (jnp.einsum("...pob,...tpb->...otb", hre, wre_,
+                              precision=hp)
+                   - jnp.einsum("...pob,...tpb->...otb", him, wim_,
+                                precision=hp))
+            Yim = (jnp.einsum("...pob,...tpb->...otb", him, wre_,
+                              precision=hp)
+                   + jnp.einsum("...pob,...tpb->...otb", hre, wim_,
+                                precision=hp))
+            return (jnp.matmul(Yre, jnp.asarray(A), precision=hp)
+                    + jnp.matmul(Yim, jnp.asarray(B), precision=hp))
+
+        z0 = conv_with(idxc, wre, wim)             # (..., n_out, nh, 2·hop)
+        changed = (jnp.any(idxc != state.pos_last)
+                   | jnp.any(state.pos_last != state.pos_last2))
+
+        def with_xfade(_):
+            r0_last = conv_with(state.pos_last,
+                                wre[..., :1, :, :], wim[..., :1, :, :])
+            r0_last2 = conv_with(state.pos_last2,
+                                 wre[..., :1, :, :], wim[..., :1, :, :])
+            r1_last = conv_with(state.pos_last,
+                                wre[..., 1:2, :, :], wim[..., 1:2, :, :])
+            zl = jnp.concatenate([r0_last, z0[..., 1:, :]], axis=-2)
+            zl2 = jnp.concatenate([r0_last2, r1_last, z0[..., 2:, :]],
+                                  axis=-2)
+            return zl, zl2
+
+        z_last, z_last2 = jax.lax.cond(changed, with_xfade,
+                                       lambda _: (z0, z0), None)
+        prev0 = jnp.concatenate([state.ola[..., :, None, :],
+                                 z0[..., :-1, hop:]], axis=-2)
+        prev_l = jnp.concatenate([state.ola_last[..., :, None, :],
+                                  z_last[..., :-1, hop:]], axis=-2)
+        out1 = z_last[..., :hop] + prev0
+        out2 = z_last2[..., :hop] + prev_l
+        n = jnp.arange(hop, dtype=x.dtype)
+        fade_in = n / (hop - 1.0)
+        out = out1 * fade_in + out2 * (1.0 - fade_in)
+        pl_new = jnp.broadcast_to(idxc, bshape)
+        state = TVConvState(X_hist=full[..., nh:, :],
+                            ola=z0[..., -1, hop:],
+                            ola_last=z_last[..., -1, hop:],
+                            pos_last=pl_new, pos_last2=pl_new)
+        return out.reshape(bshape + (self.n_out, nh * hop)), state
+
     def apply_block_ri(self, H_ri, state: TVConvState, x: jax.Array,
                        ir_idx: jax.Array):
         """Batched complex-free block path (see apply_block).  x: (..., T),
@@ -622,23 +712,49 @@ class TVConv:
         idx0, idx1, idx2 = self._idx_streams(state, ir_idx)
 
         def conv_all(idx):
+            # output in (..., n_out, nh, bins) O-MAJOR layout: the hop
+            # axis stays second-minor (full 64-row tiles) instead of a
+            # 2-wide n_out axis padding every tile 4× — and the final
+            # (n_out, T) reshape needs no transpose
             hre = jnp.take(Hre, idx, axis=0)       # (..., nh, P, n_out, nb)
             him = jnp.take(Him, idx, axis=0)
-            Yre = (jnp.einsum("...tpob,...tpb->...tob", hre, wre,
+            Yre = (jnp.einsum("...tpob,...tpb->...otb", hre, wre,
                               precision=hp)
-                   - jnp.einsum("...tpob,...tpb->...tob", him, wim,
+                   - jnp.einsum("...tpob,...tpb->...otb", him, wim,
                                 precision=hp))
-            Yim = (jnp.einsum("...tpob,...tpb->...tob", him, wre,
+            Yim = (jnp.einsum("...tpob,...tpb->...otb", him, wre,
                               precision=hp)
-                   + jnp.einsum("...tpob,...tpb->...tob", hre, wim,
+                   + jnp.einsum("...tpob,...tpb->...otb", hre, wim,
                                 precision=hp))
             return (jnp.matmul(Yre, jnp.asarray(A), precision=hp)
                     + jnp.matmul(Yim, jnp.asarray(B), precision=hp))
 
-        z0 = conv_all(idx0)
-        z_last, z_last2 = self._xfade_streams(conv_all, z0, idx0, idx1, idx2)
-        out, tail = self._xfade_combine(state, z0, z_last, z_last2,
-                                        idx0, idx1, x.dtype)
-        state = TVConvState(X_hist=full[..., nh:, :], **tail)
-        return (jnp.moveaxis(out, -2, -3).reshape(
-            bshape + (self.n_out, nh * hop)), state)
+        def xfade_streams_om(z0):
+            changed = jnp.any(idx0 != idx1) | jnp.any(idx1 != idx2)
+
+            def with_xfade(_):
+                zl = jnp.where((idx0 != idx1)[..., None, :, None],
+                               conv_all(idx1), z0)
+                zl2 = jnp.where((idx1 != idx2)[..., None, :, None],
+                                conv_all(idx2), zl)
+                return zl, zl2
+
+            return jax.lax.cond(changed, with_xfade, lambda _: (z0, z0),
+                                None)
+
+        z0 = conv_all(idx0)                        # (..., n_out, nh, 2·hop)
+        z_last, z_last2 = xfade_streams_om(z0)
+        prev0 = jnp.concatenate([state.ola[..., :, None, :],
+                                 z0[..., :-1, hop:]], axis=-2)
+        prev_l = jnp.concatenate([state.ola_last[..., :, None, :],
+                                  z_last[..., :-1, hop:]], axis=-2)
+        out1 = z_last[..., :hop] + prev0
+        out2 = z_last2[..., :hop] + prev_l
+        n = jnp.arange(hop, dtype=x.dtype)
+        fade_in = n / (hop - 1.0)
+        out = out1 * fade_in + out2 * (1.0 - fade_in)
+        state = TVConvState(X_hist=full[..., nh:, :],
+                            ola=z0[..., -1, hop:],
+                            ola_last=z_last[..., -1, hop:],
+                            pos_last=idx0[..., -1], pos_last2=idx1[..., -1])
+        return out.reshape(bshape + (self.n_out, nh * hop)), state

@@ -3,6 +3,7 @@ pipeline (ops/afstft_ri.py is the complex-free variant for runtimes with
 incomplete complex support and for mixed-precision experiments)."""
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from spatial_audio_framework_tpu.models import ambi_bin
@@ -10,6 +11,7 @@ from spatial_audio_framework_tpu.ops import afstft_ri as ri
 from spatial_audio_framework_tpu.ops.afstft import AfSTFT
 
 
+@pytest.mark.goldens
 def test_analysis_synthesis_ri_equivalence():
     rng = np.random.default_rng(0)
     for hybrid, ld in ((True, False), (False, False), (True, True)):
@@ -31,6 +33,7 @@ def test_analysis_synthesis_ri_equivalence():
         np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_c), atol=1e-5)
 
 
+@pytest.mark.goldens
 def test_ambi_bin_process_ri_equivalence():
     cfg = ambi_bin.AmbiBinConfig(order=3, method="magls", enable_rotation=True)
     w = ambi_bin.design(cfg)
@@ -49,6 +52,7 @@ def test_ambi_bin_process_ri_equivalence():
     np.testing.assert_allclose(np.asarray(y_r), np.asarray(y_c), atol=1e-5)
 
 
+@pytest.mark.goldens
 def test_ambi_bin_batched_pallas_equivalence():
     """Stream-batched path with the fused pallas front-end (interpret mode on
     CPU) equals the per-stream RI pipeline."""
@@ -84,6 +88,7 @@ def test_ambi_bin_batched_pallas_equivalence():
     np.testing.assert_allclose(np.asarray(y2b)[0], np.asarray(y2), atol=1e-5)
 
 
+@pytest.mark.goldens
 def test_batched_pallas_small_blocks_state_carry():
     """Blocks shorter than the 9-hop OLA tail (H=2) must carry state
     correctly: four 2-hop blocks equal one 8-hop block."""
@@ -107,6 +112,7 @@ def test_batched_pallas_small_blocks_state_carry():
                                np.asarray(y_big), atol=1e-5)
 
 
+@pytest.mark.goldens
 def test_binauraliser_batched_fast_path():
     """Stream-batched binauraliser fast path equals the per-stream reference
     process (rotation on, gains on)."""
@@ -139,6 +145,7 @@ def test_binauraliser_batched_fast_path():
     np.testing.assert_allclose(np.asarray(yb), ref, atol=1e-4)
 
 
+@pytest.mark.goldens
 def test_roombinauraliser_batched_fast_path():
     from spatial_audio_framework_tpu.models import roombinauraliser as RB
 
@@ -170,6 +177,7 @@ def test_roombinauraliser_batched_fast_path():
     np.testing.assert_allclose(np.asarray(yb), ref, atol=1e-4)
 
 
+@pytest.mark.goldens
 def test_ambi_dec_batched_fast_path():
     from spatial_audio_framework_tpu.models import ambi_dec as D
 
@@ -193,6 +201,7 @@ def test_ambi_dec_batched_fast_path():
     np.testing.assert_allclose(np.asarray(yb), ref, atol=1e-4)
 
 
+@pytest.mark.goldens
 def test_panner_batched_fast_path():
     from spatial_audio_framework_tpu.models import panner as P
 
@@ -220,6 +229,7 @@ def test_panner_batched_fast_path():
     np.testing.assert_allclose(np.asarray(yb), ref, atol=1e-4)
 
 
+@pytest.mark.goldens
 def test_long_run_stability():
     """2000 blocks (≈5.3 s × 4 streams) through the fast path under lax.scan:
     bounded output, no NaN, state stays finite."""
@@ -249,6 +259,7 @@ def test_long_run_stability():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.goldens
 def test_ambi_drc_batched_fast_path():
     from spatial_audio_framework_tpu.models import ambi_drc as DRC
 
@@ -273,6 +284,7 @@ def test_ambi_drc_batched_fast_path():
     assert np.isfinite(np.asarray(yb2)).all()
 
 
+@pytest.mark.goldens
 def test_binauraliser_nf_batched_fast_path():
     from spatial_audio_framework_tpu.models import binauraliser_nf as NF
 
@@ -299,6 +311,7 @@ def test_binauraliser_nf_batched_fast_path():
     np.testing.assert_allclose(np.asarray(yb), ref, atol=1e-4)
 
 
+@pytest.mark.goldens
 def test_decorrelator_batched_fast_path():
     from spatial_audio_framework_tpu.models import decorrelator as DC
 
@@ -319,6 +332,7 @@ def test_decorrelator_batched_fast_path():
     np.testing.assert_allclose(np.asarray(yb), ref, atol=2e-4)
 
 
+@pytest.mark.goldens
 def test_array2sh_batched_fast_path():
     from spatial_audio_framework_tpu.models import array2sh as A2
 
@@ -343,6 +357,7 @@ def test_array2sh_batched_fast_path():
     np.testing.assert_allclose(np.asarray(yb), ref, atol=2e-4)
 
 
+@pytest.mark.goldens
 def test_render_tf_matrix_fused_matches_einsum_path():
     """The fully-fused renderer (hybrid⊗decode⊗inverse collapsed into
     uniform-band taps; ops.pallas_afstft.render_decode_synthesis_ri) equals
@@ -379,6 +394,7 @@ def test_render_tf_matrix_fused_matches_einsum_path():
                                        atol=1e-5)
 
 
+@pytest.mark.goldens
 def test_render_fused_real_matrix_and_short_block():
     """Mim=None (real mixing) and H<9 blocks exercise the zero-imag taps and
     the OLA tail-carry branch of the fused kernel."""
@@ -414,6 +430,7 @@ def test_nonstandard_hop_falls_back_to_einsum_path():
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
 
 
+@pytest.mark.goldens
 def test_oversized_output_group_splits_to_fused(monkeypatch):
     """XLA keeps the fused renderer's whole (y, tail) output in scoped VMEM
     (16 MiB hard limit on v5e): dispatches whose output exceeds the budget
@@ -481,6 +498,7 @@ def test_oversized_synthesis_group_splits_to_pallas(monkeypatch):
                                       np.asarray(st_ref.in_tail))
 
 
+@pytest.mark.goldens
 def test_wide_cin_reduces_block_and_time_splits(monkeypatch):
     """High SH orders (wide Cin) exceed the fused render kernel's scoped-
     VMEM footprint: the dispatcher must drop the stream block to 1, then
@@ -549,6 +567,7 @@ def test_wide_cin_reduces_block_and_time_splits(monkeypatch):
                    for h in range(63, 0, -1))
 
 
+@pytest.mark.goldens
 def test_hop_cap_time_splits_analysis_and_synthesis(monkeypatch):
     """All pallas dispatches are capped at _PALLAS_MAX_HOPS hops: the
     analysis front / synthesis back kernels' per-step tiles scale with H
@@ -637,6 +656,7 @@ def test_unsplittable_oversized_falls_back_to_einsum_path(monkeypatch):
                                interpret=True)
 
 
+@pytest.mark.goldens
 def test_full_fusion_path_matches_default(monkeypatch):
     """The opt-in ONE-kernel renderer (SAF_TPU_FULL_FUSION=1, kept for
     future toolchains — measured slower on today's v5e, see

@@ -63,6 +63,7 @@ def test_sldoa_recovers_doa(order):
 
 
 @pytest.mark.parametrize("mode", ["off", "upscale", "nearest"])
+@pytest.mark.goldens
 def test_dirass_localises(mode):
     from spatial_audio_framework_tpu.models import dirass as DR
 
@@ -95,6 +96,7 @@ def test_powermap_cropac_jittable():
     assert np.degrees(np.arccos(np.clip(u @ v, -1, 1))) < 12.0
 
 
+@pytest.mark.goldens
 def test_powermap_per_band_order_truncates():
     """Forcing every band to order 1 must blur the map exactly as a
     master-order-1 analysis would (reference powermap.c:275-289 grouping)."""

@@ -261,6 +261,7 @@ def test_probe_device_raises_on_fence_error():
 
 
 @pytest.mark.slow
+@pytest.mark.goldens
 def test_bench_smoke_cpu_end_to_end():
     """Full bench.py under SAF_BENCH_SMOKE=1 on CPU: flagship-first
     incremental emission, every line parseable, last line complete."""

@@ -57,6 +57,7 @@ def test_cgesv_ri_batched_matches_loop():
         assert np.array_equal(np.asarray(xi[k]), np.asarray(si))
 
 
+@pytest.mark.goldens
 def test_cgesv_ri_solves_hermitian_like_herm_solve():
     # sanity on the BMVDR use case: Hermitian + diagonal loading
     rng = np.random.default_rng(5)

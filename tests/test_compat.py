@@ -2,6 +2,7 @@
 symbols resolve and behave like their C namesakes (extras/safmex wrapper set +
 main saf.h API)."""
 import numpy as np
+import pytest
 
 from spatial_audio_framework_tpu import compat as saf
 
@@ -39,6 +40,7 @@ def test_vbap_and_hoa_symbols():
     assert p.shape == (3,)
 
 
+@pytest.mark.goldens
 def test_afstft_handle_roundtrip():
     """safmex_afSTFT-style create/forward/backward reconstructs with the
     documented 12-hop delay (afSTFTlib.h:236-246)."""

@@ -2,6 +2,7 @@
 energy preservation + decorrelation)."""
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from spatial_audio_framework_tpu.ops.afstft import AfSTFT
@@ -84,6 +85,7 @@ def test_synthesise_noise_reverb():
     assert e0 > 10 * e1
 
 
+@pytest.mark.goldens
 def test_lattice_and_ducker_ri_equivalence():
     """RI lattice decorrelator + ducker equal the complex implementations."""
     import jax
@@ -145,6 +147,7 @@ def test_lattice_and_ducker_ri_equivalence():
     assert np.abs(np.asarray(yre2) - np.asarray(yar)).max() > 1e-4
 
 
+@pytest.mark.goldens
 def test_decorrelator_model_ri_batched_matches_process_ducker():
     """models/decorrelator: the RI-batched multi-stream path equals the
     complex single-stream path with the ducker + level compensation on

@@ -49,6 +49,7 @@ def test_biquad_responses():
         assert abs(mag[0] - 6.0) < 0.6, (t, mag)
 
 
+@pytest.mark.goldens
 def test_iir_filter_matches_scipy():
     rng = np.random.default_rng(0)
     for order in [1, 2, 3]:

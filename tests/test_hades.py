@@ -47,6 +47,7 @@ def test_hades_analysis_params(ana):
     assert frac_left > 0.5, azi
 
 
+@pytest.mark.goldens
 def test_hades_synthesis_runs(ana):
     syn = hades.HadesSynthesis(ana, beam_option=hades.HADES_BEAMFORMER_FILTER_AND_SUM)
     x = _binaural_input(60.0, 0.0, 16 * 128, seed=2)
@@ -60,6 +61,7 @@ def test_hades_synthesis_runs(ana):
     assert params2.gains_dir.max() < 0.01
 
 
+@pytest.mark.goldens
 def test_hades_synthesis_bmvdr(ana):
     syn = hades.HadesSynthesis(ana, beam_option=hades.HADES_BEAMFORMER_BMVDR,
                                enable_cm=False)
@@ -69,6 +71,7 @@ def test_hades_synthesis_bmvdr(ana):
     assert np.isfinite(y).all() and (y ** 2).sum() > 0
 
 
+@pytest.mark.goldens
 def test_fused_pipeline_matches_two_stage():
     """HadesPipeline (single-dispatch analysis+synthesis, params on device)
     and the host-marshalled two-stage path produce the same audio; the
@@ -103,6 +106,7 @@ def test_fused_pipeline_matches_two_stage():
     assert np.abs(np.asarray(yc) - np.stack(ys_fused)).max() <= 1e-5
 
 
+@pytest.mark.goldens
 def test_batched_pipeline_matches_per_instance():
     """process_chunk_batched (N instances in one dispatch, VERDICT r2 #1)
     is numerically identical to running each instance separately."""
@@ -127,6 +131,7 @@ def test_batched_pipeline_matches_per_instance():
                                    atol=1e-5)  # vmap changes einsum lowering
 
 
+@pytest.mark.goldens
 def test_fused_chunk_matches_scan_chunk():
     """The scan-free time-batched chunk (one-pole recurrences as triangular
     matmuls, afSTFT over the concatenated chunk) is numerically equivalent
@@ -155,6 +160,7 @@ def test_fused_chunk_matches_scan_chunk():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
 
+@pytest.mark.goldens
 def test_fused_pipeline_matches_c_golden():
     """The production fused pipeline (scan-free time-batched chunk) hits the
     compiled C reference on the 6-mic golden configuration end-to-end — not

@@ -61,6 +61,7 @@ def test_noise_projector_matches_complex():
 
 
 @pytest.mark.parametrize("batch", [(), (3,)])
+@pytest.mark.goldens
 def test_map_generators_ri_vs_complex(batch):
     n, g = 16, 40
     C = _rand_herm(n, 7, batch)

@@ -52,6 +52,7 @@ def test_svd_2x2_unitary_across_rank_deficiency(ratio):
 
 
 @pytest.mark.parametrize("use_energy", [False, True])
+@pytest.mark.goldens
 def test_cdf4sap_2x2_fast_path_matches_embedded(use_energy):
     """The closed-form 2×2 CDF4SAP equals the golden-tested embedded-SVD
     path (which HADES/spreader previously routed through)."""

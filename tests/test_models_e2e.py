@@ -145,6 +145,7 @@ def test_panner_localisation_and_norm():
     assert energies[1] > 0.8 * energies.sum()
 
 
+@pytest.mark.goldens
 def test_binauraliser_lateralisation():
     from spatial_audio_framework_tpu.models import binauraliser as B
 
@@ -164,6 +165,7 @@ def test_binauraliser_lateralisation():
         assert eL > 1.5 * eR, (mode, eL, eR)
 
 
+@pytest.mark.goldens
 def test_binauraliser_rotation():
     from spatial_audio_framework_tpu.models import binauraliser as B
 

@@ -1,6 +1,7 @@
 """Tests for binauraliser_nf, pitch_shifter, decorrelator and conv examples."""
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 from scipy.signal import fftconvolve
 
@@ -10,6 +11,7 @@ from spatial_audio_framework_tpu.models import (binauraliser_nf as BNF,
                                                 pitch_shifter as PS)
 
 
+@pytest.mark.goldens
 def test_binauraliser_nf_distance_gain():
     """Nearer sources get a DVF bass/ipsilateral boost: closer → louder."""
     cfg = BNF.BinauraliserNFConfig(n_sources=1)
@@ -87,6 +89,7 @@ def test_tvconv_example_position_lookup():
                                atol=2e-4)
 
 
+@pytest.mark.goldens
 def test_spreader_modes():
     from spatial_audio_framework_tpu.models import spreader as SP
 
@@ -114,6 +117,7 @@ def test_spreader_modes():
     assert coh(outs[SP.MODE_EVD]) < coh(outs[SP.MODE_NAIVE]) + 0.1
 
 
+@pytest.mark.goldens
 def test_spreader_chunk_parity():
     """process_chunk (scan-free, frame-batched) matches nF consecutive
     process() calls for all three modes, including the carried state."""
@@ -158,6 +162,7 @@ def test_spreader_chunk_parity():
                                        atol=3e-4, err_msg=mode)
 
 
+@pytest.mark.goldens
 def test_spreader_chunk_vmap_instances():
     """vmapping process_chunk over independent instances (the bench's
     chip-loaded _32x config) equals running each instance alone."""
@@ -180,6 +185,7 @@ def test_spreader_chunk_vmap_instances():
                                    atol=1e-5)  # vmap changes einsum lowering
 
 
+@pytest.mark.goldens
 def test_spreader_chunk_parity_q3():
     """A 3-channel IR set drives the GENERIC branches (herm_eig_pairs EVD,
     embedded-SVD CDF4SAP) instead of the closed-form 2×2 paths; chunk and

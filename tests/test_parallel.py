@@ -68,6 +68,7 @@ def _ambi_bin_setup(n_streams=8, n_hops=2):
     return cfg, wri, st, x
 
 
+@pytest.mark.goldens
 def test_ambi_bin_shard_map_parity_and_state_carry():
     cfg, wri, st, x = _ambi_bin_setup()
     mesh = pmesh.make_mesh(8)
@@ -96,6 +97,7 @@ def test_ambi_bin_shard_map_parity_and_state_carry():
     assert not np.allclose(np.asarray(y2), np.asarray(y1))  # state mattered
 
 
+@pytest.mark.goldens
 def test_ambi_bin_namedsharding_dp_tp_autopartition():
     """pjit auto-partitioning over a dp×tp mesh: streams data-parallel,
     SH channels tensor-parallel (decode contraction reduces over 'tp')."""
@@ -125,6 +127,7 @@ def test_ambi_bin_namedsharding_dp_tp_autopartition():
 # binauraliser: per-stream mixing matrices under shard_map
 # ---------------------------------------------------------------------------
 
+@pytest.mark.goldens
 def test_binauraliser_shard_map_parity():
     n_streams, n_src = 8, 3
     cfg = binauraliser.BinauraliserConfig(n_sources=n_src)
@@ -165,6 +168,7 @@ def test_binauraliser_shard_map_parity():
 # streaming.render_signal
 # ---------------------------------------------------------------------------
 
+@pytest.mark.goldens
 def test_render_signal_matches_blockwise_loop():
     cfg = ambi_bin.AmbiBinConfig(order=1, method="ls")
     wri = ambi_bin.design_ri(cfg)
@@ -189,6 +193,7 @@ def test_render_signal_matches_blockwise_loop():
                                atol=1e-6, rtol=1e-5)
 
 
+@pytest.mark.goldens
 def test_render_signal_sharded_streams():
     """render_signal composes with stream sharding: scan over blocks while
     streams stay data-parallel on the mesh."""

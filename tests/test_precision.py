@@ -35,6 +35,7 @@ def flagship_block():
     return wri, x
 
 
+@pytest.mark.goldens
 def test_mxu_mode_reaches_the_kernel(flagship_block):
     wri, x = flagship_block
     y_exact = _render("highest", wri, x)

@@ -166,6 +166,7 @@ def test_td_applicator_crossfade_and_fractional():
     np.testing.assert_allclose(np.asarray(y_frac), ref, atol=2e-4)
 
 
+@pytest.mark.goldens
 def test_td_applicator_multiband_and_faf_device():
     """Device FAF IIR filterbank matches the host scipy path; multi-band TD
     applicator runs, is finite, and is power-complementary-ish."""

@@ -33,6 +33,7 @@ def _run(cfg, w, x, ypr=None, gains=None):
     return np.asarray(y)
 
 
+@pytest.mark.goldens
 def test_roombinauraliser_rotation_selects_grid_direction():
     """2-D grid detected; yaw rotation moves the lookup along the ring:
     yaw=+90° → reference frame points to azi=+90° → left-ear BRIR selected."""
@@ -71,6 +72,7 @@ def test_roombinauraliser_tri_ps_mode():
     assert np.isfinite(y).all() and e[0] > 1.5 * e[1], e
 
 
+@pytest.mark.goldens
 def test_roombinauraliser_solo_mute_gains():
     """Soloing a silent source silences the output; unity gains restore it."""
     brirs, dirs, fs = _ring_brirs(n_sources=2)
@@ -87,6 +89,7 @@ def test_roombinauraliser_solo_mute_gains():
     assert (y_mute0 ** 2).sum() < 1e-10
 
 
+@pytest.mark.goldens
 def test_roombinauraliser_diff_eq_modes():
     """FABIAN CTF (embedded 256-tap IR) scales all dirs per band; a delta
     own-filter leaves magnitudes ~unchanged; BRIR CTF runs and is finite."""

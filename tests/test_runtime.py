@@ -34,6 +34,7 @@ def test_ring_buffer_basic():
     assert rb.overruns == 1
 
 
+@pytest.mark.goldens
 def test_ring_buffer_spsc_threads():
     """1M floats through a small ring from a producer thread, verify order."""
     rb = RingBuffer(1 << 10)

@@ -137,13 +137,16 @@ def main():
           f" hand-counted bytes: input+output+2×state+weights) |")
         w(f"| bound verdict | {fr.get('bound', '—')} |")
     w("")
-    w("The flagship saturates NEITHER limb: with hand-counted floor bytes")
-    w("it uses ~8 % of the measured HBM bandwidth and ~18 % of the")
-    w("achievable f32x3 MXU rate — it is bound by intra-kernel pipeline")
-    w("serialisation, not by data movement (the opt-in one-kernel")
-    w("full-fusion experiment that removes the remaining 148 MB/chunk of")
-    w("inter-kernel traffic measured SLOWER; see docs/TPU_RUNTIME_NOTES.md")
-    w("\"round-4 additions\" for the full experiment log).")
+    w("Round 5 found and removed what round 4's floor analysis called")
+    w("\"intra-kernel pipeline serialisation\": both fused kernels sliced")
+    w("along the hop axis, which in their (batch, hop, lane) layout is the")
+    w("SUBLANE axis, so the window fold and the hybrid 7-tap FIR lowered")
+    w("to sublane-misaligned VPU copies that dominated kernel time.  The")
+    w("(d, g)-pair pipeline (ops/pallas_afstft._kernel_dg) computes both")
+    w("in a hop-major tile where shifted slices are free, which took the")
+    w("flagship from 7.9 to ~5.4 ms/dispatch (11 049 → ~16 300× RT) with")
+    w("bit-identical fold/rDFT math; see docs/TPU_RUNTIME_NOTES.md")
+    w("\"round-5 additions\".")
     w("")
     w("## All benched configs")
     w("")
