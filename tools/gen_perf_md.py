@@ -205,13 +205,10 @@ def main():
     w(f"| ambi_roomsim | {pair('ambi_roomsim_o2_2src', 'ambi_roomsim_o2_2src_32x')} |")
     w(f"| hades BMVDR | {pair('hades_binaural_bmvdr', 'hades_binaural_bmvdr_32x')} |")
     w(f"| spreader OM | {pair('spreader_om_1src', 'spreader_om_1src_32x')} |")
-    pm32 = cr.get("powermap_o3_music_32x", {})
-    mem = pm32.get("memory", {})
-    if mem:
-        w("")
-        w(f"(powermap_32x temporaries: {mem.get('temp_mb', '—')} MiB now, "
-          "vs 514 MiB in round 4 — the memory-analysis receipt for the "
-          "fix.)")
+    w("")
+    w("(The tvconv rows are MOVING-listener this round — position changes")
+    w("every chunk, full crossfade path — which is the workload the")
+    w("example exists for; a static-listener row is reported separately.)")
     w("")
     w("## Streaming latency (one 85 ms block per dispatch)")
     w("")
