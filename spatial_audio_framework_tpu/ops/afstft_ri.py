@@ -768,16 +768,27 @@ def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
         return y, AfSTFTStateBatched(
             in_tail=new_in_tail,
             ola_tail=new_tail.reshape(S, cout_m, -1))
+    dg_ok = (bank.hybrid
+             and os.environ.get("SAF_TPU_DG_RENDER", "1") not in ("0",))
     blk = _fit_render_block(cin, cout_m, H, hop, per_stream_m)
-    if blk is None:
+    blk_dg = (_fit_render_dg_block(cin, cout_m, H, hop, per_stream_m)
+              if dg_ok else None)
+    if blk is None and blk_dg is None:
         # even one stream per grid step is too wide (high SH order ×
         # long chunk): split the chunk in TIME and scan sub-chunks —
-        # exact, because the state carry IS the streaming design
+        # exact, because the state carry IS the streaming design.  The
+        # (d, g) kernels' leaner footprint usually admits a LARGER
+        # sub-chunk (fewer dispatches: order-7/64-streams runs H=16
+        # sub-chunks instead of 8), so prefer their fit when available
+        def _sub_fits(h):
+            if dg_ok and _fit_render_dg_block(cin, cout_m, h, hop,
+                                              per_stream_m) is not None:
+                return True
+            return _fit_render_block(cin, cout_m, h, hop,
+                                     per_stream_m) is not None
+
         h_sub = next((h for h in range(H - 1, 0, -1)
-                      if H % h == 0
-                      and _fit_render_block(cin, cout_m, h, hop,
-                                            per_stream_m) is not None),
-                     None)
+                      if H % h == 0 and _sub_fits(h)), None)
         if h_sub is None:
             return render_tf_matrix_ri(bank, state, x, Mre, Mim,
                                        use_pallas=False, interpret=interpret,
@@ -804,10 +815,6 @@ def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
     taps = decode_taps(Mre, Mim, hybrid=bank.hybrid)
     cout = Mre.shape[-2]
     tail = state.ola_tail.reshape(S, cout, _TOTAL_HOPS - 1, hop)
-    blk_dg = (_fit_render_dg_block(cin, cout, H, hop, per_stream_m)
-              if bank.hybrid
-              and os.environ.get("SAF_TPU_DG_RENDER", "1") not in ("0",)
-              else None)
     if blk_dg is not None:
         # (d, g)-pair pipeline (round-5): the front kernel computes the
         # hybrid FIR in hop-major layout where the shifted slices are
