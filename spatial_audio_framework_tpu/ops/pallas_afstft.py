@@ -520,39 +520,40 @@ def _render_decode_synthesis_ri(sre: jax.Array, sim: jax.Array,
     return (y[:S].reshape(S, cout, H * hop), new_tail[:S])
 
 
-def _decode_mix_dg(dre, dim_, gre, gim, tap, H: int, cin: int, cout: int):
+def _decode_mix_dg(dre, dim_, gre, gim, taps_ref, per_stream: bool,
+                   H: int, cin: int, cout: int):
     """Decode from the precomputed (d, g) pair — NO hop-shifted slices
     (the front kernel already applied the hybrid FIR; see _kernel_dg).
-    Per-channel slices pick whole (H, nb) tiles, so the whole mix is
-    aligned VPU multiply-accumulate.  Identical op order to _decode_mix's
-    hybrid branch."""
+    Batched over the whole channel axis: per-ear products
+    (blk, cin, H, nb) reduce over the ALIGNED cin axis in one op instead
+    of cin unrolled iterations of small tensors (wide-cin orders spent
+    their kernel time in loop bodies).  Same sums as _decode_mix's hybrid
+    branch up to the reduction association (~1 ulp·√cin)."""
     out_re = [None] * cout
     out_im = [None] * cout
     nb = dre.shape[-1]
-    blk, H = dre.shape[0], dre.shape[2]
+    blk = dre.shape[0]
     zpad = jnp.zeros((blk, H, nb - _G_BANDS), jnp.float32)
-    for s in range(cin):
-        d_re = dre[:, s]
-        d_im = dim_[:, s]
-        w_re = -gim[:, s]                       # (blk, H, _G_BANDS)
-        w_im = gre[:, s]
-        for e in range(cout):
-            are, aim = tap(s, e, 0), tap(s, e, 1)
-            bre = tap(s, e, 2)[..., :_G_BANDS]
-            bim = tap(s, e, 3)[..., :_G_BANDS]
-            t_re = are * d_re - aim * d_im
-            t_im = are * d_im + aim * d_re
-            # the hybrid contribution lives in the first _G_BANDS lanes;
-            # lane-concat with zeros (Mosaic-supported) rather than a
-            # scatter-add, which fails to lower on current Mosaic
-            c_re = jnp.concatenate([bre * w_re - bim * w_im, zpad],
-                                   axis=-1)
-            c_im = jnp.concatenate([bre * w_im + bim * w_re, zpad],
-                                   axis=-1)
-            t_re = t_re + c_re
-            t_im = t_im + c_im
-            out_re[e] = t_re if s == 0 else out_re[e] + t_re
-            out_im[e] = t_im if s == 0 else out_im[e] + t_im
+    w_re = -gim                                  # (blk, cin, H, _G_BANDS)
+    w_im = gre
+
+    def tap_all(e, k, nlanes):
+        if per_stream:                           # (blk, cin, 1, nlanes)
+            return taps_ref[:, :, e, k, :nlanes][:, :, None, :]
+        return taps_ref[:, e, k, :nlanes][None, :, None, :]
+
+    for e in range(cout):
+        are, aim = tap_all(e, 0, nb), tap_all(e, 1, nb)
+        bre, bim = tap_all(e, 2, _G_BANDS), tap_all(e, 3, _G_BANDS)
+        t_re = (are * dre - aim * dim_).sum(axis=1)
+        t_im = (are * dim_ + aim * dre).sum(axis=1)
+        c_re = (bre * w_re - bim * w_im).sum(axis=1)
+        c_im = (bre * w_im + bim * w_re).sum(axis=1)
+        # the hybrid contribution lives in the first _G_BANDS lanes;
+        # lane-concat with zeros (Mosaic-supported) rather than a
+        # scatter-add, which fails to lower on current Mosaic
+        out_re[e] = t_re + jnp.concatenate([c_re, zpad], axis=-1)
+        out_im[e] = t_im + jnp.concatenate([c_im, zpad], axis=-1)
     return out_re, out_im
 
 
@@ -561,8 +562,8 @@ def _render_dg_kernel(H: int, cin: int, cout: int, per_stream: bool,
                       taps_ref, am_ref, bm_ref, w_ref, tail_ref, y_ref,
                       tail_out_ref, acc):
     blk = dre_ref.shape[0]
-    out_re, out_im = _decode_mix_dg(dre_ref, dim_ref, gre_ref, gim_ref,
-                                    _tap_getter(taps_ref, per_stream),
+    out_re, out_im = _decode_mix_dg(dre_ref[:], dim_ref[:], gre_ref[:],
+                                    gim_ref[:], taps_ref, per_stream,
                                     H, cin, cout)
     _irdft_ola_writeback(out_re, out_im, am_ref[:], bm_ref[:], w_ref[:],
                          H, blk, cout, mxu_mode, acc, y_ref, tail_ref,
