@@ -191,8 +191,11 @@ class BenchReport:
 
     def _compact_line_locked(self) -> str:
         ex = self.result["extra"]
-        extra = {"compact": True, "artifact": "BENCH_ARTIFACT.json",
+        extra = {"compact": True,
                  "status": str(ex.get("status", ""))[:180]}
+        if self._artifact_path:
+            # point only at an artifact THIS run actually writes
+            extra["artifact"] = os.path.basename(self._artifact_path)
         for k in self._COMPACT_KEYS:
             if k in ex:
                 extra[k] = ex[k]
@@ -224,14 +227,17 @@ class BenchReport:
             # complete line is parseable and carries the headline value
             print(full, file=self._stream, flush=True)
             print(self._compact_line_locked(), file=self._stream, flush=True)
-            if self._artifact_path:
-                try:
-                    tmp = self._artifact_path + ".tmp"
-                    with open(tmp, "w") as f:
-                        f.write(full + "\n")
-                    os.replace(tmp, self._artifact_path)
-                except OSError:
-                    pass  # artifact write must never kill the report
+        # the artifact file write happens OUTSIDE the lock: a wedged
+        # filesystem must not deadlock the watchdog's on_expire emit (the
+        # whole harness exists to never go rc=124-silent again)
+        if self._artifact_path:
+            try:
+                tmp = self._artifact_path + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(full + "\n")
+                os.replace(tmp, self._artifact_path)
+            except OSError:
+                pass  # artifact write must never kill the report
 
 
 def install_signal_handlers(report: BenchReport) -> None:
@@ -507,16 +513,22 @@ def main():
             return jnp.sum(e), st
         return step
 
+    def roll_instances(x, n):
+        """n decorrelated instance copies of chunked input x (instance
+        axis inserted at position 1, after the chunk axis): instance i is
+        x rolled by 13·(i+1) samples.  ONE definition so every _Nx config
+        benches identically-correlated inputs."""
+        return jax.jit(lambda a: jax.vmap(
+            lambda i: jnp.roll(a, 13 * (i + 1), -1),
+            out_axes=1)(jnp.arange(n)))(x)
+
     def batch_instances(body, state, xs, n=None):
         """n independent instances of a (state, chunk)->(state, e) body in
         ONE dispatch: vmap the body, stack the state, give each instance a
         distinct (rolled) copy of the input chunks."""
         n = NB if n is None else n
         bst = jax.tree_util.tree_map(lambda a: jnp.stack([a] * n), state)
-        bxs = jax.jit(lambda x: jax.vmap(
-            lambda i: jnp.roll(x, 13 * (i + 1), -1),
-            out_axes=1)(jnp.arange(n)))(xs)
-        return jax.vmap(body), bst, bxs
+        return jax.vmap(body), bst, roll_instances(xs, n)
 
     def tree_bytes(t):
         # non-array leaves (python ints in config-bearing weight trees)
@@ -924,9 +936,7 @@ def main():
         ax = jax.jit(lambda x: jax.vmap(lambda k: jnp.roll(x, k + 1, -1))(
             jnp.arange(K)))(jnp.asarray(rng.uniform(
                 -1, 1, (pmc.nsh, Tc)).astype(np.float32)))
-        axb = jax.jit(lambda x: jax.vmap(
-            lambda i: jnp.roll(x, 13 * (i + 1), -1),
-            out_axes=1)(jnp.arange(NB)))(ax)       # (K, NB, nsh, Tc)
+        axb = roll_instances(ax, NB)           # (K, NB, nsh, Tc)
         n_interp = pmw.interp_dirs_deg.shape[0]
 
         def mstep(st, xs):   # whole dispatch: analysis_chunks hoists the
@@ -1125,9 +1135,7 @@ def main():
 
         # native batched MOVING instances (leading batch dims, no vmap):
         # every instance's position changes every chunk
-        txb = jax.jit(lambda x: jax.vmap(
-            lambda i: jnp.roll(x, 13 * (i + 1), -1),
-            out_axes=1)(jnp.arange(NB)))(tx)       # (K, NB, Tc)
+        txb = roll_instances(tx, NB)           # (K, NB, Tc)
         lpos_seq_b = jnp.asarray(
             pos[(np.arange(K)[:, None] * NB + np.arange(NB)[None, :])
                 % pos.shape[0]])                   # (K, NB, 3)
@@ -1180,9 +1188,7 @@ def main():
 
         # native batched instances (grouped-conv spectral core engages at
         # this batch size — ops.matrix_conv._conv_core_ri)
-        rxb = jax.jit(lambda x: jax.vmap(
-            lambda i: jnp.roll(x, 13 * (i + 1), -1),
-            out_axes=1)(jnp.arange(NB)))(rx)
+        rxb = roll_instances(rx, NB)
         rbst = rw.conv.init_state_ri(batch=(NB,))
         rbcost = probe_cost(rbody, rbst, rxb[0], trips=K)
         rbfloor = algo_floor(rxb, rbst, rw.Hf,

@@ -124,16 +124,25 @@ def main():
         hlo = compiled.as_text()
         inv = {}
         total = 0
-        for m in re.finditer(
-                r"= ([a-z0-9]+)\[([\d,]*)\][^=]*? "
-                r"(all-reduce|all-gather|reduce-scatter|collective-permute"
-                r"|all-to-all)\(", hlo):
-            dt, dims, op = m.group(1), m.group(2), m.group(3)
-            n = 1
-            for d in dims.split(","):
-                if d:
-                    n *= int(d)
-            b = n * _DTYPE_BYTES.get(dt, 4)
+        # matches synchronous collectives AND the async '-done' halves
+        # real-TPU XLA emits (all-gather-start/-done pairs with
+        # tuple-typed starts: bytes are taken from the done/sync op's
+        # result, which is the plain transferred shape; '-start' ops are
+        # intentionally NOT matched to avoid double counting)
+        line_re = re.compile(
+            r"= (\([^)]*\)|[a-z0-9]+\[[\d,]*\]\S*) "
+            r"(all-reduce|all-gather|reduce-scatter|collective-permute"
+            r"|all-to-all)(-done)?\(")
+        shape_re = re.compile(r"([a-z0-9]+)\[([\d,]*)\]")
+        for m in line_re.finditer(hlo):
+            op = m.group(2)
+            b = 0
+            for dt, dims in shape_re.findall(m.group(1)):
+                n = 1
+                for d in dims.split(","):
+                    if d:
+                        n *= int(d)
+                b += n * _DTYPE_BYTES.get(dt, 4)
             inv[op] = inv.get(op, 0) + 1
             inv[f"{op}_bytes"] = inv.get(f"{op}_bytes", 0) + b
             total += b
@@ -244,7 +253,8 @@ def main():
     # devices share ONE CPU here, so that ratio says nothing about real
     # chips (round-4 VERDICT weak #4).
     headline = tp_res.get("tp2_collective_bytes_per_audio_sec",
-                          coll_dp["total_bytes_per_step"])
+                          round(coll_dp["total_bytes_per_step"]
+                                / audio_n, 1))
     print(json.dumps({
         "metric": "ambi_bin_multichip_collective_bytes_per_audio_sec",
         "value": headline,

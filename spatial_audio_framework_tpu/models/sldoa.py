@@ -300,8 +300,13 @@ def _post_front(cfg: SldoaConfig, w: SldoaWeights, state: SldoaState,
     # algebraically I/‖I‖, so skip the five transcendental maps; the
     # all-zero intensity case maps to (1, 0, 0) exactly as cos(0)cos(0)
     n2 = Ix * Ix + Iy * Iy + Iz * Iz
-    inv = jax.lax.rsqrt(jnp.maximum(n2, jnp.float32(1e-38)))
     nz = n2 > 0
+    # no lower clamp: rsqrt of even the smallest positive f32 (~1.4e-45)
+    # stays finite (~8.4e22), and a clamp would return a near-zero,
+    # non-unit vector for subnormal intensities (a quiet fade-out) where
+    # the C's atan2/cos/sin still yields a unit vector; the n2 == 0 lane
+    # is masked by ``nz`` below, so the inf in its dead branch is unused
+    inv = jnp.where(nz, jax.lax.rsqrt(n2), 0.0)
     ux = jnp.where(nz, Ix * inv, 1.0)                        # (S, BH) each
     uy = jnp.where(nz, Iy * inv, 0.0)
     uz = jnp.where(nz, Iz * inv, 0.0)

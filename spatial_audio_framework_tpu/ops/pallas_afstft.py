@@ -32,8 +32,9 @@ from spatial_audio_framework_tpu.ops.afstft import (_COEFF1, _COEFF2,
 from spatial_audio_framework_tpu.ops.fft import _rdft_mats
 
 BLK_B = 8       # batch rows per grid step (f32 sublane)
-_G_BANDS = 16   # lanes carried for the hybrid-FIR context g (taps nonzero
-                # only in uniform bands 1..8; see decode_taps / _kernel_dg)
+_G_BANDS = 16   # lanes carried for the hybrid-FIR context g (the B taps
+                # are nonzero only in uniform bands 1..4 — the 8 hybrid
+                # sub-bands pair into 4 uniform bands; see decode_taps)
 
 # MXU precision for the (ir)DFT matmuls inside the fused kernels.  The v5e
 # MXU multiplies bf16 natively; f32 matmuls are emulated by bf16 passes:
@@ -205,8 +206,8 @@ def _kernel_dg(H: int, mxu_mode: str, tail_ref, x_ref, w_ref, c_ref, s_ref,
            + _mm(b, s_ref[hop:], mxu_mode)).reshape(He, BLK_B, nb)
     dre_ref[:] = jnp.transpose(sre[3:3 + H], (1, 0, 2))
     dim_ref[:] = jnp.transpose(sim[3:3 + H], (1, 0, 2))
-    # the hybrid B taps are nonzero ONLY in uniform bands 1..8
-    # (decode_taps zero-pads band 0 and bands 9+), so g is emitted on the
+    # the hybrid B taps are nonzero ONLY in uniform bands 1..4
+    # (decode_taps zero-pads band 0 and bands 5+), so g is emitted on the
     # first _G_BANDS lanes only — 1/8 the inter-kernel HBM traffic of a
     # full-width g, which is what the dg pipeline is bound by
     sre_g = sre[..., :_G_BANDS]

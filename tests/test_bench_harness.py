@@ -66,14 +66,16 @@ def test_report_emits_full_parseable_json_each_time():
     assert recs[-1]["extra"]["n_configs"] == 1
 
 
-def test_compact_line_stays_under_cap():
+def test_compact_line_stays_under_cap(tmp_path):
     """Round-4 failure mode: the final line grew to ~8.8 KB and the driver's
     ~2000-char tail truncated it mid-JSON (BENCH_r04.json parsed=null).
     The compact line must stay under the cap with a FULLY populated report
     (a 21-config run with roofline fields, errors, skips, long status)."""
     buf = io.StringIO()
     r = bench.BenchReport("ambi_bin_order3_magls_64streams_rtf",
-                          "audio_sec/sec/chip", stream=buf)
+                          "audio_sec/sec/chip", stream=buf,
+                          artifact_path=str(tmp_path
+                                            / "BENCH_ARTIFACT.json"))
     r.set_value(11049.3)
     r.extra(ms_per_dispatch_flagship=7.918,
             max_abs_err_vs_c_reference=7.1e-5,
