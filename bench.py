@@ -257,7 +257,10 @@ def main():
     SMOKE = os.environ.get("SAF_BENCH_SMOKE", "") not in ("", "0")
     budget_s = float(os.environ.get("SAF_BENCH_BUDGET_S",
                                     "300" if SMOKE else "780"))
-    probe_timeout_s = float(os.environ.get("SAF_BENCH_PROBE_TIMEOUT_S", "120"))
+    # round-5: a COLD device init through the tunnel was observed to take
+    # 235 s on a wedgy afternoon (trivial fence, fresh process) — a 120 s
+    # probe timeout would have falsely aborted a healthy run
+    probe_timeout_s = float(os.environ.get("SAF_BENCH_PROBE_TIMEOUT_S", "300"))
 
     report = BenchReport("ambi_bin_order3_magls_64streams_rtf",
                          "audio_sec/sec/chip",

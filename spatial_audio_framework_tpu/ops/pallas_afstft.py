@@ -678,19 +678,44 @@ def _render_full_kernel(H: int, cin: int, cout: int, hybrid: bool,
     hop = 128
     blk = x_ref.shape[0]
     He = H + 6                       # hybrid-FIR context hops
-    # analysis front (the _kernel math, batched over blk·cin)
-    xx = jnp.concatenate([tail_ref[:], x_ref[:]], axis=2)
-    acc0, acc1 = _fold(xx, wa_ref[:], He)
-    a = acc0.reshape(blk * cin * He, hop)
-    b = acc1.reshape(blk * cin * He, hop)
+    R = blk * cin
     nb = c_ref.shape[1]
+    # analysis front in HOP-MAJOR layout (round-5: shifted fold and
+    # hybrid-FIR slices are free row-offset reads instead of the
+    # sublane-misaligned copies that sank the round-4 full-fusion
+    # attempt; see _kernel_dg)
+    xx = jnp.concatenate([tail_ref[:], x_ref[:]], axis=2)
+    xt = jnp.transpose(xx.reshape(R, -1, hop), (1, 0, 2))
+    acc0 = jnp.zeros((He, R, hop), jnp.float32)
+    acc1 = jnp.zeros((He, R, hop), jnp.float32)
+    for m in range(_TOTAL_HOPS // 2):
+        acc0 = acc0 + xt[2 * m: 2 * m + He] * wa_ref[2 * m]
+        acc1 = acc1 + xt[2 * m + 1: 2 * m + 1 + He] * wa_ref[2 * m + 1]
+    a = acc0.reshape(He * R, hop)
+    b = acc1.reshape(He * R, hop)
     sre = (_mm(a, c_ref[:hop], mxu_mode)
-           + _mm(b, c_ref[hop:], mxu_mode)).reshape(blk, cin, He, nb)
+           + _mm(b, c_ref[hop:], mxu_mode)).reshape(He, R, nb)
     sim = (_mm(a, s_ref[:hop], mxu_mode)
-           + _mm(b, s_ref[hop:], mxu_mode)).reshape(blk, cin, He, nb)
-    # decode + irDFT/OLA — the _render_kernel helpers on VALUES not refs
-    out_re, out_im = _decode_mix(sre, sim, _tap_getter(taps_ref, per_stream),
-                                 H, cin, cout, hybrid)
+           + _mm(b, s_ref[hop:], mxu_mode)).reshape(He, R, nb)
+    d_off = 3 if hybrid else 6
+    dre = jnp.transpose(sre[d_off:d_off + H],
+                        (1, 0, 2)).reshape(blk, cin, H, nb)
+    dim_ = jnp.transpose(sim[d_off:d_off + H],
+                         (1, 0, 2)).reshape(blk, cin, H, nb)
+    if hybrid:
+        sre_g = sre[..., :_G_BANDS]
+        sim_g = sim[..., :_G_BANDS]
+        gre = (_COEFF1 * (sre_g[6:6 + H] - sre_g[0:H])
+               + _COEFF2 * (sre_g[4:4 + H] - sre_g[2:2 + H]))
+        gim = (_COEFF1 * (sim_g[6:6 + H] - sim_g[0:H])
+               + _COEFF2 * (sim_g[4:4 + H] - sim_g[2:2 + H]))
+        gre = jnp.transpose(gre, (1, 0, 2)).reshape(blk, cin, H, _G_BANDS)
+        gim = jnp.transpose(gim, (1, 0, 2)).reshape(blk, cin, H, _G_BANDS)
+    else:
+        gre = jnp.zeros((blk, cin, H, _G_BANDS), jnp.float32)
+        gim = jnp.zeros((blk, cin, H, _G_BANDS), jnp.float32)
+    out_re, out_im = _decode_mix_dg(dre, dim_, gre, gim, taps_ref,
+                                    per_stream, H, cin, cout)
     _irdft_ola_writeback(out_re, out_im, am_ref[:], bm_ref[:], ws_ref[:],
                          H, blk, cout, mxu_mode, acc, y_ref, otail_ref,
                          tail_out_ref)
@@ -788,6 +813,11 @@ def _render_full_ri(in_tail: jax.Array, x: jax.Array, ola_tail: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((blk, cout, H + nt, hop), jnp.float32),
         ],
+        # the one-kernel pipeline's working set (hop-major spectra values
+        # + d/g + decode products) legitimately exceeds the 16 MiB default
+        # scoped budget; v5e has 128 MiB of physical VMEM
+        compiler_params=(None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)),
         interpret=interpret,
     )(in_tail.reshape(Sp, cin, t_hops, hop),
       x.reshape(Sp, cin, H, hop), taps,
