@@ -295,9 +295,22 @@ def main():
     # -- startup probe: detect a wedged d2h tunnel in seconds, not rc=124 ---
     # the fence runs on THIS thread (worker-thread dispatches hang on this
     # runtime); on a hang the probe's own watchdog emits the diagnostic
-    # JSON below and force-exits 0 — a parseable line, never rc=124 silence
+    # JSON below and force-exits 0 — a parseable line, never rc=124 silence.
+    # Tunnel wedges are often TRANSIENT (round-5: a wedge that aborted one
+    # run cleared minutes later), and a hung in-process fence can never be
+    # recovered — but a FRESH process gets a fresh tunnel connection, so
+    # the first wedge re-execs this script once before giving up.
     def on_wedge(reason):
         report.extra(error=reason, dispatch_fence_rtt_ms=None)
+        if os.environ.get("SAF_BENCH_RETRIED", "") != "1":
+            report.emit(status="d2h fence hung; re-execing once for a "
+                               "fresh tunnel connection")
+            os.environ["SAF_BENCH_RETRIED"] = "1"
+            try:
+                os.execv(sys.executable,
+                         [sys.executable, os.path.abspath(__file__)])
+            except OSError:
+                pass  # fall through to the terminal diagnostic
         report.emit(status="aborted: d2h fence hung — device/tunnel wedged")
     try:
         rtt_s = probe_device(timeout_s=probe_timeout_s, reps=5,
