@@ -748,8 +748,13 @@ def render_tf_matrix_fused(bank: AfSTFT, state: AfSTFTStateBatched,
     # docs/TPU_RUNTIME_NOTES.md "full-fusion experiment").  Kept because
     # it is the right structure if a future toolchain lifts the scoped-
     # VMEM limit or folds without sublane-shift copies.
+    # round-5 flip: the hop-major rewrite made the ONE-kernel renderer the
+    # fastest path wherever it fits (3×-interleaved same-process A/B:
+    # flagship 5.33 → 5.20 ms, 256-stream group-split 31.0 → 27.4 ms —
+    # +12.8%), so it is now the DEFAULT; SAF_TPU_FULL_FUSION=0 restores
+    # the two-kernel (d, g) pipeline
     blk_full = (_fit_full_render_block(cin, cout_m, H, hop, per_stream_m)
-                if os.environ.get("SAF_TPU_FULL_FUSION", "") not in ("", "0")
+                if os.environ.get("SAF_TPU_FULL_FUSION", "1") not in ("0",)
                 else None)
     if blk_full is not None:
         if Mim is None:
